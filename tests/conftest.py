@@ -1,0 +1,26 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Real multi-chip hardware is not available in CI; sharding tests use
+XLA's host-platform device-count override.
+
+Note: the environment may pre-register an external TPU plugin from
+``sitecustomize`` and force ``jax_platforms`` at interpreter start, so the
+``JAX_PLATFORMS`` env var alone is not sufficient — we also override the
+config after importing jax.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,113 @@
+"""Bit packing and CRC8 as JAX array ops.
+
+The reference implements these as scalar Rust loops
+(``src/phy/crc.rs:7-75``).  On TPU they become vectorized array programs:
+
+* MSB-first byte<->bit conversion is a broadcasted shift+mask / weighted sum,
+  `vmap`-able over any batch of frames.
+* CRC8 (poly 0x07, init 0x00 — src/phy/crc.rs:4) is a byte-at-a-time table
+  lookup folded over the message with ``lax.scan``; the 256-entry table is
+  precomputed host-side.  Variable-length messages are handled with
+  pad-and-mask so a whole batch of frames CRC-checks in one fused program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CRC8_POLY = 0x07
+
+
+def _build_crc8_table(poly: int = CRC8_POLY) -> np.ndarray:
+    table = np.zeros(256, dtype=np.uint8)
+    for byte in range(256):
+        crc = byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        table[byte] = crc
+    return table
+
+
+CRC8_TABLE = _build_crc8_table()
+_CRC8_TABLE_J = jnp.asarray(CRC8_TABLE, dtype=jnp.uint8)
+
+# ---------------------------------------------------------------------------
+# Host (NumPy) versions — used by the host-side MAC/NET runtime and oracles.
+# ---------------------------------------------------------------------------
+
+
+def crc8_host(data: bytes | np.ndarray) -> int:
+    """CRC8 of a byte string (host-side; matches src/phy/crc.rs:7-22)."""
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    crc = np.uint8(0)
+    for b in arr:
+        crc = CRC8_TABLE[crc ^ b]
+    return int(crc)
+
+
+def bytes_to_bits_host(data: bytes | np.ndarray) -> np.ndarray:
+    """MSB-first unpack (src/phy/crc.rs:54-60)."""
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    return np.unpackbits(arr)
+
+
+def bits_to_bytes_host(bits: np.ndarray) -> np.ndarray:
+    """MSB-first pack; trailing partial byte is zero-padded on the right
+    (src/phy/crc.rs:63-75)."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    return np.packbits(bits)
+
+
+# ---------------------------------------------------------------------------
+# JAX versions — batched, jittable.
+# ---------------------------------------------------------------------------
+
+
+def unpack_bits(bytes_arr: jax.Array) -> jax.Array:
+    """uint8[..., N] -> uint8[..., N*8], MSB first."""
+    bytes_arr = bytes_arr.astype(jnp.uint8)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (bytes_arr[..., :, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*bytes_arr.shape[:-1], bytes_arr.shape[-1] * 8)
+
+
+def pack_bits(bits: jax.Array) -> jax.Array:
+    """uint8[..., N*8] -> uint8[..., N], MSB first. Length must be a
+    multiple of 8 (pad upstream; mirrors zero-fill of src/phy/crc.rs:39-51)."""
+    n = bits.shape[-1]
+    assert n % 8 == 0, "pack_bits needs a multiple of 8 bits"
+    bits = bits.reshape(*bits.shape[:-1], n // 8, 8).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+def crc8(data: jax.Array, length: jax.Array | None = None) -> jax.Array:
+    """CRC8 over `data` (uint8[..., N]) with optional per-item `length`.
+
+    `length` (int32[...]) masks the tail: bytes at index >= length do not
+    update the CRC, so a batch of variable-length payloads padded to a
+    common N yields each payload's true CRC in one scan.
+    """
+    data = data.astype(jnp.uint8)
+    batch_shape = data.shape[:-1]
+    n = data.shape[-1]
+    if length is None:
+        length = jnp.full(batch_shape, n, dtype=jnp.int32)
+    else:
+        length = jnp.broadcast_to(jnp.asarray(length, jnp.int32), batch_shape)
+
+    def step(crc, xs):
+        byte, idx = xs
+        nxt = _CRC8_TABLE_J[(crc ^ byte).astype(jnp.int32)]
+        return jnp.where(idx < length, nxt, crc), None
+
+    init = jnp.zeros(batch_shape, dtype=jnp.uint8)
+    # scan over the byte axis (moved to leading position)
+    data_t = jnp.moveaxis(data, -1, 0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    crc, _ = jax.lax.scan(step, init, (data_t, idx))
+    return crc
