@@ -85,6 +85,53 @@ def pack_bits(bits: jax.Array) -> jax.Array:
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
 
 
+_CRC8_DIST_CACHE: dict[int, np.ndarray] = {}
+
+
+def _crc8_distance_table(n: int) -> np.ndarray:
+    """T[d, b] = CRC8 of byte b followed by d zero bytes, for d in [0, n).
+
+    CRC8 with init 0x00 and no final XOR is linear over GF(2), so the CRC
+    of a message is the XOR of each byte's contribution at its distance
+    from the end — turning the sequential fold into a parallel gather+XOR.
+    """
+    sizes = [k for k in _CRC8_DIST_CACHE if k >= n]
+    if sizes:
+        return _CRC8_DIST_CACHE[min(sizes)][:n]
+    table = np.zeros((n, 256), dtype=np.uint8)
+    table[0] = CRC8_TABLE
+    for d in range(1, n):
+        table[d] = CRC8_TABLE[table[d - 1]]
+    _CRC8_DIST_CACHE.clear()
+    _CRC8_DIST_CACHE[n] = table
+    return table
+
+
+def crc8_parallel(data: jax.Array, length: jax.Array | None = None) -> jax.Array:
+    """Parallel CRC8 over uint8[..., N] with optional per-item `length`.
+
+    Same contract as :func:`crc8` but O(log N) depth (gather + XOR
+    reduction) instead of a length-N scan — used inside the frame decode
+    loop where the CRC sits on the critical path.
+    """
+    data = data.astype(jnp.uint8)
+    n = data.shape[-1]
+    if n == 0:
+        return jnp.zeros(data.shape[:-1], dtype=jnp.uint8)
+    if length is None:
+        length = jnp.full(data.shape[:-1], n, dtype=jnp.int32)
+    else:
+        length = jnp.broadcast_to(
+            jnp.asarray(length, jnp.int32), data.shape[:-1])
+    table = jnp.asarray(_crc8_distance_table(n).reshape(-1))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    dist = length[..., None] - 1 - idx          # distance from message end
+    contrib = table[jnp.clip(dist, 0) * 256 + data.astype(jnp.int32)]
+    contrib = jnp.where(idx < length[..., None], contrib, 0)
+    return jax.lax.reduce(
+        contrib, np.uint8(0), jax.lax.bitwise_xor, [data.ndim - 1])
+
+
 def crc8(data: jax.Array, length: jax.Array | None = None) -> jax.Array:
     """CRC8 over `data` (uint8[..., N]) with optional per-item `length`.
 

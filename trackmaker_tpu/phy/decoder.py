@@ -1,0 +1,301 @@
+"""Batched PHY decoder: 48 kHz capture -> frames, as one XLA program.
+
+The reference decoder is an online, data-dependent state machine
+(``src/phy/decoder.rs``): scan window-by-window for a preamble correlation
+>= 0.9, refine alignment on the sync word, decode a length-delimited frame,
+CRC-check, resume.  A TPU can't profitably run that loop sample-by-sample,
+so the design is **two-phase**:
+
+1. *Dense phase (parallel):* normalized cross-correlation against the
+   preamble over every lag at once (``trackmaker_tpu.sync``), thresholded
+   into a candidate list — this is ~all the FLOPs and runs wide on the
+   MXU/VPU.
+
+2. *Consumption phase (tiny sequential):* a ``lax.scan`` over at most
+   `max_frames` steps replays the reference's *decisions* exactly — first
+   candidate past the cursor, ±1-bit sync refinement (argmax, first-wins
+   ties like the reference's strict `>` update, decoder.rs:204-207),
+   header parse, length sanity (decoder.rs:277-286), full-frame line
+   decode, destination filter, CRC — using fixed-size windows and
+   pad-and-mask.  Each step does O(max_frame_samples) work, so the scan is
+   a rounding error next to phase 1.
+
+Everything is fixed-shape; `vmap` batches whole recordings.  Consumption
+rules (what advances the cursor in each failure mode) mirror
+decoder.rs:242-356 so decoded frame sequences are bit-identical to the
+reference on the same captures.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trackmaker_tpu.core import bitops
+from trackmaker_tpu.core.config import (
+    FOUR_B_FIVE_B,
+    FRAME_TYPE_DATA,
+    MANCHESTER,
+    PHY_HEADER_BYTES,
+    PhyConfig,
+)
+from trackmaker_tpu.core.framing import Frame
+from trackmaker_tpu.phy import line_coding
+from trackmaker_tpu.sync import correlate
+
+_BIG = jnp.int32(2**30)
+
+
+def _samples_for_bits_traced(cfg: PhyConfig, num_bits: jax.Array) -> jax.Array:
+    """Traced version of PhyConfig.samples_for_bits."""
+    if cfg.line_coding == MANCHESTER:
+        return num_bits * (cfg.samples_per_level * 2)
+    elif cfg.line_coding == FOUR_B_FIVE_B:
+        return ((num_bits + 3) // 4) * (5 * cfg.samples_per_level)
+    raise ValueError(cfg.line_coding)
+
+
+class DecodedFrames(NamedTuple):
+    """Fixed-size decode results (pad-and-mask over `max_frames` slots)."""
+
+    valid: jax.Array        # bool[K]   CRC-passed frame addressed to us
+    frame_bytes: jax.Array  # uint8[K, 7+max_frame_bytes] (zero-padded)
+    length: jax.Array       # int32[K]  payload length
+    frame_type: jax.Array   # int32[K]
+    sequence: jax.Array     # int32[K]
+    src: jax.Array          # int32[K]
+    dst: jax.Array          # int32[K]
+    start: jax.Array        # int32[K]  preamble start sample index
+    corr: jax.Array         # f32[K]    detection correlation
+
+    @property
+    def count(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+    def to_frames(self) -> list[Frame]:
+        """Host-side: materialize valid slots as Frame objects."""
+        valid = np.asarray(self.valid)
+        fb = np.asarray(self.frame_bytes)
+        ln = np.asarray(self.length)
+        out = []
+        for k in np.nonzero(valid)[0]:
+            raw = fb[k, : PHY_HEADER_BYTES + ln[k]].tobytes()
+            f = Frame.from_bytes(raw)
+            assert f is not None
+            out.append(f)
+        return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_frames", "max_candidates"))
+def decode_capture(
+    cfg: PhyConfig,
+    samples: jax.Array,          # f32[T]
+    local_addr: jax.Array | int,
+    max_frames: int = 64,
+    max_candidates: int = 512,
+) -> DecodedFrames:
+    """Decode one capture. vmap over a leading batch axis for batches."""
+    samples = samples.astype(jnp.float32)
+    t = samples.shape[-1]
+    local_addr = jnp.asarray(local_addr, jnp.int32)
+
+    pre_np = line_coding.preamble_waveform(cfg)
+    pre = jnp.asarray(pre_np)
+    l_pre = pre.shape[0]
+    pre_energy = correlate.preamble_energy(pre_np)
+
+    sync_len = cfg.sync_len
+    sync_pat = pre[l_pre - sync_len:]
+    sync_energy = correlate.preamble_energy(pre_np[l_pre - sync_len:])
+    margin = cfg.sync_margin
+    header_samples = cfg.header_samples
+    header_bits = cfg.header_bits
+    max_total_bytes = PHY_HEADER_BYTES + cfg.max_frame_bytes
+    max_window = cfg.samples_for_bits(max_total_bytes * 8)
+
+    if t < l_pre:  # capture shorter than the preamble: nothing to find
+        samples = jnp.pad(samples, (0, l_pre - t))
+        t = l_pre
+
+    # ---- phase 1: dense correlation + candidate extraction ----------------
+    corr = correlate.normalized_xcorr(samples, pre, pre_energy)
+    hits = corr >= cfg.correlation_threshold
+    cand = jnp.nonzero(hits, size=max_candidates, fill_value=2**30)[0]
+    cand = cand.astype(jnp.int32)
+
+    # zero-pad so every fixed-size dynamic_slice below stays in bounds
+    pad = max_window + l_pre + margin + sync_len + 8
+    padded = jnp.concatenate([samples, jnp.zeros(pad, jnp.float32)])
+
+    sync_positions = jnp.arange(2 * margin + 1, dtype=jnp.int32) - margin
+
+    def sync_refine(expected: jax.Array) -> jax.Array:
+        """±1-bit sync-word realignment (decoder.rs:158-217)."""
+        pos = expected + sync_positions
+        valid = (pos >= 0) & (pos <= t - sync_len)
+        safe = jnp.clip(pos, 0)
+        wins = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(padded, (p,), (sync_len,)))(safe)
+        dot = wins @ sync_pat
+        we = jnp.sum(wins * wins, axis=-1)
+        c = jnp.where((we > 1e-6) & (sync_energy > 1e-6),
+                      dot / (jnp.sqrt(we) * sync_energy), 0.0)
+        c = jnp.where(valid, c, -jnp.inf)
+        best = jnp.argmax(c)  # first max wins ties, like strict `>` update
+        return jnp.where(jnp.max(c) > -1.0, pos[best], expected)
+
+    def step(carry, _):
+        cursor, done = carry
+
+        ge = cand >= cursor
+        first = jnp.min(jnp.where(ge, cand, _BIG))
+        has_cand = first < _BIG
+        i = jnp.clip(first, 0, t)  # preamble start (abs)
+
+        # --- sync refinement + frame start
+        expected = i + (l_pre - sync_len)
+        best_pos = sync_refine(expected)
+        frame_start = best_pos + sync_len
+
+        # --- header decode
+        # reference waits for more data when the header spills past the
+        # buffer end (decoder.rs:252-254); at end-of-capture that means
+        # the stream is done.
+        hdr_incomplete = frame_start + header_samples > t
+        hdr_win = jax.lax.dynamic_slice(
+            padded, (jnp.clip(frame_start, 0),), (header_samples,))
+        hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
+        n_valid_hdr = jnp.sum(hdr_ok[:header_bits].astype(jnp.int32))
+        hdr_bits = jnp.where(
+            jnp.arange(header_bits) < n_valid_hdr, hdr_bits[:header_bits], 0)
+        hdr_bytes = bitops.pack_bits(hdr_bits)
+        data_len = (hdr_bytes[0].astype(jnp.int32) << 8) | hdr_bytes[1]
+        crc_field = hdr_bytes[2].astype(jnp.int32)
+        ftype = hdr_bytes[3].astype(jnp.int32)
+        seq = hdr_bytes[4].astype(jnp.int32)
+        src = hdr_bytes[5].astype(jnp.int32)
+        dst = hdr_bytes[6].astype(jnp.int32)
+        # parse_header needs 7 whole-or-partial bytes: >=49 decoded bits
+        # (bits_to_bytes zero-fills the tail, crc.rs:63-75)
+        type_ok = (ftype == 1) | (ftype == 2)
+        header_ok = (n_valid_hdr >= 49) & type_ok
+
+        len_bad = ((ftype == FRAME_TYPE_DATA) & (data_len == 0)) | (
+            data_len > cfg.max_frame_bytes)
+
+        total_bits = (PHY_HEADER_BYTES + data_len) * 8
+        total_samples = _samples_for_bits_traced(cfg, total_bits)
+        incomplete = frame_start + total_samples > t
+
+        # --- full-frame decode over the static max window
+        body_win = jax.lax.dynamic_slice(
+            padded, (jnp.clip(frame_start, 0),), (max_window,))
+        bits_full, bit_ok_full = line_coding.decode(cfg, body_win)
+        nbits_full = bits_full.shape[-1]
+        in_frame = jnp.arange(nbits_full) < total_bits
+        n_valid_bits = jnp.sum((bit_ok_full & in_frame).astype(jnp.int32))
+        line_fail = n_valid_bits < total_bits
+
+        bytes_full = bitops.pack_bits(
+            jnp.where(in_frame, bits_full, 0)[: max_total_bytes * 8])
+        payload = bytes_full[PHY_HEADER_BYTES:]
+        crc_calc = bitops.crc8_parallel(
+            payload, jnp.clip(data_len, 0, cfg.max_frame_bytes))
+        crc_ok = crc_calc.astype(jnp.int32) == crc_field
+        dst_ok = dst == local_addr
+
+        # --- consumption rules (decoder.rs:266-356)
+        consumed = jnp.where(
+            ~header_ok,
+            header_samples,
+            jnp.where(
+                len_bad,
+                1,
+                jnp.where(
+                    line_fail,
+                    l_pre + _samples_for_bits_traced(cfg, n_valid_bits),
+                    l_pre + total_samples,
+                ),
+            ),
+        )
+
+        frame_valid = (has_cand & ~done & ~hdr_incomplete & header_ok
+                       & ~len_bad & ~incomplete & ~line_fail
+                       & dst_ok & crc_ok)
+        stop = done | ~has_cand | (has_cand & hdr_incomplete) | (
+            has_cand & ~hdr_incomplete & header_ok & ~len_bad & incomplete)
+        new_cursor = jnp.where(stop, cursor, i + consumed)
+        new_done = stop
+
+        mask_b = jnp.where(
+            frame_valid,
+            jnp.where(jnp.arange(max_total_bytes) <
+                      PHY_HEADER_BYTES + data_len, bytes_full, 0),
+            jnp.zeros_like(bytes_full))
+
+        out = dict(
+            valid=frame_valid,
+            frame_bytes=mask_b.astype(jnp.uint8),
+            length=jnp.where(frame_valid, data_len, 0),
+            frame_type=jnp.where(frame_valid, ftype, 0),
+            sequence=jnp.where(frame_valid, seq, 0),
+            src=jnp.where(frame_valid, src, 0),
+            dst=jnp.where(frame_valid, dst, 0),
+            start=jnp.where(frame_valid, i, -1),
+            corr=jnp.where(
+                frame_valid,
+                corr[jnp.clip(i, 0, corr.shape[-1] - 1)], 0.0),
+        )
+        return (new_cursor, new_done), out
+
+    (_, _), ys = jax.lax.scan(
+        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames)
+    return DecodedFrames(**ys)
+
+
+class PhyDecoder:
+    """Host streaming facade with the reference's chunked-feed API.
+
+    Buffers incoming sample chunks and runs the batched `decode_capture`
+    over the accumulated tail whenever enough new data arrives.  For
+    offline work prefer calling :func:`decode_capture` directly on whole
+    recordings (vmapped over a batch).
+    """
+
+    def __init__(self, cfg: PhyConfig, local_addr: int,
+                 max_frames_per_call: int = 64):
+        self.cfg = cfg
+        self.local_addr = local_addr
+        self.max_frames = max_frames_per_call
+        self._buf = np.zeros(0, dtype=np.float32)
+        self._consumed = 0  # absolute position fully decoded so far
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, dtype=np.float32)
+        self._consumed = 0
+
+    def process_samples(self, samples: np.ndarray) -> list[Frame]:
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, np.float32)])
+        min_need = self.cfg.preamble_len + self.cfg.header_samples
+        if len(self._buf) < min_need:
+            return []
+        # decode everything we have; drop fully-consumed prefix after
+        res = decode_capture(
+            self.cfg, jnp.asarray(self._buf), self.local_addr,
+            max_frames=self.max_frames)
+        frames = res.to_frames()
+        starts = np.asarray(res.start)
+        lens = np.asarray(res.length)
+        if frames:
+            last = int(np.max(starts))
+            k = int(np.argmax(starts))
+            end = last + self.cfg.preamble_len + self.cfg.frame_samples(
+                int(lens[k]))
+            self._buf = self._buf[end:]
+        return frames
