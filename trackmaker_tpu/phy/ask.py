@@ -1,0 +1,286 @@
+"""ASK/chirp modem as a batched TPU program (BASELINE config 1).
+
+Reference: ``examples/ask.rs`` (itself a port of the course's
+``docs/public/SamplePHY.m``): 10 kHz carrier ASK at 44 samples/bit
+(~1090 bps), a 440-sample 2→10→2 kHz chirp preamble, an EMA power
+detector, a sliding 440-tap chirp correlator with local-max peak picking,
+and coherent demodulation (multiply-by-carrier + 11-tap smoothing +
+per-bit integration over samples 10..30).
+
+TPU design — same two-phase shape as the frame decoder:
+
+* dense phase: EMA power is a first-order linear recurrence
+  (``associative_scan``), the chirp correlator is one convolution, and the
+  update predicate ``sync > max(2·power, 0.05)`` is elementwise;
+* consumption phase: a ``lax.scan`` over frame slots replays the
+  reference's local-max/200-sample-guard peak state machine *exactly* via
+  a running-(max, first-index) associative scan over a bounded window,
+  then demodulates a fixed 4752-sample window per detection (vectorized
+  multiply/smooth/integrate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trackmaker_tpu.dsp.filters import box_smooth_truncated, ema_power
+from trackmaker_tpu.dsp.osc import carrier_np, chirp_cached
+
+
+@dataclasses.dataclass(frozen=True)
+class AskConfig:
+    sample_rate: int = 48_000
+    carrier_hz: float = 10_000.0
+    samples_per_bit: int = 44
+    frame_bits: int = 100          # 8-bit id + 92 payload bits
+    crc_bits: int = 8              # placeholder zeros (ask.rs:611-613)
+    preamble_len: int = 440
+    chirp_lo_hz: float = 2_000.0
+    chirp_hi_hz: float = 10_000.0
+    power_alpha: float = 1.0 / 64.0
+    sync_divisor: float = 200.0
+    sync_power_factor: float = 2.0    # sync > 2*power  (ask.rs:711)
+    sync_abs_threshold: float = 0.05  # sync > 0.05
+    peak_guard: int = 200             # fire 200 quiet samples after peak
+    smooth_half: int = 5              # 11-tap box smoother
+    bit_lo: int = 10                  # integrate smooth[10..30] per bit
+    bit_hi: int = 30
+    id_min: int = 1
+    id_max: int = 100
+    max_gap: int = 100                # random inter-frame gap upper bound
+
+    @property
+    def coded_bits(self) -> int:
+        return self.frame_bits + self.crc_bits  # 108
+
+    @property
+    def frame_samples(self) -> int:
+        return self.coded_bits * self.samples_per_bit  # 4752
+
+    @property
+    def payload_bits(self) -> int:
+        return self.frame_bits - 8  # 92
+
+
+class AskDecoded(NamedTuple):
+    valid: jax.Array     # bool[K]
+    frame_id: jax.Array  # int32[K]
+    bits: jax.Array      # uint8[K, payload_bits]
+    start: jax.Array     # int32[K]  fired peak index (reference start_index)
+
+    @property
+    def count(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+
+def build_frames(text: bytes, cfg: AskConfig = AskConfig(),
+                 num_frames: int = 100) -> np.ndarray:
+    """Pack text into id+payload bit frames (ask.rs:545-569), with the
+    reference's wrap quirk (reset cursor, then consume bit 0)."""
+    text_bits = np.unpackbits(np.frombuffer(text, dtype=np.uint8))
+    n_text = len(text_bits)
+    payload = cfg.payload_bits
+    frames = np.zeros((num_frames, cfg.frame_bits), dtype=np.uint8)
+    ids = np.arange(1, num_frames + 1, dtype=np.uint32)
+    frames[:, :8] = (ids[:, None] >> np.arange(7, -1, -1)) & 1
+    idx = np.arange(num_frames * payload) % n_text
+    frames[:, 8:] = text_bits[idx].reshape(num_frames, payload)
+    return frames
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def modulate_frames(cfg: AskConfig, frames: jax.Array) -> jax.Array:
+    """uint8[B, frame_bits] -> f32[B, preamble+frame_samples]."""
+    b = frames.shape[0]
+    bits = jnp.concatenate(
+        [frames.astype(jnp.float32),
+         jnp.zeros((b, cfg.crc_bits), jnp.float32)], axis=-1)
+    amp = 2.0 * bits - 1.0
+    amp = jnp.repeat(amp, cfg.samples_per_bit, axis=-1)
+    car = jnp.asarray(
+        carrier_np(cfg.frame_samples, cfg.carrier_hz, cfg.sample_rate))
+    wave = amp * car
+    pre = jnp.asarray(chirp_cached(
+        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz, cfg.sample_rate))
+    pre = jnp.broadcast_to(pre, (b, cfg.preamble_len))
+    return jnp.concatenate([pre, wave], axis=-1)
+
+
+def build_track(cfg: AskConfig, frames: np.ndarray,
+                gaps: np.ndarray | None = None,
+                seed: int = 1) -> np.ndarray:
+    """Serialize modulated frames with random 0..max_gap silence before and
+    after each frame (ask.rs:630-637)."""
+    if gaps is None:
+        rng = np.random.default_rng(seed)
+        gaps = rng.integers(0, cfg.max_gap, size=(len(frames), 2))
+    waves = np.asarray(modulate_frames(cfg, jnp.asarray(frames)))
+    parts = []
+    for i in range(len(frames)):
+        parts.append(np.zeros(gaps[i, 0], np.float32))
+        parts.append(waves[i])
+        parts.append(np.zeros(gaps[i, 1], np.float32))
+    return np.concatenate(parts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_frames", "max_candidates",
+                              "chain_window"))
+def demodulate(
+    cfg: AskConfig,
+    rx: jax.Array,                  # f32[T]
+    max_frames: int = 128,
+    max_candidates: int = 32768,
+    chain_window: int = 4096,
+) -> AskDecoded:
+    """Batched receiver replaying ask.rs:693-796 decision-for-decision."""
+    rx = rx.astype(jnp.float32)
+    t = rx.shape[-1]
+    pre = jnp.asarray(chirp_cached(
+        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz, cfg.sample_rate))
+
+    # dense phase ------------------------------------------------------
+    power = ema_power(rx, cfg.power_alpha)
+    padded_l = jnp.concatenate([jnp.zeros(cfg.preamble_len - 1), rx])
+    sync = jax.lax.conv_general_dilated(
+        padded_l.reshape(1, 1, -1), pre.reshape(1, 1, -1),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    ).reshape(-1) / cfg.sync_divisor        # length T, fifo-aligned
+
+    upd_ok = (sync > cfg.sync_power_factor * power) & (
+        sync > cfg.sync_abs_threshold)
+    cand = jnp.nonzero(upd_ok, size=max_candidates, fill_value=2**30)[0]
+    cand = cand.astype(jnp.int32)
+
+    pad = cfg.frame_samples + chain_window + 8
+    rx_pad = jnp.concatenate([rx, jnp.zeros(pad, jnp.float32)])
+    sync_pad = jnp.concatenate(
+        [sync, jnp.full(chain_window + 8, -jnp.inf, jnp.float32)])
+    upd_pad = jnp.concatenate(
+        [upd_ok, jnp.zeros(chain_window + 8, bool)])
+
+    car = jnp.asarray(
+        carrier_np(cfg.frame_samples, cfg.carrier_hz, cfg.sample_rate))
+    nbits = cfg.coded_bits
+    bit_starts = cfg.bit_lo + jnp.arange(nbits) * cfg.samples_per_bit
+    bit_idx = bit_starts[:, None] + jnp.arange(cfg.bit_hi - cfg.bit_lo)
+
+    l_pre = cfg.preamble_len
+    power_pad = jnp.concatenate([power, jnp.zeros(l_pre + 8, jnp.float32)])
+
+    def warmup_sync(cursor):
+        """Exact partial correlations for the L positions after a decode:
+        the reference zeroes its sync FIFO when a frame fires
+        (ask.rs:718-719), so sync at cursor+p only sees the p+1 samples
+        received since.  fifo(cursor+p) = [0^(L-1-p), rx[cursor..cursor+p]]
+        == slab2[p : p+L] with slab2 = 0^(L-1) ‖ rx[cursor : cursor+L]."""
+        slab = jax.lax.dynamic_slice(rx_pad, (cursor,), (l_pre,))
+        slab2 = jnp.concatenate([jnp.zeros(l_pre - 1, jnp.float32), slab])
+        out = jax.lax.conv_general_dilated(
+            slab2.reshape(1, 1, -1), pre.reshape(1, 1, -1),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ).reshape(-1) / cfg.sync_divisor                   # [L]
+        pw = jax.lax.dynamic_slice(power_pad, (cursor,), (l_pre,))
+        okw = (out > cfg.sync_power_factor * pw) & (
+            out > cfg.sync_abs_threshold)
+        pos_valid = cursor + jnp.arange(l_pre) < t
+        return out, okw & pos_valid
+
+    def run_chain(i0, cursor, sync_w, ok_w):
+        """Local-max record chain + 200-sample fire guard, exactly
+        (ask.rs:711-722), over a bounded window starting at i0."""
+        idx = i0 + jnp.arange(chain_window, dtype=jnp.int32)
+        sp = jax.lax.dynamic_slice(sync_pad, (i0,), (chain_window,))
+        ok = jax.lax.dynamic_slice(upd_pad, (i0,), (chain_window,))
+        # substitute exact warmup values where the window overlaps the
+        # 440-sample post-decode region
+        woff = idx - cursor
+        in_warm = (woff >= 0) & (woff < l_pre)
+        woff_c = jnp.clip(woff, 0, l_pre - 1)
+        sp = jnp.where(in_warm, sync_w[woff_c], sp)
+        ok = jnp.where(in_warm, ok_w[woff_c], ok)
+        vals = jnp.where(ok, sp, -jnp.inf)
+
+        def combine(a, b):
+            av, ai = a
+            bv, bi = b
+            take_b = bv > av        # strict: earlier index wins ties
+            return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+        m_incl, rec_incl = jax.lax.associative_scan(
+            combine, (vals, idx), axis=-1)
+        m_excl = jnp.concatenate([jnp.asarray([-jnp.inf]), m_incl[:-1]])
+        rec_excl = jnp.concatenate([idx[:1], rec_incl[:-1]])
+        upd_now = ok & (sp > m_excl)
+        fire = (~upd_now) & (idx > rec_excl + cfg.peak_guard) & (
+            m_excl > -jnp.inf)
+        j = jnp.argmax(fire)            # first fire
+        fired = fire[j]
+        peak = jnp.where(fired, rec_excl[j], rec_incl[-1])
+        return peak, fired
+
+    def step(carry, _):
+        cursor, done = carry
+        # first update position: exact warmup sync inside
+        # [cursor, cursor+L), dense sync beyond
+        sync_w, ok_w = warmup_sync(cursor)
+        warm_idx = cursor + jnp.arange(l_pre, dtype=jnp.int32)
+        first_warm = jnp.min(jnp.where(ok_w, warm_idx, 2**30))
+        ge = cand >= cursor + l_pre
+        first_dense = jnp.min(jnp.where(ge, cand, 2**30))
+        first = jnp.minimum(first_warm, first_dense)
+        has = (first < 2**30) & ~done
+        i0 = jnp.clip(first, 0, t - 1)
+
+        peak, fired = run_chain(i0, cursor, sync_w, ok_w)
+        ok_fire = has & fired
+
+        win = jax.lax.dynamic_slice(
+            rx_pad, (jnp.clip(peak + 1, 0),), (cfg.frame_samples,))
+        prod = win * car
+        smooth = box_smooth_truncated(prod, cfg.smooth_half)
+        sums = jnp.sum(smooth[bit_idx], axis=-1)
+        bits = (sums > 0.0)
+
+        fid = jnp.sum(
+            bits[:8].astype(jnp.int32) *
+            (1 << jnp.arange(7, -1, -1)), axis=-1)
+        id_ok = (fid >= cfg.id_min) & (fid <= cfg.id_max)
+
+        # frame complete only if the decode window fits in the capture:
+        # the reference's fifo fills at absolute index peak + frame_samples
+        complete = (peak + cfg.frame_samples) < t
+        valid = ok_fire & id_ok & complete
+
+        new_cursor = jnp.where(
+            ok_fire & complete, peak + cfg.frame_samples + 1,
+            jnp.where(ok_fire, cursor, cursor))
+        new_done = done | ~has | (ok_fire & ~complete) | ~fired
+        out = dict(
+            valid=valid,
+            frame_id=jnp.where(valid, fid, 0),
+            bits=jnp.where(valid, bits[8:cfg.frame_bits], 0).astype(jnp.uint8),
+            start=jnp.where(valid, peak, -1),
+        )
+        return (new_cursor, new_done), out
+
+    (_, _), ys = jax.lax.scan(
+        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames)
+    return AskDecoded(**ys)
+
+
+def assemble_text(decoded: AskDecoded) -> bytes:
+    """Concatenate payload bits of valid frames in arrival order and pack
+    to bytes (ask.rs:773-788)."""
+    valid = np.asarray(decoded.valid)
+    bits = np.asarray(decoded.bits)[valid].reshape(-1)
+    n = (len(bits) // 8) * 8
+    return np.packbits(bits[:n]).tobytes()
