@@ -98,11 +98,20 @@ def decode_capture(
     local_addr: jax.Array | int,
     max_frames: int = 64,
     max_candidates: int = 512,
+    valid_len: jax.Array | int | None = None,
 ) -> DecodedFrames:
-    """Decode one capture. vmap over a leading batch axis for batches."""
+    """Decode one capture. vmap over a leading batch axis for batches.
+
+    `valid_len` marks the true capture length when `samples` is a
+    zero-padded bucket (streaming callers pad to fixed sizes to avoid
+    one compile per buffer length); frames whose body would extend past
+    it are treated as incomplete, like the reference's wait-for-more-data
+    path (decoder.rs:252-254, 295-297).
+    """
     samples = samples.astype(jnp.float32)
     t = samples.shape[-1]
     local_addr = jnp.asarray(local_addr, jnp.int32)
+    vlen = jnp.asarray(t if valid_len is None else valid_len, jnp.int32)
 
     pre_np = line_coding.preamble_waveform(cfg)
     pre = jnp.asarray(pre_np)
@@ -137,7 +146,7 @@ def decode_capture(
     def sync_refine(expected: jax.Array) -> jax.Array:
         """±1-bit sync-word realignment (decoder.rs:158-217)."""
         pos = expected + sync_positions
-        valid = (pos >= 0) & (pos <= t - sync_len)
+        valid = (pos >= 0) & (pos <= vlen - sync_len)
         safe = jnp.clip(pos, 0)
         wins = jax.vmap(
             lambda p: jax.lax.dynamic_slice(padded, (p,), (sync_len,)))(safe)
@@ -166,7 +175,7 @@ def decode_capture(
         # reference waits for more data when the header spills past the
         # buffer end (decoder.rs:252-254); at end-of-capture that means
         # the stream is done.
-        hdr_incomplete = frame_start + header_samples > t
+        hdr_incomplete = frame_start + header_samples > vlen
         hdr_win = jax.lax.dynamic_slice(
             padded, (jnp.clip(frame_start, 0),), (header_samples,))
         hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
@@ -190,7 +199,7 @@ def decode_capture(
 
         total_bits = (PHY_HEADER_BYTES + data_len) * 8
         total_samples = _samples_for_bits_traced(cfg, total_bits)
-        incomplete = frame_start + total_samples > t
+        incomplete = frame_start + total_samples > vlen
 
         # --- full-frame decode over the static max window
         body_win = jax.lax.dynamic_slice(
@@ -279,16 +288,29 @@ class PhyDecoder:
         self._buf = np.zeros(0, dtype=np.float32)
         self._consumed = 0
 
+    @staticmethod
+    def _bucket(n: int, min_bucket: int = 4096) -> int:
+        b = min_bucket
+        while b < n:
+            b *= 2
+        return b
+
     def process_samples(self, samples: np.ndarray) -> list[Frame]:
         self._buf = np.concatenate(
             [self._buf, np.asarray(samples, np.float32)])
         min_need = self.cfg.preamble_len + self.cfg.header_samples
         if len(self._buf) < min_need:
             return []
-        # decode everything we have; drop fully-consumed prefix after
+        # decode everything we have; drop fully-consumed prefix after.
+        # buffers are zero-padded to power-of-2 buckets so jit compiles a
+        # handful of shapes, with valid_len carrying the true length.
+        n = len(self._buf)
+        bucket = self._bucket(n)
+        padded = np.zeros(bucket, np.float32)
+        padded[:n] = self._buf
         res = decode_capture(
-            self.cfg, jnp.asarray(self._buf), self.local_addr,
-            max_frames=self.max_frames)
+            self.cfg, jnp.asarray(padded), self.local_addr,
+            max_frames=self.max_frames, valid_len=n)
         frames = res.to_frames()
         starts = np.asarray(res.start)
         lens = np.asarray(res.length)

@@ -1,0 +1,119 @@
+"""Fused normalized cross-correlation as a Pallas TPU kernel.
+
+This is the TPU equivalent of the reference's one hand-optimized kernel —
+the AVX sliding dot product in ``src/phy/decoder.rs:381-417`` plus its
+incremental window-energy recurrence (decoder.rs:224-233).  Design:
+
+* Output lags are tiled ``BLK`` per grid step, ``nb = BLK/128`` sublane
+  rows of 128 lags each.
+* The window dot products for a 128-lag row are one row of a small
+  matmul: ``X (nb, SEG) @ P (SEG, 128)`` where row ``b`` of X is the
+  contiguous slab ``x[128b : 128b+SEG]`` and ``P[s, r] = p[s - r]`` is the
+  banded (Toeplitz) pattern matrix.  This maps the whole sliding
+  correlation onto the MXU instead of the VPU shift-and-add.
+* The sliding window *energy* uses the same X with a banded 0/1 matrix —
+  a second matmul on X² — and the normalization + low-energy clamp is a
+  fused epilogue, so x is read from HBM exactly once (the XLA fallback in
+  ``sync.correlate`` reads it at least twice).
+* Block overlap (windows crossing the tile edge) is handled by passing a
+  second, shifted view of x — Pallas double-buffers both streams; no
+  manual DMA needed.
+
+FLOPs: 2·T·SEG vs the ideal 2·T·L (SEG = L rounded up to 128 + 128);
+for the PHY preambles (L = 60..96, SEG = 256) the MXU shrugs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=32)
+def _banded_mats(pattern_key, seg: int) -> tuple[np.ndarray, np.ndarray]:
+    p = np.asarray(pattern_key, dtype=np.float32)
+    l = len(p)
+    s = np.arange(seg)[:, None]
+    r = np.arange(128)[None, :]
+    j = s - r
+    ok = (j >= 0) & (j < l)
+    pmat = np.where(ok, p[np.clip(j, 0, l - 1)], 0.0).astype(np.float32)
+    emat = ok.astype(np.float32)
+    return pmat, emat
+
+
+def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
+                  slab_ref, *, blk: int, seg: int, inv_pe: float,
+                  eps: float):
+    nb = blk // 128
+    slab_ref[0, :blk] = x0_ref[0, :]
+    slab_ref[0, blk:] = x1_ref[0, :seg]
+    rows = [slab_ref[0, 128 * b : 128 * b + seg] for b in range(nb)]
+    xmat = jnp.stack(rows, axis=0)                       # (nb, SEG)
+    dot = jnp.dot(xmat, pmat_ref[:, :],
+                  preferred_element_type=jnp.float32)    # (nb, 128)
+    energy = jnp.dot(xmat * xmat, emat_ref[:, :],
+                     preferred_element_type=jnp.float32)
+    denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
+    corr = jnp.where(energy < eps, 0.0, dot * denom)
+    out_ref[0, :] = corr.reshape(1, blk)[0, :]
+
+
+def pallas_normalized_xcorr(
+    samples: jax.Array,          # f32[T]
+    pattern: np.ndarray,         # f32[L] (host constant)
+    eps: float = 1e-6,
+    blk: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """corr[i] = dot(x[i:i+L],p) / (||x[i:i+L]||·||p||), low-energy -> 0.
+
+    Matches :func:`trackmaker_tpu.sync.correlate.normalized_xcorr`
+    (returns T-L+1 lags).
+    """
+    pattern = np.asarray(pattern, np.float32)
+    l = len(pattern)
+    t = samples.shape[-1]
+    seg = 128 + _round_up(max(l - 1, 1), 128)
+    pmat, emat = _banded_mats(tuple(pattern.tolist()), seg)
+    pe = float(np.sqrt(np.sum(pattern.astype(np.float64) ** 2)))
+
+    t_pad = _round_up(max(t, blk), blk)
+    grid = t_pad // blk
+    # x0 stream: block i; x1 stream: block i+1 (for window overlap)
+    x = jnp.pad(samples.astype(jnp.float32),
+                (0, t_pad + blk - t)).reshape(1, -1)
+
+    out = pl.pallas_call(
+        functools.partial(_xcorr_kernel, blk=blk, seg=seg,
+                          inv_pe=1.0 / pe, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, blk + seg), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * t_pad * seg, transcendentals=0,
+            bytes_accessed=4 * (2 * t_pad + 2 * seg * 128)),
+        interpret=interpret,
+    )(x, x, jnp.asarray(pmat), jnp.asarray(emat))
+    return out[0, : t - l + 1]
