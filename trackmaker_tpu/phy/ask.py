@@ -146,13 +146,13 @@ def demodulate(
         cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz, cfg.sample_rate))
 
     # dense phase ------------------------------------------------------
+    from trackmaker_tpu import sync as sync_mod
     power = ema_power(rx, cfg.power_alpha)
-    padded_l = jnp.concatenate([jnp.zeros(cfg.preamble_len - 1), rx])
-    sync = jax.lax.conv_general_dilated(
-        padded_l.reshape(1, 1, -1), pre.reshape(1, 1, -1),
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    ).reshape(-1) / cfg.sync_divisor        # length T, fifo-aligned
+    # length T, fifo-aligned (lag i ends at sample i, zero history)
+    sync = sync_mod.auto_sliding_dot_scaled(
+        rx, np.asarray(chirp_cached(
+            cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
+            cfg.sample_rate)), 1.0 / cfg.sync_divisor)
 
     upd_ok = (sync > cfg.sync_power_factor * power) & (
         sync > cfg.sync_abs_threshold)
@@ -183,11 +183,9 @@ def demodulate(
         == slab2[p : p+L] with slab2 = 0^(L-1) ‖ rx[cursor : cursor+L]."""
         slab = jax.lax.dynamic_slice(rx_pad, (cursor,), (l_pre,))
         slab2 = jnp.concatenate([jnp.zeros(l_pre - 1, jnp.float32), slab])
-        out = jax.lax.conv_general_dilated(
-            slab2.reshape(1, 1, -1), pre.reshape(1, 1, -1),
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-        ).reshape(-1) / cfg.sync_divisor                   # [L]
+        wins = jax.vmap(lambda p: jax.lax.dynamic_slice(
+            slab2, (p,), (l_pre,)))(jnp.arange(l_pre))
+        out = (wins @ pre) / cfg.sync_divisor              # [L]
         pw = jax.lax.dynamic_slice(power_pad, (cursor,), (l_pre,))
         okw = (out > cfg.sync_power_factor * pw) & (
             out > cfg.sync_abs_threshold)

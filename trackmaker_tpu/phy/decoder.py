@@ -132,7 +132,9 @@ def decode_capture(
         t = l_pre
 
     # ---- phase 1: dense correlation + candidate extraction ----------------
-    corr = correlate.normalized_xcorr(samples, pre, pre_energy)
+    # backend-dispatched: fused Pallas kernel on TPU, XLA conv on CPU
+    from trackmaker_tpu import sync as sync_mod
+    corr = sync_mod.auto_xcorr(samples, pre_np, pre_energy)
     hits = corr >= cfg.correlation_threshold
     cand = jnp.nonzero(hits, size=max_candidates, fill_value=2**30)[0]
     cand = cand.astype(jnp.int32)

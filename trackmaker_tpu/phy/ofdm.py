@@ -1,0 +1,241 @@
+"""Acoustic OFDM modem — batched IFFT/FFT over subcarriers (BASELINE
+config 2).
+
+The reference stack is single-carrier (Manchester/4B5B baseband and the
+ASK example); OFDM appears in its vendored study material
+(``assets/psk.cxx``, fldigi) but was never built.  The north star
+explicitly asks for the OFDM path as batched FFT/IFFT array programs, so
+this is a from-scratch TPU-first design:
+
+* DMT-style real-valued OFDM: data subcarriers are placed on FFT bins
+  inside an acoustic passband (default 2..10 kHz at 48 kHz/512-point
+  FFT), the time signal is produced by a Hermitian-symmetric IFFT — one
+  batched ``jnp.fft.irfft`` over all symbols of all frames at once.
+* QPSK subcarrier mapping (Gray-coded), cyclic prefix against echo.
+* Chirp preamble (shared with the ASK modem) for coarse sync via the
+  Pallas/XLA correlator, then a known BPSK pilot symbol gives the
+  per-bin complex channel estimate; payload symbols are FFT'd, equalized
+  (one-tap per bin), and demapped — all vmapped.
+* Framing reuses the PHY frame codec (CRC8 + [Len|CRC|Type|Seq|Src|Dst]),
+  so the MAC/NET layers run unchanged over the OFDM PHY.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trackmaker_tpu.core import bitops
+from trackmaker_tpu.core.config import PHY_HEADER_BYTES
+from trackmaker_tpu.core.framing import Frame
+from trackmaker_tpu.dsp.osc import chirp_cached
+
+
+@dataclasses.dataclass(frozen=True)
+class OfdmConfig:
+    sample_rate: int = 48_000
+    n_fft: int = 512
+    cp_len: int = 128
+    bin_lo: int = 22            # ~2.06 kHz
+    bin_hi: int = 107           # ~10.03 kHz (exclusive)
+    bits_per_sym: int = 2       # QPSK
+    preamble_len: int = 440
+    chirp_lo_hz: float = 2_000.0
+    chirp_hi_hz: float = 10_000.0
+    pilot_seed: int = 7
+    amplitude: float = 0.5      # time-domain scaling headroom
+    sync_threshold: float = 0.5  # normalized chirp correlation
+    guard_samples: int = 64     # silence between preamble and first symbol
+
+    @property
+    def n_bins(self) -> int:
+        return self.bin_hi - self.bin_lo
+
+    @property
+    def bits_per_symbol(self) -> int:
+        return self.n_bins * self.bits_per_sym
+
+    @property
+    def sym_len(self) -> int:
+        return self.n_fft + self.cp_len
+
+    def n_symbols(self, n_bits: int) -> int:
+        return -(-n_bits // self.bits_per_symbol)
+
+    def frame_samples(self, n_bits: int) -> int:
+        """preamble + guard + pilot + data symbols."""
+        return (self.preamble_len + self.guard_samples
+                + (1 + self.n_symbols(n_bits)) * self.sym_len)
+
+
+def _pilot_symbols(cfg: OfdmConfig) -> np.ndarray:
+    """Deterministic BPSK pilot per data bin (channel estimation)."""
+    rng = np.random.default_rng(cfg.pilot_seed)
+    return (2.0 * rng.integers(0, 2, cfg.n_bins) - 1.0).astype(np.complex64)
+
+
+_QPSK = np.asarray(  # Gray-coded: b1b0 -> constellation point / sqrt(2)
+    [1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j], dtype=np.complex64) / np.sqrt(2)
+
+
+def _bits_to_qpsk(bits: jax.Array) -> jax.Array:
+    """uint8[..., 2k] -> complex64[..., k] Gray-mapped QPSK."""
+    pairs = bits.reshape(*bits.shape[:-1], -1, 2).astype(jnp.int32)
+    idx = pairs[..., 0] * 2 + pairs[..., 1]
+    return jnp.asarray(_QPSK)[idx]
+
+
+def _qpsk_to_bits(sym: jax.Array) -> jax.Array:
+    """Hard decision, inverse of _bits_to_qpsk."""
+    b0 = (sym.real < 0).astype(jnp.uint8)   # first bit of the pair
+    b1 = (sym.imag < 0).astype(jnp.uint8)   # second bit
+    return jnp.stack([b0, b1], axis=-1).reshape(*sym.shape[:-1], -1)
+
+
+def _spectrum_to_time(cfg: OfdmConfig, subcarriers: jax.Array) -> jax.Array:
+    """complex[..., n_bins] -> real time symbols [..., sym_len] with CP."""
+    shape = (*subcarriers.shape[:-1], cfg.n_fft // 2 + 1)
+    spec = jnp.zeros(shape, jnp.complex64)
+    spec = spec.at[..., cfg.bin_lo:cfg.bin_hi].set(subcarriers)
+    time = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1) * (
+        cfg.amplitude * cfg.n_fft / max(cfg.n_bins, 1))
+    cp = time[..., -cfg.cp_len:]
+    return jnp.concatenate([cp, time], axis=-1).astype(jnp.float32)
+
+
+def _time_to_spectrum(cfg: OfdmConfig, symbols: jax.Array) -> jax.Array:
+    """real[..., sym_len] -> complex[..., n_bins] (CP stripped)."""
+    body = symbols[..., cfg.cp_len:]
+    spec = jnp.fft.rfft(body, n=cfg.n_fft, axis=-1)
+    return spec[..., cfg.bin_lo:cfg.bin_hi]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def modulate_bits(cfg: OfdmConfig, bits: jax.Array,
+                  n_bits: int) -> jax.Array:
+    """uint8[B, n_bits] -> f32[B, frame_samples]: chirp ‖ guard ‖ pilot ‖
+    QPSK data symbols."""
+    b = bits.shape[0]
+    n_sym = cfg.n_symbols(n_bits)
+    pad = n_sym * cfg.bits_per_symbol - n_bits
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    qpsk = _bits_to_qpsk(bits).reshape(b, n_sym, cfg.n_bins)
+    pilot = jnp.broadcast_to(
+        jnp.asarray(_pilot_symbols(cfg)), (b, 1, cfg.n_bins))
+    subs = jnp.concatenate([pilot, qpsk], axis=1)     # (B, 1+n_sym, n_bins)
+    t_syms = _spectrum_to_time(cfg, subs)             # (B, 1+n_sym, sym_len)
+    body = t_syms.reshape(b, -1)
+    pre = jnp.asarray(chirp_cached(
+        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz, cfg.sample_rate))
+    pre = jnp.broadcast_to(pre, (b, cfg.preamble_len))
+    guard = jnp.zeros((b, cfg.guard_samples), jnp.float32)
+    return jnp.concatenate([pre, guard, body], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def demodulate_at(cfg: OfdmConfig, rx: jax.Array, n_bits: int,
+                  starts: jax.Array) -> jax.Array:
+    """Demodulate frames whose *preamble* starts at `starts` (int[B]) in
+    rx[T] -> uint8[B, n_bits].  Equalizes each bin by the pilot estimate
+    (one complex tap), so flat-ish channel gain/phase/echo is absorbed."""
+    n_sym = cfg.n_symbols(n_bits)
+    total = (1 + n_sym) * cfg.sym_len
+    body_off = cfg.preamble_len + cfg.guard_samples
+    pad = jnp.concatenate([rx.astype(jnp.float32),
+                           jnp.zeros(total + body_off + 8, jnp.float32)])
+
+    def one(start):
+        seg = jax.lax.dynamic_slice(pad, (start + body_off,), (total,))
+        syms = seg.reshape(1 + n_sym, cfg.sym_len)
+        spec = _time_to_spectrum(cfg, syms)           # (1+n_sym, n_bins)
+        pilot_rx = spec[0]
+        h = pilot_rx * jnp.conj(jnp.asarray(_pilot_symbols(cfg)))
+        h = jnp.where(jnp.abs(h) < 1e-12, 1.0 + 0j, h)
+        eq = spec[1:] * jnp.conj(h) / jnp.maximum(jnp.abs(h), 1e-12) ** 1
+        bits = _qpsk_to_bits(eq.reshape(-1))
+        return bits[:n_bits]
+
+    return jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+
+
+def find_preambles(cfg: OfdmConfig, rx: jax.Array,
+                   max_frames: int = 64) -> jax.Array:
+    """Coarse chirp sync: normalized correlation peaks separated by at
+    least one frame's preamble; returns int32[max_frames] starts (-1 pad).
+    """
+    from trackmaker_tpu import sync as sync_mod
+    pre = chirp_cached(cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
+                       cfg.sample_rate)
+    corr = sync_mod.auto_xcorr(rx, pre)
+    t = corr.shape[-1]
+    hits = corr >= cfg.sync_threshold
+    # local max within ±preamble_len/2 -> candidate peaks
+    idx = jnp.arange(t)
+
+    def step(carry, _):
+        cursor, done = carry
+        m = hits & (idx >= cursor)
+        has = jnp.any(m)
+        first = jnp.argmax(m)  # first True
+        # refine: argmax of corr within one preamble of the crossing
+        w = cfg.preamble_len
+        win = jax.lax.dynamic_slice(
+            jnp.pad(corr, (0, w)), (first,), (w,))
+        peak = first + jnp.argmax(win)
+        start = peak
+        new_cursor = peak + cfg.preamble_len
+        out = jnp.where(has & ~done, start, -1)
+        return (jnp.where(has, new_cursor, cursor), done | ~has), out
+
+    (_, _), starts = jax.lax.scan(
+        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames)
+    return starts
+
+
+class OfdmModem:
+    """Frame-level facade: PHY frames <-> OFDM waveform."""
+
+    def __init__(self, cfg: OfdmConfig = OfdmConfig()):
+        self.cfg = cfg
+
+    def frame_bits(self, frame: Frame) -> np.ndarray:
+        return bitops.bytes_to_bits_host(frame.to_bytes())
+
+    def encode_frames(self, frames: list[Frame],
+                      gap_samples: int = 256) -> np.ndarray:
+        assert frames
+        n_bits = {len(f.to_bytes()) * 8 for f in frames}
+        assert len(n_bits) == 1, "group equal-length frames"
+        nb = n_bits.pop()
+        bits = np.stack([self.frame_bits(f) for f in frames])
+        waves = np.asarray(modulate_bits(self.cfg, jnp.asarray(bits), nb))
+        parts = []
+        for i, w in enumerate(waves):
+            parts.append(w)
+            if i < len(waves) - 1:
+                parts.append(np.zeros(gap_samples, np.float32))
+        return np.concatenate(parts)
+
+    def decode(self, rx: np.ndarray, frame_bytes_len: int,
+               max_frames: int = 64) -> list[Frame]:
+        """Decode equal-length frames (frame_bytes_len = 7 + payload)."""
+        n_bits = frame_bytes_len * 8
+        starts = np.asarray(find_preambles(
+            self.cfg, jnp.asarray(rx), max_frames))
+        starts = starts[starts >= 0]
+        if len(starts) == 0:
+            return []
+        bits = np.asarray(demodulate_at(
+            self.cfg, jnp.asarray(rx), n_bits, jnp.asarray(starts)))
+        out = []
+        for row in bits:
+            f = Frame.from_bits(row)
+            if f is not None:
+                out.append(f)
+        return out

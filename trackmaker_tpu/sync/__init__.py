@@ -3,3 +3,45 @@ from trackmaker_tpu.sync.correlate import (  # noqa: F401
     sliding_dot,
     sliding_energy,
 )
+from trackmaker_tpu.sync.pallas_xcorr import pallas_normalized_xcorr  # noqa: F401
+
+import jax
+import numpy as _np
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def auto_xcorr(samples, pattern_np, pattern_energy=None, eps: float = 1e-6):
+    """Normalized sliding correlation, dispatched by backend.
+
+    On TPU the fused Pallas kernel is both ~18x faster than the XLA conv
+    lowering and compiles in ~1s instead of minutes (measured on v5e via
+    remote compile); on CPU the conv path is used (Pallas interpret mode
+    would be slower and the conv compiles instantly there).
+    """
+    if _on_tpu():
+        return pallas_normalized_xcorr(samples, _np.asarray(pattern_np),
+                                       eps=eps)
+    import jax.numpy as jnp
+    return normalized_xcorr(samples, jnp.asarray(pattern_np),
+                            pattern_energy, eps)
+
+
+def auto_sliding_dot_scaled(samples, pattern_np, scale: float):
+    """Raw sliding dot(x[i-L+1..i], p)*scale aligned so lag i ends at
+    sample i (left zero-history), length == len(samples).  The ASK
+    receiver's sync correlator."""
+    import jax.numpy as jnp
+    l = len(pattern_np)
+    padded = jnp.concatenate(
+        [jnp.zeros(l - 1, jnp.float32), samples.astype(jnp.float32)])
+    if _on_tpu():
+        return pallas_normalized_xcorr(
+            padded, _np.asarray(pattern_np), normalize=False, scale=scale)
+    out = sliding_dot(padded, jnp.asarray(pattern_np, jnp.float32)) * scale
+    return out

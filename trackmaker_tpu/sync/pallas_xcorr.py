@@ -53,7 +53,7 @@ def _banded_mats(pattern_key, seg: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
                   slab_ref, *, blk: int, seg: int, inv_pe: float,
-                  eps: float):
+                  eps: float, normalize: bool, scale: float):
     nb = blk // 128
     slab_ref[0, :blk] = x0_ref[0, :]
     slab_ref[0, blk:] = x1_ref[0, :seg]
@@ -61,10 +61,13 @@ def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
     xmat = jnp.stack(rows, axis=0)                       # (nb, SEG)
     dot = jnp.dot(xmat, pmat_ref[:, :],
                   preferred_element_type=jnp.float32)    # (nb, 128)
-    energy = jnp.dot(xmat * xmat, emat_ref[:, :],
-                     preferred_element_type=jnp.float32)
-    denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
-    corr = jnp.where(energy < eps, 0.0, dot * denom)
+    if normalize:
+        energy = jnp.dot(xmat * xmat, emat_ref[:, :],
+                         preferred_element_type=jnp.float32)
+        denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
+        corr = jnp.where(energy < eps, 0.0, dot * denom)
+    else:
+        corr = dot * scale
     out_ref[0, :] = corr.reshape(1, blk)[0, :]
 
 
@@ -74,11 +77,17 @@ def pallas_normalized_xcorr(
     eps: float = 1e-6,
     blk: int = 2048,
     interpret: bool = False,
+    normalize: bool = True,
+    scale: float = 1.0,
+    full_length: bool = False,
 ) -> jax.Array:
     """corr[i] = dot(x[i:i+L],p) / (||x[i:i+L]||·||p||), low-energy -> 0.
 
     Matches :func:`trackmaker_tpu.sync.correlate.normalized_xcorr`
-    (returns T-L+1 lags).
+    (returns T-L+1 lags).  With ``normalize=False`` returns the raw
+    sliding dot product times ``scale`` (the ASK receiver's
+    ``sync_power``).  ``full_length=True`` returns all T lags (tail
+    windows read zero padding).
     """
     pattern = np.asarray(pattern, np.float32)
     l = len(pattern)
@@ -95,7 +104,8 @@ def pallas_normalized_xcorr(
 
     out = pl.pallas_call(
         functools.partial(_xcorr_kernel, blk=blk, seg=seg,
-                          inv_pe=1.0 / pe, eps=eps),
+                          inv_pe=1.0 / pe, eps=eps,
+                          normalize=normalize, scale=scale),
         out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
         grid=(grid,),
         in_specs=[
@@ -116,4 +126,4 @@ def pallas_normalized_xcorr(
             bytes_accessed=4 * (2 * t_pad + 2 * seg * 128)),
         interpret=interpret,
     )(x, x, jnp.asarray(pmat), jnp.asarray(emat))
-    return out[0, : t - l + 1]
+    return out[0, : t if full_length else t - l + 1]
