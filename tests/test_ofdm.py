@@ -1,0 +1,84 @@
+"""OFDM modem tests (BASELINE config 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from trackmaker_tpu.core.framing import Frame
+from trackmaker_tpu.dsp import channel
+from trackmaker_tpu.phy.ofdm import (
+    OfdmConfig, OfdmModem, _bits_to_qpsk, _qpsk_to_bits,
+    _spectrum_to_time, _time_to_spectrum, find_preambles)
+import jax
+
+
+def test_qpsk_mapping_roundtrip():
+    bits = jnp.asarray(np.random.default_rng(0).integers(0, 2, 64),
+                       dtype=jnp.uint8)
+    sym = _bits_to_qpsk(bits)
+    assert sym.shape == (32,)
+    np.testing.assert_allclose(np.abs(np.asarray(sym)), 1.0, atol=1e-6)
+    back = _qpsk_to_bits(sym)
+    assert np.array_equal(np.asarray(back), np.asarray(bits))
+
+
+def test_spectrum_time_roundtrip():
+    cfg = OfdmConfig()
+    rng = np.random.default_rng(1)
+    subs = (rng.normal(size=(3, cfg.n_bins))
+            + 1j * rng.normal(size=(3, cfg.n_bins))).astype(np.complex64)
+    t = _spectrum_to_time(cfg, jnp.asarray(subs))
+    assert t.shape == (3, cfg.sym_len)
+    # cyclic prefix really is the tail
+    np.testing.assert_allclose(
+        np.asarray(t[:, :cfg.cp_len]), np.asarray(t[:, -cfg.cp_len:]),
+        atol=1e-5)
+    back = _time_to_spectrum(cfg, t)
+    scale = cfg.amplitude * cfg.n_fft / cfg.n_bins  # rfft∘irfft = identity
+    np.testing.assert_allclose(np.asarray(back) / scale, subs, atol=1e-4)
+
+
+def test_single_frame_roundtrip():
+    """Config 2: IFFT modulate + preamble-correlate + FFT demodulate one
+    frame."""
+    modem = OfdmModem()
+    frame = Frame.new_data(3, 1, 2, b"OFDM over sound, on a TPU." * 4)
+    wave = modem.encode_frames([frame])
+    got = modem.decode(wave, len(frame.to_bytes()))
+    assert len(got) == 1
+    assert got[0].data == frame.data
+    assert got[0].sequence == 3
+
+
+def test_multi_frame_with_noise_and_gain():
+    modem = OfdmModem()
+    rng = np.random.default_rng(2)
+    frames = [Frame.new_data(i, 1, 2, bytes([i]) * 96) for i in range(6)]
+    wave = modem.encode_frames(frames, gap_samples=500)
+    key = jax.random.PRNGKey(0)
+    noisy = np.asarray(channel.awgn(key, jnp.asarray(wave) * 0.7,
+                                    snr_db=18.0))
+    got = modem.decode(noisy, len(frames[0].to_bytes()))
+    assert [f.data for f in got] == [f.data for f in frames]
+
+
+def test_channel_phase_equalization():
+    """A small echo (multipath) is absorbed by the one-tap equalizer."""
+    modem = OfdmModem()
+    frame = Frame.new_data(0, 1, 2, b"echoed" * 20)
+    wave = modem.encode_frames([frame])
+    taps = jnp.asarray([1.0, 0.0, 0.0, 0.25, 0.0, -0.1])
+    echoed = np.asarray(channel.multipath(jnp.asarray(wave), taps))
+    got = modem.decode(echoed, len(frame.to_bytes()))
+    assert len(got) == 1 and got[0].data == frame.data
+
+
+def test_find_preambles_positions():
+    cfg = OfdmConfig()
+    modem = OfdmModem(cfg)
+    frame = Frame.new_data(0, 1, 2, b"x" * 64)
+    wave = modem.encode_frames([frame, frame], gap_samples=1000)
+    starts = np.asarray(find_preambles(cfg, jnp.asarray(wave), 8))
+    starts = starts[starts >= 0]
+    assert len(starts) == 2
+    assert abs(int(starts[0]) - 0) <= 2

@@ -92,8 +92,9 @@ def _bits_to_qpsk(bits: jax.Array) -> jax.Array:
 
 def _qpsk_to_bits(sym: jax.Array) -> jax.Array:
     """Hard decision, inverse of _bits_to_qpsk."""
-    b0 = (sym.real < 0).astype(jnp.uint8)   # first bit of the pair
-    b1 = (sym.imag < 0).astype(jnp.uint8)   # second bit
+    # idx = 2*b0 + b1 over _QPSK: real sign encodes b1, imag sign b0
+    b0 = (sym.imag < 0).astype(jnp.uint8)
+    b1 = (sym.real < 0).astype(jnp.uint8)
     return jnp.stack([b0, b1], axis=-1).reshape(*sym.shape[:-1], -1)
 
 
