@@ -1,0 +1,46 @@
+"""CLI smoke tests (the reference's clap subcommands, main.rs:37-203)."""
+
+import numpy as np
+import pytest
+
+from trackmaker_tpu.cli.main import main
+
+
+def run_cli(argv):
+    with pytest.raises(SystemExit) as e:
+        main(argv)
+    return e.value.code
+
+
+def test_cli_test_manchester(capsys):
+    assert run_cli(["test"]) == 0
+    out = capsys.readouterr().out
+    assert "exact: True" in out
+
+
+def test_cli_test_4b5b(capsys):
+    assert run_cli(["test", "--encoding", "4b5b"]) == 0
+
+
+def test_cli_encode_decode_roundtrip(tmp_path, capsys):
+    data = bytes(range(256)) * 2
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(data)
+    wav = tmp_path / "t.wav"
+    out = tmp_path / "out.bin"
+    assert run_cli(["encode", "--input", str(inp), "--wav", str(wav)]) == 0
+    assert run_cli(["decode", str(wav), "--output", str(out)]) == 0
+    assert out.read_bytes() == data
+
+
+def test_cli_ping(capsys):
+    assert run_cli(["ping", "--count", "2"]) == 0
+    assert "0% loss" in capsys.readouterr().out
+
+
+def test_cli_tx(tmp_path, capsys):
+    inp = tmp_path / "INPUT1to2.bin"
+    inp.write_bytes(b"hello acoustic world" * 10)
+    out = tmp_path / "OUTPUT1to2.bin"
+    assert run_cli(["tx", "--input", str(inp), "--output", str(out)]) == 0
+    assert out.read_bytes() == inp.read_bytes()

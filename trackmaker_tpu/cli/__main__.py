@@ -1,0 +1,4 @@
+from trackmaker_tpu.cli.main import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""CLI entry points (reference src/main.rs clap subcommands Tx/Rx/Test/
+Ping/IpHost/Router/Tun, main.rs:37-203).
+
+With no sound hardware in scope, Tx/Rx run over the sample-accurate
+simulated bus, and `encode`/`decode` work offline against WAV/FLAC files
+(the TPU-batch workflow the framework is built around).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cfg_from_args(args):
+    from trackmaker_tpu.core.config import PhyConfig
+    coding = {"manchester": "manchester", "4b5b": "4b5b"}[args.encoding]
+    return PhyConfig(line_coding=coding,
+                     samples_per_level=args.samples_per_level,
+                     preamble_pattern_bytes=args.preamble_bytes)
+
+
+def cmd_test(args):
+    """Loopback PHY round trip — the reference's canonical check
+    (src/main.rs:480-589): bytes -> frames -> waveform -> decode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.phy.decoder import decode_capture
+    from trackmaker_tpu.phy.encoder import PhyEncoder
+    from trackmaker_tpu.io import AudioData, dump_to_wav
+
+    cfg = _cfg_from_args(args)
+    data = (open(args.input, "rb").read() if args.input
+            else (b"The quick brown fox jumps over the lazy dog. " * 16))
+    chunks = [data[i:i + cfg.max_frame_data_size]
+              for i in range(0, len(data), cfg.max_frame_data_size)]
+    frames = [Frame.new_data(i & 0xFF, 1, 2, c)
+              for i, c in enumerate(chunks)]
+    enc = PhyEncoder(cfg)
+    t0 = time.time()
+    wave = enc.encode_frames(frames)
+    if args.wav:
+        dump_to_wav(args.wav, AudioData(cfg.sample_rate, wave))
+        print(f"dumped waveform to {args.wav}")
+    res = decode_capture(cfg, jnp.asarray(wave), 2,
+                         max_frames=len(frames) + 8)
+    out = b"".join(f.data for f in res.to_frames())
+    dt = time.time() - t0
+    ok = out == data
+    airtime = len(wave) / cfg.sample_rate
+    print(f"encoding: {cfg.line_coding}, frames: {len(frames)}, "
+          f"samples: {len(wave)} ({airtime:.2f}s airtime)")
+    print(f"decoded {len(out)}/{len(data)} bytes, exact: {ok}")
+    if not ok:
+        for i, (a, b) in enumerate(zip(data, out)):
+            if a != b:
+                print(f"first diff at byte {i}: {a:#x} != {b:#x}")
+                break
+    print(f"effective bitrate: {len(data) * 8 / airtime:.0f} bps "
+          f"(wall {dt:.2f}s = {airtime / dt:.0f}x realtime)")
+    return 0 if ok else 1
+
+
+def cmd_tx(args):
+    """File send over the simulated bus (pairs with a local rx)."""
+    from trackmaker_tpu.link.transfer import run_file_transfer
+    stats = run_file_transfer(args.input, args.output,
+                              noise_std=args.noise,
+                              max_duration_s=args.timeout)
+    print(json.dumps(stats, indent=2))
+    return 0 if stats["exact"] else 1
+
+
+def cmd_ping(args):
+    from trackmaker_tpu.net.tools import run_ping_simulation
+    stats = run_ping_simulation(
+        local_ip=args.source, target_ip=args.target, count=args.count,
+        noise_std=args.noise)
+    print(f"--- {args.target} ping statistics (simulated acoustic) ---")
+    print(f"{stats['sent']} transmitted, {stats['received']} received, "
+          f"{stats['loss_pct']:.0f}% loss")
+    if stats["rtt_avg_ms"] is not None:
+        print(f"rtt min/avg/max = {stats['rtt_min_ms']:.1f}/"
+              f"{stats['rtt_avg_ms']:.1f}/{stats['rtt_max_ms']:.1f} ms")
+    return 0 if stats["received"] == stats["sent"] else 1
+
+
+def cmd_decode(args):
+    """Offline batch decode of a recorded capture (WAV/FLAC) — the TPU
+    workhorse path."""
+    import jax.numpy as jnp
+    from trackmaker_tpu.io import load_audio
+    from trackmaker_tpu.phy.decoder import decode_capture
+
+    cfg = _cfg_from_args(args)
+    samples, sr = load_audio(args.capture)
+    if sr != cfg.sample_rate:
+        print(f"warning: capture is {sr} Hz, config is {cfg.sample_rate}")
+    t0 = time.time()
+    res = decode_capture(cfg, jnp.asarray(samples), args.addr,
+                         max_frames=args.max_frames)
+    frames = res.to_frames()
+    dt = time.time() - t0
+    print(f"decoded {len(frames)} frames from {len(samples)} samples "
+          f"in {dt:.2f}s ({len(samples) / sr / max(dt, 1e-9):.0f}x realtime)")
+    for f in frames:
+        print(f"  seq={f.sequence} src={f.src} dst={f.dst} "
+              f"len={len(f.data)}")
+    if args.output:
+        with open(args.output, "wb") as fh:
+            for f in frames:
+                fh.write(f.data)
+        print(f"payloads written to {args.output}")
+    return 0
+
+
+def cmd_encode(args):
+    import numpy as np
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.phy.encoder import PhyEncoder
+    from trackmaker_tpu.io import AudioData, dump_to_wav
+
+    cfg = _cfg_from_args(args)
+    data = open(args.input, "rb").read()
+    chunks = [data[i:i + cfg.max_frame_data_size]
+              for i in range(0, len(data), cfg.max_frame_data_size)]
+    frames = [Frame.new_data(i & 0xFF, args.src, args.dst, c)
+              for i, c in enumerate(chunks)]
+    wave = PhyEncoder(cfg).encode_frames(frames)
+    dump_to_wav(args.wav, AudioData(cfg.sample_rate, wave))
+    print(f"{len(frames)} frames -> {len(wave)} samples -> {args.wav}")
+    return 0
+
+
+def cmd_ask_test(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from trackmaker_tpu.phy import ask
+
+    text = open(args.input, "rb").read() if args.input else \
+        open("assets/think-different.txt", "rb").read()
+    frames = ask.build_frames(text, num_frames=args.frames)
+    track = ask.build_track(ask.AskConfig(), frames, seed=1)
+    res = ask.demodulate(ask.AskConfig(), jnp.asarray(track),
+                         max_frames=args.frames + 8)
+    out = ask.assemble_text(res)
+    n = int(res.count)
+    ok = out[: len(text)] == text[: len(out)]
+    print(f"ASK loopback: {n}/{args.frames} frames, prefix exact: {ok}")
+    return 0 if ok else 1
+
+
+def cmd_ofdm_test(args):
+    import numpy as np
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.phy.ofdm import OfdmModem
+
+    text = open(args.input, "rb").read() if args.input else \
+        open("assets/think-different.txt", "rb").read()
+    modem = OfdmModem()
+    size = 96
+    chunks = [text[i:i + size].ljust(size, b"\0")
+              for i in range(0, len(text), size)]
+    frames = [Frame.new_data(i & 0xFF, 1, 2, c)
+              for i, c in enumerate(chunks)]
+    wave = modem.encode_frames(frames, gap_samples=300)
+    got = modem.decode(wave, len(frames[0].to_bytes()),
+                       max_frames=len(frames) + 4)
+    out = b"".join(f.data for f in got)[: len(text)]
+    ok = out == text
+    print(f"OFDM loopback: {len(got)}/{len(frames)} frames, exact: {ok}, "
+          f"{len(wave) / 48000:.2f}s airtime")
+    return 0 if ok else 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="trackmaker-tpu",
+        description="TPU-native acoustic modem framework")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--encoding", default="manchester",
+                        choices=["manchester", "4b5b"])
+    common.add_argument("--samples-per-level", type=int, default=3)
+    common.add_argument("--preamble-bytes", type=int, default=2)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("test", parents=[common],
+                       help="loopback PHY round trip")
+    s.add_argument("--input")
+    s.add_argument("--wav")
+    s.set_defaults(fn=cmd_test)
+
+    s = sub.add_parser("tx", parents=[common], help="file transfer over simulated bus")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--noise", type=float, default=0.0)
+    s.add_argument("--timeout", type=float, default=120.0)
+    s.set_defaults(fn=cmd_tx)
+
+    s = sub.add_parser("ping", parents=[common], help="ICMP ping over simulated acoustic")
+    s.add_argument("--source", default="192.168.1.1")
+    s.add_argument("--target", default="192.168.1.2")
+    s.add_argument("--count", type=int, default=10)
+    s.add_argument("--noise", type=float, default=0.0)
+    s.set_defaults(fn=cmd_ping)
+
+    s = sub.add_parser("decode", parents=[common], help="offline decode of WAV/FLAC capture")
+    s.add_argument("capture")
+    s.add_argument("--addr", type=int, default=2)
+    s.add_argument("--max-frames", type=int, default=256)
+    s.add_argument("--output")
+    s.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("encode", parents=[common], help="file -> modulated WAV")
+    s.add_argument("--input", required=True)
+    s.add_argument("--wav", required=True)
+    s.add_argument("--src", type=int, default=1)
+    s.add_argument("--dst", type=int, default=2)
+    s.set_defaults(fn=cmd_encode)
+
+    s = sub.add_parser("ask-test", parents=[common], help="ASK/chirp modem loopback")
+    s.add_argument("--input")
+    s.add_argument("--frames", type=int, default=100)
+    s.set_defaults(fn=cmd_ask_test)
+
+    s = sub.add_parser("ofdm-test", parents=[common], help="OFDM modem loopback")
+    s.add_argument("--input")
+    s.set_defaults(fn=cmd_ofdm_test)
+
+    args = p.parse_args(argv)
+    sys.exit(args.fn(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Sequence-parallel decode of long captures: time blocks + halo exchange.
+
+The reference's streaming decoder keeps a preamble-length-1 overlap
+between chunks so detections never straddle a boundary
+(src/phy/decoder.rs:89-109).  Sharding a capture's *time* axis across
+devices needs the same overlap arithmetic, device-to-device: every shard
+pulls a halo (one max-size frame + preamble + sync margin) from its right
+neighbor over ICI with ``ppermute``, decodes its extended block locally,
+and keeps exactly the frames whose preamble starts inside its own region
+— a deterministic ownership rule replacing sequential consumption at
+block seams.
+
+This is the blockwise/"long-context" treatment of unbounded sample
+streams; the same function handles one long recording on one chip by
+folding blocks into the batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from trackmaker_tpu.core.config import PhyConfig
+from trackmaker_tpu.phy.decoder import DecodedFrames, decode_capture
+
+
+def halo_size(cfg: PhyConfig) -> int:
+    return (cfg.preamble_len + cfg.max_frame_samples
+            + cfg.sync_margin + cfg.sync_len + 8)
+
+
+def decode_blocked_sharded(
+    cfg: PhyConfig,
+    capture,                    # f32[T] single long capture
+    local_addr: int,
+    mesh: Mesh,
+    max_frames_per_block: int = 32,
+) -> DecodedFrames:
+    """Decode one long capture sharded over the mesh's `sp` axis (and the
+    `dp` axis too — blocks fold over both, dp*sp shards total).
+
+    Returns DecodedFrames with [n_blocks * K] slots and *global* start
+    indices.
+    """
+    x = jnp.asarray(capture, jnp.float32)
+    t = x.shape[-1]
+    n_shards = mesh.shape["dp"] * mesh.shape["sp"]
+    halo = halo_size(cfg)
+    block = -(-t // n_shards)
+    t_pad = block * n_shards
+    x = jnp.pad(x, (0, t_pad - t))
+    blocks = x.reshape(n_shards, block)
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), axis_names=("sp",))
+    spec = P("sp", None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=flat_mesh, in_specs=spec,
+        out_specs=jax.tree_util.tree_map(lambda _: spec, _out_struct()))
+    def run(xb):                       # xb: [1, block] per shard
+        nsp = jax.lax.axis_size("sp")
+        idx = jax.lax.axis_index("sp")
+        # pull left edge of right neighbor as our halo (ICI ppermute)
+        edge = xb[:, :halo]
+        right_halo = jax.lax.ppermute(
+            edge, "sp", [((i + 1) % nsp, i) for i in range(nsp)])
+        # last shard has no right neighbor: zeros
+        right_halo = jnp.where(idx < nsp - 1, right_halo, 0.0)
+        ext = jnp.concatenate([xb, right_halo], axis=1)  # [1, block+halo]
+        res = decode_capture(cfg, ext[0], local_addr,
+                             max_frames=max_frames_per_block,
+                             valid_len=jnp.where(idx < nsp - 1,
+                                                 block + halo,
+                                                 t - idx * block))
+        mine = res.valid & (res.start >= 0) & (res.start < block)
+        gstart = jnp.where(mine, res.start + idx * block, -1)
+        res = res._replace(
+            valid=mine,
+            start=gstart,
+            frame_bytes=jnp.where(mine[:, None], res.frame_bytes, 0),
+            length=jnp.where(mine, res.length, 0),
+            frame_type=jnp.where(mine, res.frame_type, 0),
+            sequence=jnp.where(mine, res.sequence, 0),
+            src=jnp.where(mine, res.src, 0),
+            dst=jnp.where(mine, res.dst, 0),
+            corr=jnp.where(mine, res.corr, 0.0),
+        )
+        return jax.tree_util.tree_map(lambda a: a[None], res)
+
+    out = run(blocks)
+    # flatten [n_shards, K] -> [n_shards*K]
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), out)
+
+
+def _out_struct():
+    # any DecodedFrames-shaped pytree (used only for out_specs mapping)
+    z = np.zeros(1)
+    return DecodedFrames(z, z, z, z, z, z, z, z, z)
+
+
+def decode_blocked_single_chip(
+    cfg: PhyConfig,
+    capture,
+    local_addr: int,
+    n_blocks: int,
+    max_frames_per_block: int = 32,
+) -> DecodedFrames:
+    """Same blockwise decomposition vmapped on one chip — the batched
+    form the bench uses when only one device is visible."""
+    x = jnp.asarray(capture, jnp.float32)
+    t = x.shape[-1]
+    halo = halo_size(cfg)
+    block = -(-t // n_blocks)
+    x = jnp.pad(x, (0, block * n_blocks + halo - t))
+    starts = np.arange(n_blocks) * block
+    wins = jnp.stack([jax.lax.dynamic_slice(x, (s,), (block + halo,))
+                      for s in starts])
+    vlens = jnp.minimum(block + halo, t - jnp.asarray(starts))
+
+    res = jax.vmap(
+        lambda w, v: decode_capture(cfg, w, local_addr,
+                                    max_frames=max_frames_per_block,
+                                    valid_len=v))(wins, vlens)
+    mine = res.valid & (res.start >= 0) & (res.start < block)
+    gstart = jnp.where(
+        mine, res.start + jnp.asarray(starts)[:, None], -1)
+    res = res._replace(valid=mine, start=gstart)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), res)

@@ -265,7 +265,11 @@ def decode_capture(
         return (new_cursor, new_done), out
 
     (_, _), ys = jax.lax.scan(
-        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames)
+        step,
+        # derive the init carry from vlen so its sharding/varying type
+        # matches the loop outputs under shard_map
+        ((vlen * 0).astype(jnp.int32), vlen < 0),
+        None, length=max_frames)
     return DecodedFrames(**ys)
 
 
