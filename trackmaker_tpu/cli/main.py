@@ -176,6 +176,44 @@ def cmd_ofdm_test(args):
     return 0 if ok else 1
 
 
+def cmd_ber(args):
+    from trackmaker_tpu.bench import ber_sweep, clock_offset_sweep
+    cfg = _cfg_from_args(args)
+    res = ber_sweep(cfg, n_frames=args.frames)
+    for r in res:
+        print(f"SNR {r['snr_db']:6.1f} dB: loss {r['frame_loss_pct']:5.1f}%"
+              f"  bit_errors={r['payload_bit_errors']}")
+    if args.plot:
+        from trackmaker_tpu.bench.viz import plot_ber_curves
+        print("wrote", plot_ber_curves(res, args.plot))
+    res2 = clock_offset_sweep(cfg, n_frames=args.frames)
+    for r in res2:
+        print(f"clock {r['clock_ppm']:7.0f} ppm: "
+              f"loss {r['frame_loss_pct']:5.1f}%")
+    return 0
+
+
+def cmd_sweep(args):
+    from trackmaker_tpu.bench.sweep import mac_parameter_sweep
+    data = (open(args.input, "rb").read() if args.input
+            else bytes(range(256)))
+    res = mac_parameter_sweep(
+        data, noise_stds=tuple(args.noise), repeats=args.repeats,
+        out_json=args.out)
+    for r in res:
+        print(f"{r['line_coding']:>10} spl={r['samples_per_level']} "
+              f"noise={r['noise_std']}: airtime {r['airtime_s']:.2f}s "
+              f"retx={r['retransmissions']} exact={r['exact']}")
+    return 0 if all(r["exact"] for r in res) else 1
+
+
+def cmd_viz(args):
+    from trackmaker_tpu.bench.viz import plot_dashboard
+    out = plot_dashboard(args.capture, args.out)
+    print("wrote", out)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="trackmaker-tpu",
@@ -229,6 +267,26 @@ def main(argv=None):
     s = sub.add_parser("ofdm-test", parents=[common], help="OFDM modem loopback")
     s.add_argument("--input")
     s.set_defaults(fn=cmd_ofdm_test)
+
+    s = sub.add_parser("ber", parents=[common],
+                       help="AWGN + clock-offset robustness sweep")
+    s.add_argument("--frames", type=int, default=16)
+    s.add_argument("--plot")
+    s.set_defaults(fn=cmd_ber)
+
+    s = sub.add_parser("sweep", parents=[common],
+                       help="MAC/PHY parameter sweep (2x2 contended)")
+    s.add_argument("--input")
+    s.add_argument("--noise", type=float, nargs="*", default=[0.0])
+    s.add_argument("--repeats", type=int, default=1)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_sweep)
+
+    s = sub.add_parser("viz", parents=[common],
+                       help="waveform/FFT/spectrogram dashboard -> PNG")
+    s.add_argument("capture")
+    s.add_argument("--out", default="tmp/dashboard.png")
+    s.set_defaults(fn=cmd_viz)
 
     args = p.parse_args(argv)
     sys.exit(args.fn(args))
