@@ -160,6 +160,54 @@ def decode_capture(
         best = jnp.argmax(c)  # first max wins ties, like strict `>` update
         return jnp.where(jnp.max(c) > -1.0, pos[best], expected)
 
+    # Manchester line decode never truncates (no invalid symbols), so the
+    # cursor advance is fully determined by the *header* — the expensive
+    # full-window body decode can then move OUT of the sequential scan
+    # into a post-pass vmapped over all frame slots at once.  4B5B's
+    # invalid-symbol consumption rule (decoder.rs:311-319) needs the body
+    # inside the scan, so it keeps the unified path.
+    body_in_scan = cfg.line_coding != MANCHESTER
+
+    def decode_header(frame_start):
+        hdr_win = jax.lax.dynamic_slice(
+            padded, (jnp.clip(frame_start, 0),), (header_samples,))
+        hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
+        n_valid_hdr = jnp.sum(hdr_ok[:header_bits].astype(jnp.int32))
+        hdr_bits = jnp.where(
+            jnp.arange(header_bits) < n_valid_hdr, hdr_bits[:header_bits], 0)
+        hdr_bytes = bitops.pack_bits(hdr_bits)
+        fields = {
+            "data_len": (hdr_bytes[0].astype(jnp.int32) << 8) | hdr_bytes[1],
+            "crc_field": hdr_bytes[2].astype(jnp.int32),
+            "ftype": hdr_bytes[3].astype(jnp.int32),
+            "seq": hdr_bytes[4].astype(jnp.int32),
+            "src": hdr_bytes[5].astype(jnp.int32),
+            "dst": hdr_bytes[6].astype(jnp.int32),
+        }
+        # parse_header needs 7 whole-or-partial bytes: >=49 decoded bits
+        # (bits_to_bytes zero-fills the tail, crc.rs:63-75)
+        type_ok = (fields["ftype"] == 1) | (fields["ftype"] == 2)
+        fields["header_ok"] = (n_valid_hdr >= 49) & type_ok
+        return fields
+
+    def decode_body(frame_start, data_len):
+        """Full-window line decode + CRC -> (bytes_full, n_valid_bits,
+        line_fail, crc_ok)."""
+        total_bits = (PHY_HEADER_BYTES + data_len) * 8
+        body_win = jax.lax.dynamic_slice(
+            padded, (jnp.clip(frame_start, 0),), (max_window,))
+        bits_full, bit_ok_full = line_coding.decode(cfg, body_win)
+        nbits_full = bits_full.shape[-1]
+        in_frame = jnp.arange(nbits_full) < total_bits
+        n_valid_bits = jnp.sum((bit_ok_full & in_frame).astype(jnp.int32))
+        line_fail = n_valid_bits < total_bits
+        bytes_full = bitops.pack_bits(
+            jnp.where(in_frame, bits_full, 0)[: max_total_bytes * 8])
+        payload = bytes_full[PHY_HEADER_BYTES:]
+        crc_calc = bitops.crc8_parallel(
+            payload, jnp.clip(data_len, 0, cfg.max_frame_bytes))
+        return bytes_full, n_valid_bits, line_fail, crc_calc
+
     def step(carry, _):
         cursor, done = carry
 
@@ -173,28 +221,13 @@ def decode_capture(
         best_pos = sync_refine(expected)
         frame_start = best_pos + sync_len
 
-        # --- header decode
         # reference waits for more data when the header spills past the
         # buffer end (decoder.rs:252-254); at end-of-capture that means
         # the stream is done.
         hdr_incomplete = frame_start + header_samples > vlen
-        hdr_win = jax.lax.dynamic_slice(
-            padded, (jnp.clip(frame_start, 0),), (header_samples,))
-        hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
-        n_valid_hdr = jnp.sum(hdr_ok[:header_bits].astype(jnp.int32))
-        hdr_bits = jnp.where(
-            jnp.arange(header_bits) < n_valid_hdr, hdr_bits[:header_bits], 0)
-        hdr_bytes = bitops.pack_bits(hdr_bits)
-        data_len = (hdr_bytes[0].astype(jnp.int32) << 8) | hdr_bytes[1]
-        crc_field = hdr_bytes[2].astype(jnp.int32)
-        ftype = hdr_bytes[3].astype(jnp.int32)
-        seq = hdr_bytes[4].astype(jnp.int32)
-        src = hdr_bytes[5].astype(jnp.int32)
-        dst = hdr_bytes[6].astype(jnp.int32)
-        # parse_header needs 7 whole-or-partial bytes: >=49 decoded bits
-        # (bits_to_bytes zero-fills the tail, crc.rs:63-75)
-        type_ok = (ftype == 1) | (ftype == 2)
-        header_ok = (n_valid_hdr >= 49) & type_ok
+        h = decode_header(frame_start)
+        data_len, ftype = h["data_len"], h["ftype"]
+        header_ok = h["header_ok"]
 
         len_bad = ((ftype == FRAME_TYPE_DATA) & (data_len == 0)) | (
             data_len > cfg.max_frame_bytes)
@@ -203,22 +236,16 @@ def decode_capture(
         total_samples = _samples_for_bits_traced(cfg, total_bits)
         incomplete = frame_start + total_samples > vlen
 
-        # --- full-frame decode over the static max window
-        body_win = jax.lax.dynamic_slice(
-            padded, (jnp.clip(frame_start, 0),), (max_window,))
-        bits_full, bit_ok_full = line_coding.decode(cfg, body_win)
-        nbits_full = bits_full.shape[-1]
-        in_frame = jnp.arange(nbits_full) < total_bits
-        n_valid_bits = jnp.sum((bit_ok_full & in_frame).astype(jnp.int32))
-        line_fail = n_valid_bits < total_bits
-
-        bytes_full = bitops.pack_bits(
-            jnp.where(in_frame, bits_full, 0)[: max_total_bytes * 8])
-        payload = bytes_full[PHY_HEADER_BYTES:]
-        crc_calc = bitops.crc8_parallel(
-            payload, jnp.clip(data_len, 0, cfg.max_frame_bytes))
-        crc_ok = crc_calc.astype(jnp.int32) == crc_field
-        dst_ok = dst == local_addr
+        if body_in_scan:
+            bytes_full, n_valid_bits, line_fail, crc_calc = decode_body(
+                frame_start, data_len)
+            crc_ok = crc_calc.astype(jnp.int32) == h["crc_field"]
+        else:
+            bytes_full = jnp.zeros(max_total_bytes, jnp.uint8)
+            n_valid_bits = total_bits
+            line_fail = jnp.asarray(False)
+            crc_ok = jnp.asarray(True)  # resolved in the post-pass
+        dst_ok = h["dst"] == local_addr
 
         # --- consumption rules (decoder.rs:266-356)
         consumed = jnp.where(
@@ -235,33 +262,36 @@ def decode_capture(
             ),
         )
 
-        frame_valid = (has_cand & ~done & ~hdr_incomplete & header_ok
-                       & ~len_bad & ~incomplete & ~line_fail
-                       & dst_ok & crc_ok)
+        attempt_ok = (has_cand & ~done & ~hdr_incomplete & header_ok
+                      & ~len_bad & ~incomplete & ~line_fail & dst_ok)
+        frame_valid = attempt_ok & crc_ok
         stop = done | ~has_cand | (has_cand & hdr_incomplete) | (
             has_cand & ~hdr_incomplete & header_ok & ~len_bad & incomplete)
         new_cursor = jnp.where(stop, cursor, i + consumed)
         new_done = stop
 
+        keep = frame_valid if body_in_scan else attempt_ok
         mask_b = jnp.where(
-            frame_valid,
+            keep,
             jnp.where(jnp.arange(max_total_bytes) <
                       PHY_HEADER_BYTES + data_len, bytes_full, 0),
             jnp.zeros_like(bytes_full))
 
         out = dict(
-            valid=frame_valid,
+            valid=keep,
             frame_bytes=mask_b.astype(jnp.uint8),
-            length=jnp.where(frame_valid, data_len, 0),
-            frame_type=jnp.where(frame_valid, ftype, 0),
-            sequence=jnp.where(frame_valid, seq, 0),
-            src=jnp.where(frame_valid, src, 0),
-            dst=jnp.where(frame_valid, dst, 0),
-            start=jnp.where(frame_valid, i, -1),
+            length=jnp.where(keep, data_len, 0),
+            frame_type=jnp.where(keep, ftype, 0),
+            sequence=jnp.where(keep, h["seq"], 0),
+            src=jnp.where(keep, h["src"], 0),
+            dst=jnp.where(keep, h["dst"], 0),
+            start=jnp.where(keep, i, -1),
             corr=jnp.where(
-                frame_valid,
-                corr[jnp.clip(i, 0, corr.shape[-1] - 1)], 0.0),
+                keep, corr[jnp.clip(i, 0, corr.shape[-1] - 1)], 0.0),
         )
+        if not body_in_scan:
+            out["frame_start"] = jnp.where(keep, frame_start, 0)
+            out["crc_field"] = jnp.where(keep, h["crc_field"], 0)
         return (new_cursor, new_done), out
 
     (_, _), ys = jax.lax.scan(
@@ -270,6 +300,36 @@ def decode_capture(
         # matches the loop outputs under shard_map
         ((vlen * 0).astype(jnp.int32), vlen < 0),
         None, length=max_frames)
+
+    if body_in_scan:
+        return DecodedFrames(**ys)
+
+    # ---- Manchester post-pass: body decode + CRC for all slots at once
+    frame_starts = ys.pop("frame_start")
+    crc_fields = ys.pop("crc_field")
+
+    def body_slot(fs, dlen, cf, attempted):
+        bytes_full, _nv, _lf, crc_calc = decode_body(fs, dlen)
+        crc_ok = (crc_calc.astype(jnp.int32) == cf) & attempted
+        masked = jnp.where(
+            crc_ok & (jnp.arange(max_total_bytes) <
+                      PHY_HEADER_BYTES + dlen), bytes_full, 0)
+        return masked.astype(jnp.uint8), crc_ok
+
+    frame_bytes, valid = jax.vmap(body_slot)(
+        frame_starts, ys["length"], crc_fields, ys["valid"])
+    z = jnp.int32(0)
+    ys.update(
+        valid=valid,
+        frame_bytes=frame_bytes,
+        length=jnp.where(valid, ys["length"], z),
+        frame_type=jnp.where(valid, ys["frame_type"], z),
+        sequence=jnp.where(valid, ys["sequence"], z),
+        src=jnp.where(valid, ys["src"], z),
+        dst=jnp.where(valid, ys["dst"], z),
+        start=jnp.where(valid, ys["start"], -1),
+        corr=jnp.where(valid, ys["corr"], 0.0),
+    )
     return DecodedFrames(**ys)
 
 
