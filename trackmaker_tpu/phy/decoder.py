@@ -145,13 +145,21 @@ def decode_capture(
 
     sync_positions = jnp.arange(2 * margin + 1, dtype=jnp.int32) - margin
 
+    n_sync_pos = 2 * margin + 1
+
     def sync_refine(expected: jax.Array) -> jax.Array:
-        """±1-bit sync-word realignment (decoder.rs:158-217)."""
-        pos = expected + sync_positions
-        valid = (pos >= 0) & (pos <= vlen - sync_len)
-        safe = jnp.clip(pos, 0)
-        wins = jax.vmap(
-            lambda p: jax.lax.dynamic_slice(padded, (p,), (sync_len,)))(safe)
+        """±1-bit sync-word realignment (decoder.rs:158-217).  One slab
+        slice + static windowing instead of per-position dynamic slices
+        (cheaper inside the scan)."""
+        base = jnp.clip(expected - margin, 0)
+        pos = base + (sync_positions + margin)   # base + [0 .. 2*margin]
+        valid = ((pos >= expected - margin) & (pos <= expected + margin)
+                 & (pos <= vlen - sync_len))
+        slab = jax.lax.dynamic_slice(
+            padded, (base,), (n_sync_pos + sync_len,))
+        wins = jnp.stack(
+            [jax.lax.slice(slab, (k,), (k + sync_len,))
+             for k in range(n_sync_pos)])
         dot = wins @ sync_pat
         we = jnp.sum(wins * wins, axis=-1)
         c = jnp.where((we > 1e-6) & (sync_energy > 1e-6),
@@ -299,7 +307,10 @@ def decode_capture(
         # derive the init carry from vlen so its sharding/varying type
         # matches the loop outputs under shard_map
         ((vlen * 0).astype(jnp.int32), vlen < 0),
-        None, length=max_frames)
+        None, length=max_frames,
+        # unrolling amortizes the TPU while-loop per-iteration overhead,
+        # which dominates this scan (each step is tiny)
+        unroll=min(8, max_frames))
 
     if body_in_scan:
         return DecodedFrames(**ys)
