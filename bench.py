@@ -33,7 +33,7 @@ def main():
     rng = np.random.default_rng(0)
 
     # workload: batch of noisy captures, 64 max-size frames each
-    n_frames, batch = 64, 8
+    n_frames, batch = 64, 32
     frames = [
         Frame.new_data(i & 0xFF, 1, 2,
                        rng.integers(0, 256, 128, dtype=np.uint8).tobytes())

@@ -344,6 +344,250 @@ def decode_capture(
     return DecodedFrames(**ys)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_frames", "max_candidates"))
+def _decode_capture_wave(
+    cfg: PhyConfig,
+    samples: jax.Array,
+    local_addr: jax.Array | int,
+    max_frames: int = 64,
+    max_candidates: int = 512,
+    valid_len: jax.Array | int | None = None,
+) -> tuple[DecodedFrames, jax.Array]:
+    """Optimistic *parallel* decode (Manchester): one attempt per
+    hit-run, all vmapped, with a scalar interval scan replaying the
+    cursor arithmetic and a conformance flag.
+
+    Returns (frames, conformant).  When `conformant` is True the result
+    is provably identical to :func:`decode_capture`'s sequential
+    semantics: every consumption landed on a run boundary, so the
+    sequential walk would have attempted exactly the kept runs.  When
+    False (mid-run cursor landings — e.g. corrupted headers causing
+    1-sample consumption, or more hit-runs than slots), the caller must
+    re-decode with the exact path.
+    """
+    assert cfg.line_coding == MANCHESTER, "wave path is Manchester-only"
+    samples = samples.astype(jnp.float32)
+    t = samples.shape[-1]
+    local_addr = jnp.asarray(local_addr, jnp.int32)
+    vlen = jnp.asarray(t if valid_len is None else valid_len, jnp.int32)
+
+    pre_np = line_coding.preamble_waveform(cfg)
+    pre = jnp.asarray(pre_np)
+    l_pre = pre.shape[0]
+    pre_energy = correlate.preamble_energy(pre_np)
+    sync_len = cfg.sync_len
+    sync_pat = pre[l_pre - sync_len:]
+    sync_energy = correlate.preamble_energy(pre_np[l_pre - sync_len:])
+    margin = cfg.sync_margin
+    header_samples = cfg.header_samples
+    header_bits = cfg.header_bits
+    max_total_bytes = PHY_HEADER_BYTES + cfg.max_frame_bytes
+    max_window = cfg.samples_for_bits(max_total_bytes * 8)
+
+    if t < l_pre:
+        samples = jnp.pad(samples, (0, l_pre - t))
+        t = l_pre
+
+    from trackmaker_tpu import sync as sync_mod
+    corr = sync_mod.auto_xcorr(samples, pre_np, pre_energy)
+    hits = corr >= cfg.correlation_threshold
+    cand = jnp.nonzero(hits, size=max_candidates,
+                       fill_value=2**30)[0].astype(jnp.int32)
+    run_mask = hits & ~jnp.concatenate(
+        [jnp.zeros(1, bool), hits[:-1]])
+    n_runs = jnp.sum(run_mask.astype(jnp.int32))
+    runs = jnp.nonzero(run_mask, size=max_frames,
+                       fill_value=2**30)[0].astype(jnp.int32)
+    overflow = n_runs > max_frames
+    run_mask_pad = jnp.concatenate([run_mask, jnp.zeros(8, bool)])
+
+    pad = max_window + l_pre + margin + sync_len + 8
+    padded = jnp.concatenate([samples, jnp.zeros(pad, jnp.float32)])
+    sync_positions = jnp.arange(2 * margin + 1, dtype=jnp.int32) - margin
+    n_sync_pos = 2 * margin + 1
+
+    def sync_refine(expected):
+        base = jnp.clip(expected - margin, 0)
+        pos = base + (sync_positions + margin)
+        valid = ((pos >= expected - margin) & (pos <= expected + margin)
+                 & (pos <= vlen - sync_len))
+        slab = jax.lax.dynamic_slice(
+            padded, (base,), (n_sync_pos + sync_len,))
+        wins = jnp.stack(
+            [jax.lax.slice(slab, (k,), (k + sync_len,))
+             for k in range(n_sync_pos)])
+        dot = wins @ sync_pat
+        we = jnp.sum(wins * wins, axis=-1)
+        c = jnp.where((we > 1e-6) & (sync_energy > 1e-6),
+                      dot / (jnp.sqrt(we) * sync_energy), 0.0)
+        c = jnp.where(valid, c, -jnp.inf)
+        best = jnp.argmax(c)
+        return jnp.where(jnp.max(c) > -1.0, pos[best], expected)
+
+    def attempt(i):
+        """Header-level attempt at run start i (all runs in parallel)."""
+        i_c = jnp.clip(i, 0, t)
+        expected = i_c + (l_pre - sync_len)
+        frame_start = sync_refine(expected) + sync_len
+        hdr_win = jax.lax.dynamic_slice(
+            padded, (jnp.clip(frame_start, 0),), (header_samples,))
+        hdr_bits, _ = line_coding.decode(cfg, hdr_win)
+        hdr_bytes = bitops.pack_bits(hdr_bits[:header_bits])
+        data_len = (hdr_bytes[0].astype(jnp.int32) << 8) | hdr_bytes[1]
+        ftype = hdr_bytes[3].astype(jnp.int32)
+        header_ok = (ftype == 1) | (ftype == 2)
+        len_bad = ((ftype == FRAME_TYPE_DATA) & (data_len == 0)) | (
+            data_len > cfg.max_frame_bytes)
+        total_samples = _samples_for_bits_traced(
+            cfg, (PHY_HEADER_BYTES + data_len) * 8)
+        consumed = jnp.where(
+            ~header_ok, header_samples,
+            jnp.where(len_bad, 1, l_pre + total_samples))
+        return dict(
+            frame_start=frame_start,
+            data_len=data_len,
+            crc_field=hdr_bytes[2].astype(jnp.int32),
+            ftype=ftype,
+            seq=hdr_bytes[4].astype(jnp.int32),
+            src=hdr_bytes[5].astype(jnp.int32),
+            dst=hdr_bytes[6].astype(jnp.int32),
+            header_ok=header_ok,
+            len_bad=len_bad,
+            hdr_incomplete=frame_start + header_samples > vlen,
+            incomplete=frame_start + total_samples > vlen,
+            consumed=consumed,
+        )
+
+    slots = jax.vmap(attempt)(runs)
+
+    def istep(carry, xs):
+        cursor, done, viol = carry
+        start, s = xs
+        exists = start < _BIG
+        attempt_here = exists & ~done & (start >= cursor)
+        stop_now = attempt_here & (
+            s["hdr_incomplete"]
+            | (~s["hdr_incomplete"] & s["header_ok"] & ~s["len_bad"]
+               & s["incomplete"]))
+        advance = attempt_here & ~stop_now
+        new_cursor = jnp.where(advance, start + s["consumed"], cursor)
+        # conformance: the next candidate past the consumed region must
+        # itself be a run start, else the sequential walk would attempt
+        # a mid-run candidate this parallel pass never considered
+        nextc = jnp.min(jnp.where(cand >= new_cursor, cand, _BIG))
+        mid_run = (nextc < _BIG) & ~run_mask_pad[
+            jnp.clip(nextc, 0, run_mask_pad.shape[0] - 1)]
+        new_viol = viol | (advance & mid_run)
+        new_done = done | (exists & stop_now) | ~exists
+        kept = (advance & s["header_ok"] & ~s["len_bad"]
+                & (s["dst"] == local_addr))
+        return (new_cursor, new_done, new_viol), kept
+
+    (cursor_f, _, violation), kept = jax.lax.scan(
+        istep,
+        ((vlen * 0).astype(jnp.int32), vlen < 0, overflow),
+        (runs, slots),
+        unroll=min(8, max_frames))
+
+    # body decode + CRC for all slots in parallel
+    def body_slot(fs, dlen, cf, attempted):
+        total_bits = (PHY_HEADER_BYTES + dlen) * 8
+        body_win = jax.lax.dynamic_slice(
+            padded, (jnp.clip(fs, 0),), (max_window,))
+        bits_full, _ = line_coding.decode(cfg, body_win)
+        in_frame = jnp.arange(bits_full.shape[-1]) < total_bits
+        bytes_full = bitops.pack_bits(
+            jnp.where(in_frame, bits_full, 0)[: max_total_bytes * 8])
+        payload = bytes_full[PHY_HEADER_BYTES:]
+        crc_calc = bitops.crc8_parallel(
+            payload, jnp.clip(dlen, 0, cfg.max_frame_bytes))
+        crc_ok = (crc_calc.astype(jnp.int32) == cf) & attempted
+        masked = jnp.where(
+            crc_ok & (jnp.arange(max_total_bytes) <
+                      PHY_HEADER_BYTES + dlen), bytes_full, 0)
+        return masked.astype(jnp.uint8), crc_ok
+
+    frame_bytes, valid = jax.vmap(body_slot)(
+        slots["frame_start"], slots["data_len"], slots["crc_field"], kept)
+
+    z = jnp.int32(0)
+    res = DecodedFrames(
+        valid=valid,
+        frame_bytes=frame_bytes,
+        length=jnp.where(valid, slots["data_len"], z),
+        frame_type=jnp.where(valid, slots["ftype"], z),
+        sequence=jnp.where(valid, slots["seq"], z),
+        src=jnp.where(valid, slots["src"], z),
+        dst=jnp.where(valid, slots["dst"], z),
+        start=jnp.where(valid, runs, -1),
+        corr=jnp.where(
+            valid,
+            corr[jnp.clip(runs, 0, corr.shape[-1] - 1)], 0.0),
+    )
+    return res, ~violation
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_wave_fn(cfg, max_frames, max_candidates):
+    return jax.jit(jax.vmap(
+        lambda s, a: _decode_capture_wave(cfg, s, a, max_frames,
+                                          max_candidates),
+        in_axes=(0, None)))
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_exact_fn(cfg, max_frames, max_candidates):
+    return jax.jit(jax.vmap(
+        lambda s, a: decode_capture(cfg, s, a, max_frames,
+                                    max_candidates),
+        in_axes=(0, None)))
+
+
+def decode_capture_auto(
+    cfg: PhyConfig,
+    samples,                     # f32[T] or f32[B, T]
+    local_addr: int,
+    max_frames: int = 64,
+    max_candidates: int = 512,
+) -> DecodedFrames:
+    """Host-level fast path: Manchester captures run the parallel wave
+    decoder; any capture whose conformance check fails (and any non-
+    Manchester config) is re-decoded with the exact sequential path.
+    Semantics always equal :func:`decode_capture`."""
+    x = jnp.asarray(samples)
+    batched = x.ndim == 2
+    if cfg.line_coding != MANCHESTER:
+        if batched:
+            return _batched_exact_fn(cfg, max_frames, max_candidates)(
+                x, local_addr)
+        return decode_capture(cfg, x, local_addr, max_frames,
+                              max_candidates)
+
+    if not batched:
+        res, ok = _decode_capture_wave(cfg, x, local_addr, max_frames,
+                                       max_candidates)
+        if bool(ok):
+            return res
+        return decode_capture(cfg, x, local_addr, max_frames,
+                              max_candidates)
+
+    res, ok = _batched_wave_fn(cfg, max_frames, max_candidates)(
+        x, local_addr)
+    ok = np.asarray(ok)
+    if ok.all():
+        return res
+    exact = _batched_exact_fn(cfg, max_frames, max_candidates)(
+        x, local_addr)
+    pick = jnp.asarray(ok)
+
+    def merge(a, b):
+        shape = (pick.shape[0],) + (1,) * (a.ndim - 1)
+        return jnp.where(pick.reshape(shape), a, b)
+
+    return jax.tree_util.tree_map(merge, res, exact)
+
+
 class PhyDecoder:
     """Host streaming facade with the reference's chunked-feed API.
 
