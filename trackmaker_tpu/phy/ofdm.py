@@ -200,13 +200,29 @@ def find_preambles(cfg: OfdmConfig, rx: jax.Array,
 
 
 class OfdmModem:
-    """Frame-level facade: PHY frames <-> OFDM waveform."""
+    """Frame-level facade: PHY frames <-> OFDM waveform.
 
-    def __init__(self, cfg: OfdmConfig = OfdmConfig()):
+    With ``fec=True`` frame bits pass through Hamming(7,4) + a block
+    interleaver sized to spread each codeword across subcarriers —
+    single-bit-per-codeword errors (the dominant mode near the QPSK
+    cliff) are corrected before the CRC sees them.
+    """
+
+    def __init__(self, cfg: OfdmConfig = OfdmConfig(), fec: bool = False,
+                 interleave_depth: int = 16):
         self.cfg = cfg
+        self.fec = fec
+        self.depth = interleave_depth
 
     def frame_bits(self, frame: Frame) -> np.ndarray:
         return bitops.bytes_to_bits_host(frame.to_bytes())
+
+    def _tx_len(self, n_bits: int) -> int:
+        if not self.fec:
+            return n_bits
+        from trackmaker_tpu.core import fec
+        c = fec.coded_len(n_bits)
+        return -(-c // self.depth) * self.depth  # interleaver pad
 
     def encode_frames(self, frames: list[Frame],
                       gap_samples: int = 256) -> np.ndarray:
@@ -214,8 +230,12 @@ class OfdmModem:
         n_bits = {len(f.to_bytes()) * 8 for f in frames}
         assert len(n_bits) == 1, "group equal-length frames"
         nb = n_bits.pop()
-        bits = np.stack([self.frame_bits(f) for f in frames])
-        waves = np.asarray(modulate_bits(self.cfg, jnp.asarray(bits), nb))
+        bits = jnp.asarray(np.stack([self.frame_bits(f) for f in frames]))
+        if self.fec:
+            from trackmaker_tpu.core import fec
+            bits = fec.interleave(fec.hamming74_encode(bits), self.depth)
+        nb_tx = self._tx_len(nb)
+        waves = np.asarray(modulate_bits(self.cfg, bits, nb_tx))
         parts = []
         for i, w in enumerate(waves):
             parts.append(w)
@@ -227,13 +247,20 @@ class OfdmModem:
                max_frames: int = 64) -> list[Frame]:
         """Decode equal-length frames (frame_bytes_len = 7 + payload)."""
         n_bits = frame_bytes_len * 8
+        n_tx = self._tx_len(n_bits)
         starts = np.asarray(find_preambles(
             self.cfg, jnp.asarray(rx), max_frames))
         starts = starts[starts >= 0]
         if len(starts) == 0:
             return []
-        bits = np.asarray(demodulate_at(
-            self.cfg, jnp.asarray(rx), n_bits, jnp.asarray(starts)))
+        bits = demodulate_at(
+            self.cfg, jnp.asarray(rx), n_tx, jnp.asarray(starts))
+        if self.fec:
+            from trackmaker_tpu.core import fec
+            coded = fec.deinterleave(bits, self.depth,
+                                     fec.coded_len(n_bits))
+            bits = fec.hamming74_decode(coded)[..., :n_bits]
+        bits = np.asarray(bits)
         out = []
         for row in bits:
             f = Frame.from_bits(row)
