@@ -1,0 +1,53 @@
+"""Convolutional code + Viterbi tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from trackmaker_tpu.core.convcode import conv_encode, viterbi_decode
+
+
+def test_conv_encode_known_vector():
+    # all-zero input -> all-zero output
+    out = np.asarray(conv_encode(jnp.zeros(8, jnp.uint8)))
+    assert out.sum() == 0
+    # single 1 produces the generator impulse response
+    imp = np.asarray(conv_encode(
+        jnp.asarray([1, 0, 0, 0, 0, 0, 0, 0], dtype=jnp.uint8)))
+    assert imp[:2].tolist() == [1, 1]  # both streams tap the newest bit
+
+
+def test_viterbi_clean_roundtrip():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 200).astype(np.uint8)
+    coded = conv_encode(jnp.asarray(bits))
+    dec = viterbi_decode(coded, 200)
+    assert np.array_equal(np.asarray(dec), bits)
+
+
+def test_viterbi_corrects_hard_errors():
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 300).astype(np.uint8)
+    coded = np.array(conv_encode(jnp.asarray(bits)))
+    # flip ~4% of coded bits, spread out
+    n_flip = len(coded) // 25
+    pos = rng.choice(len(coded), n_flip, replace=False)
+    coded[pos] ^= 1
+    dec = viterbi_decode(jnp.asarray(coded), 300)
+    assert np.array_equal(np.asarray(dec), bits)
+
+
+def test_viterbi_soft_beats_hard():
+    """Soft-decision decoding survives noise levels that break hard
+    decisions."""
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, 400).astype(np.uint8)
+    coded = np.asarray(conv_encode(jnp.asarray(bits))).astype(np.float32)
+    tx = 2.0 * coded - 1.0
+    noisy = tx + rng.normal(0, 0.7, len(tx)).astype(np.float32)
+    soft = viterbi_decode(jnp.asarray(noisy), 400, soft=True)
+    hard_in = (noisy > 0).astype(np.uint8)
+    hard = viterbi_decode(jnp.asarray(hard_in), 400)
+    err_soft = int((np.asarray(soft) != bits).sum())
+    err_hard = int((np.asarray(hard) != bits).sum())
+    assert err_soft <= err_hard
+    assert err_soft <= 2
