@@ -156,8 +156,29 @@ def demodulate(
 
     upd_ok = (sync > cfg.sync_power_factor * power) & (
         sync > cfg.sync_abs_threshold)
-    cand = jnp.nonzero(upd_ok, size=max_candidates, fill_value=2**30)[0]
-    cand = cand.astype(jnp.int32)
+    # two-level block index for "first update >= cursor" queries (a
+    # global nonzero compaction measured ~4ms/capture on TPU)
+    blk = 512
+    hb = -(-t // blk)
+    upd_blocks = jnp.pad(upd_ok, (0, hb * blk - t)).reshape(hb, blk)
+    block_any = jnp.any(upd_blocks, axis=1)
+    lane = jnp.arange(blk, dtype=jnp.int32)
+    brange = jnp.arange(hb, dtype=jnp.int32)
+
+    def first_upd_from(cursor):
+        c = jnp.clip(cursor, 0, hb * blk - 1)
+        jb = c // blk
+        off = c % blk
+        row = upd_blocks[jb]
+        m1 = row & (lane >= off)
+        has1 = jnp.any(m1)
+        i1 = jb * blk + jnp.argmax(m1)
+        m2 = block_any & (brange > jb)
+        has2 = jnp.any(m2)
+        b2 = jnp.argmax(m2)
+        i2 = b2 * blk + jnp.argmax(upd_blocks[b2])
+        first = jnp.where(has1, i1, jnp.where(has2, i2, 2**30))
+        return first.astype(jnp.int32), has1 | has2
 
     pad = cfg.frame_samples + chain_window + 8
     rx_pad = jnp.concatenate([rx, jnp.zeros(pad, jnp.float32)])
@@ -232,8 +253,8 @@ def demodulate(
         sync_w, ok_w = warmup_sync(cursor)
         warm_idx = cursor + jnp.arange(l_pre, dtype=jnp.int32)
         first_warm = jnp.min(jnp.where(ok_w, warm_idx, 2**30))
-        ge = cand >= cursor + l_pre
-        first_dense = jnp.min(jnp.where(ge, cand, 2**30))
+        first_dense, has_dense = first_upd_from(cursor + l_pre)
+        first_dense = jnp.where(has_dense, first_dense, 2**30)
         first = jnp.minimum(first_warm, first_dense)
         has = (first < 2**30) & ~done
         i0 = jnp.clip(first, 0, t - 1)
