@@ -46,6 +46,20 @@ def test_ofdm_fec_roundtrip_clean():
     assert len(got) == 1 and got[0].data == frame.data
 
 
+def test_ofdm_viterbi_soft_decision_gain():
+    """Soft-decision Viterbi (rate-1/2 K=7) decodes cleanly ~6 dB below
+    the Hamming cliff (measured: plain fails <16 dB, hamming works at
+    15 dB, viterbi at 10 dB)."""
+    frames = [Frame.new_data(i, 1, 2, bytes([i]) * 64) for i in range(8)]
+    key = jax.random.PRNGKey(4)
+    m = OfdmModem(fec="conv")
+    w = m.encode_frames(frames, gap_samples=400)
+    noisy = np.asarray(channel.awgn(key, jnp.asarray(w), 10.0))
+    got = m.decode(noisy, len(frames[0].to_bytes()))
+    assert len(got) == 8
+    assert [f.data for f in got] == [f.data for f in frames]
+
+
 def test_ofdm_fec_beats_uncoded_at_low_snr():
     """At an SNR where uncoded OFDM collapses, FEC recovers frames."""
     frames = [Frame.new_data(i, 1, 2, bytes([i]) * 64) for i in range(8)]

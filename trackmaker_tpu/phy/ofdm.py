@@ -140,6 +140,34 @@ def modulate_bits(cfg: OfdmConfig, bits: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
+def demodulate_soft_at(cfg: OfdmConfig, rx: jax.Array, n_bits: int,
+                       starts: jax.Array) -> jax.Array:
+    """Soft bit metrics in [-1, 1] (positive = bit 1) for frames whose
+    preambles start at `starts` — feeds the soft-decision Viterbi."""
+    n_sym = cfg.n_symbols(n_bits)
+    total = (1 + n_sym) * cfg.sym_len
+    body_off = cfg.preamble_len + cfg.guard_samples
+    pad = jnp.concatenate([rx.astype(jnp.float32),
+                           jnp.zeros(total + body_off + 8, jnp.float32)])
+
+    def one(start):
+        seg = jax.lax.dynamic_slice(pad, (start + body_off,), (total,))
+        syms = seg.reshape(1 + n_sym, cfg.sym_len)
+        spec = _time_to_spectrum(cfg, syms)
+        pilot_rx = spec[0]
+        h = pilot_rx * jnp.conj(jnp.asarray(_pilot_symbols(cfg)))
+        h = jnp.where(jnp.abs(h) < 1e-12, 1.0 + 0j, h)
+        scale = jnp.mean(jnp.abs(h))
+        eq = spec[1:] * jnp.conj(h) / jnp.maximum(jnp.abs(h), 1e-12)
+        eqf = eq.reshape(-1) / jnp.maximum(scale, 1e-12)
+        # bit pair per symbol: b0 from -imag, b1 from -real (see _QPSK)
+        soft = jnp.stack([-eqf.imag, -eqf.real], axis=-1).reshape(-1)
+        return jnp.clip(soft * np.sqrt(2.0), -1.0, 1.0)[:n_bits]
+
+    return jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def demodulate_at(cfg: OfdmConfig, rx: jax.Array, n_bits: int,
                   starts: jax.Array) -> jax.Array:
     """Demodulate frames whose *preamble* starts at `starts` (int[B]) in
@@ -208,18 +236,25 @@ class OfdmModem:
     cliff) are corrected before the CRC sees them.
     """
 
-    def __init__(self, cfg: OfdmConfig = OfdmConfig(), fec: bool = False,
+    def __init__(self, cfg: OfdmConfig = OfdmConfig(),
+                 fec: bool | str = False,
                  interleave_depth: int = 16):
+        """fec: False | True/'hamming' (Hamming(7,4)+interleaver) |
+        'conv' (rate-1/2 K=7 + soft-decision Viterbi)."""
         self.cfg = cfg
-        self.fec = fec
+        self.fec = "hamming" if fec is True else (fec or None)
+        assert self.fec in (None, "hamming", "conv")
         self.depth = interleave_depth
 
     def frame_bits(self, frame: Frame) -> np.ndarray:
         return bitops.bytes_to_bits_host(frame.to_bytes())
 
     def _tx_len(self, n_bits: int) -> int:
-        if not self.fec:
+        if self.fec is None:
             return n_bits
+        if self.fec == "conv":
+            from trackmaker_tpu.core.convcode import K
+            return 2 * (n_bits + K - 1)
         from trackmaker_tpu.core import fec
         c = fec.coded_len(n_bits)
         return -(-c // self.depth) * self.depth  # interleaver pad
@@ -231,9 +266,12 @@ class OfdmModem:
         assert len(n_bits) == 1, "group equal-length frames"
         nb = n_bits.pop()
         bits = jnp.asarray(np.stack([self.frame_bits(f) for f in frames]))
-        if self.fec:
+        if self.fec == "hamming":
             from trackmaker_tpu.core import fec
             bits = fec.interleave(fec.hamming74_encode(bits), self.depth)
+        elif self.fec == "conv":
+            from trackmaker_tpu.core.convcode import conv_encode
+            bits = jax.vmap(conv_encode)(bits)
         nb_tx = self._tx_len(nb)
         waves = np.asarray(modulate_bits(self.cfg, bits, nb_tx))
         parts = []
@@ -253,13 +291,20 @@ class OfdmModem:
         starts = starts[starts >= 0]
         if len(starts) == 0:
             return []
-        bits = demodulate_at(
-            self.cfg, jnp.asarray(rx), n_tx, jnp.asarray(starts))
-        if self.fec:
-            from trackmaker_tpu.core import fec
-            coded = fec.deinterleave(bits, self.depth,
-                                     fec.coded_len(n_bits))
-            bits = fec.hamming74_decode(coded)[..., :n_bits]
+        if self.fec == "conv":
+            from trackmaker_tpu.core.convcode import viterbi_decode
+            soft = demodulate_soft_at(
+                self.cfg, jnp.asarray(rx), n_tx, jnp.asarray(starts))
+            bits = jax.vmap(
+                lambda s: viterbi_decode(s, n_bits, soft=True))(soft)
+        else:
+            bits = demodulate_at(
+                self.cfg, jnp.asarray(rx), n_tx, jnp.asarray(starts))
+            if self.fec == "hamming":
+                from trackmaker_tpu.core import fec
+                coded = fec.deinterleave(bits, self.depth,
+                                         fec.coded_len(n_bits))
+                bits = fec.hamming74_decode(coded)[..., :n_bits]
         bits = np.asarray(bits)
         out = []
         for row in bits:
