@@ -100,8 +100,14 @@ def cmd_decode(args):
     if sr != cfg.sample_rate:
         print(f"warning: capture is {sr} Hz, config is {cfg.sample_rate}")
     t0 = time.time()
-    res = decode_capture(cfg, jnp.asarray(samples), args.addr,
-                         max_frames=args.max_frames)
+    if args.clock_search:
+        from trackmaker_tpu.dsp.timing import decode_with_clock_search
+        res, ppm = decode_with_clock_search(
+            cfg, samples, args.addr, max_frames=args.max_frames)
+        print(f"clock search picked {ppm:+.0f} ppm")
+    else:
+        res = decode_capture(cfg, jnp.asarray(samples), args.addr,
+                             max_frames=args.max_frames)
     frames = res.to_frames()
     dt = time.time() - t0
     print(f"decoded {len(frames)} frames from {len(samples)} samples "
@@ -160,7 +166,7 @@ def cmd_ofdm_test(args):
 
     text = open(args.input, "rb").read() if args.input else \
         open("assets/think-different.txt", "rb").read()
-    modem = OfdmModem()
+    modem = OfdmModem(fec=args.fec if args.fec != "none" else False)
     size = 96
     chunks = [text[i:i + size].ljust(size, b"\0")
               for i in range(0, len(text), size)]
@@ -250,6 +256,8 @@ def main(argv=None):
     s.add_argument("--addr", type=int, default=2)
     s.add_argument("--max-frames", type=int, default=256)
     s.add_argument("--output")
+    s.add_argument("--clock-search", action="store_true",
+                   help="search a resample-ratio grid (clock skew)")
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("encode", parents=[common], help="file -> modulated WAV")
@@ -266,6 +274,8 @@ def main(argv=None):
 
     s = sub.add_parser("ofdm-test", parents=[common], help="OFDM modem loopback")
     s.add_argument("--input")
+    s.add_argument("--fec", default="none",
+                   choices=["none", "hamming", "conv"])
     s.set_defaults(fn=cmd_ofdm_test)
 
     s = sub.add_parser("ber", parents=[common],

@@ -104,6 +104,30 @@ def _out_struct():
     return DecodedFrames(z, z, z, z, z, z, z, z, z)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_blocks", "max_frames_per_block", "t"))
+def _decode_blocked_jit(cfg, x, local_addr, n_blocks,
+                        max_frames_per_block, t):
+    halo = halo_size(cfg)
+    block = -(-t // n_blocks)
+    x = jnp.pad(x, (0, block * n_blocks + halo - t))
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    # one gather builds all overlapping block windows
+    idx = starts[:, None] + jnp.arange(block + halo, dtype=jnp.int32)
+    wins = x[idx]
+    vlens = jnp.minimum(block + halo, t - starts)
+    res = jax.vmap(
+        lambda w, v: decode_capture(cfg, w, local_addr,
+                                    max_frames=max_frames_per_block,
+                                    valid_len=v))(wins, vlens)
+    mine = res.valid & (res.start >= 0) & (res.start < block)
+    gstart = jnp.where(mine, res.start + starts[:, None], -1)
+    res = res._replace(valid=mine, start=gstart)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), res)
+
+
 def decode_blocked_single_chip(
     cfg: PhyConfig,
     capture,
@@ -112,24 +136,8 @@ def decode_blocked_single_chip(
     max_frames_per_block: int = 32,
 ) -> DecodedFrames:
     """Same blockwise decomposition vmapped on one chip — the batched
-    form the bench uses when only one device is visible."""
+    form for very long captures on one device (fully jitted; pass a
+    device-resident array to avoid re-uploading the capture)."""
     x = jnp.asarray(capture, jnp.float32)
-    t = x.shape[-1]
-    halo = halo_size(cfg)
-    block = -(-t // n_blocks)
-    x = jnp.pad(x, (0, block * n_blocks + halo - t))
-    starts = np.arange(n_blocks) * block
-    wins = jnp.stack([jax.lax.dynamic_slice(x, (s,), (block + halo,))
-                      for s in starts])
-    vlens = jnp.minimum(block + halo, t - jnp.asarray(starts))
-
-    res = jax.vmap(
-        lambda w, v: decode_capture(cfg, w, local_addr,
-                                    max_frames=max_frames_per_block,
-                                    valid_len=v))(wins, vlens)
-    mine = res.valid & (res.start >= 0) & (res.start < block)
-    gstart = jnp.where(
-        mine, res.start + jnp.asarray(starts)[:, None], -1)
-    res = res._replace(valid=mine, start=gstart)
-    return jax.tree_util.tree_map(
-        lambda a: a.reshape((-1,) + a.shape[2:]), res)
+    return _decode_blocked_jit(cfg, x, local_addr, n_blocks,
+                               max_frames_per_block, int(x.shape[-1]))
