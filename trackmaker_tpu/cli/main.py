@@ -220,6 +220,60 @@ def cmd_viz(args):
     return 0
 
 
+def cmd_router(args):
+    """Run the multi-segment router demo: an acoustic node pings a host
+    on the WiFi segment through the router, all on the simulated bus."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "router_scenario",
+        pathlib.Path(__file__).resolve().parents[2]
+        / "tests" / "test_router_acoustic.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.test_acoustic_node_pings_wifi_host_via_router()
+    print("router demo: acoustic -> router -> wifi host -> back: OK")
+    return 0
+
+
+def cmd_tun(args):
+    """Bridge a kernel TUN device onto the simulated acoustic link with
+    an echo host on the far side (reference `tun` subcommand; needs
+    CAP_NET_ADMIN)."""
+    import numpy as np
+    from trackmaker_tpu.core.config import MacConfig, NetConfig, PhyConfig
+    from trackmaker_tpu.link.audio import AudioEndpoint
+    from trackmaker_tpu.link.bus import SimulatedBus
+    from trackmaker_tpu.link.interface import AcousticInterface
+    from trackmaker_tpu.net.ports import TunPort
+    from trackmaker_tpu.net.tools import IpHostApp
+    from trackmaker_tpu.net.tun_bridge import TunBridge
+
+    cfg, mac, net = PhyConfig(), MacConfig(), NetConfig()
+    bus = SimulatedBus()
+    ep_a, ep_b = AudioEndpoint("tun"), AudioEndpoint("host")
+    if_a = AcousticInterface(ep_a, cfg, mac, net, local_mac=1)
+    if_b = AcousticInterface(ep_b, cfg, mac, net, local_mac=2)
+    tun = TunPort(args.name, ip=args.ip, netmask_bits=args.netmask_bits,
+                  mtu=net.mtu)
+    bridge = TunBridge(if_a, tun, args.ip)
+    host = IpHostApp(if_b, args.peer)
+    bus.attach(ep_a, bridge)
+    bus.attach(ep_b, host)
+    print(f"TUN {args.name} up at {args.ip}; echo host at {args.peer}.")
+    print(f"Try: ping {args.peer}   (Ctrl-C to stop)")
+    try:
+        while True:
+            bus.step()
+    except KeyboardInterrupt:
+        print(f"\nbridged {bridge.tx_packets} out / "
+              f"{bridge.rx_packets} in packets; "
+              f"host answered {host.responded} pings")
+    finally:
+        tun.close()
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="trackmaker-tpu",
@@ -297,6 +351,18 @@ def main(argv=None):
     s.add_argument("capture")
     s.add_argument("--out", default="tmp/dashboard.png")
     s.set_defaults(fn=cmd_viz)
+
+    s = sub.add_parser("router", parents=[common],
+                       help="multi-segment router demo (simulated)")
+    s.set_defaults(fn=cmd_router)
+
+    s = sub.add_parser("tun", parents=[common],
+                       help="kernel TUN bridge over simulated acoustic")
+    s.add_argument("--name", default="tm0")
+    s.add_argument("--ip", default="10.78.0.1")
+    s.add_argument("--peer", default="10.78.0.2")
+    s.add_argument("--netmask-bits", type=int, default=24)
+    s.set_defaults(fn=cmd_tun)
 
     args = p.parse_args(argv)
     sys.exit(args.fn(args))
