@@ -132,6 +132,56 @@ def crc8_parallel(data: jax.Array, length: jax.Array | None = None) -> jax.Array
         contrib, np.uint8(0), jax.lax.bitwise_xor, [data.ndim - 1])
 
 
+_CRC8_BITMAT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _crc8_bit_matrix(n_bytes: int) -> np.ndarray:
+    """M[j, :] (n_bytes*8, 8): CRC contribution bits of message bit j in a
+    fixed n_bytes-long message (MSB-first within bytes)."""
+    if n_bytes in _CRC8_BITMAT_CACHE:
+        return _CRC8_BITMAT_CACHE[n_bytes]
+    dist = _crc8_distance_table(n_bytes)
+    m = np.zeros((n_bytes * 8, 8), dtype=np.float32)
+    for i in range(n_bytes):
+        d = n_bytes - 1 - i
+        for k in range(8):
+            contrib = dist[d, 1 << (7 - k)]
+            m[i * 8 + k] = [(contrib >> (7 - b)) & 1 for b in range(8)]
+    _CRC8_BITMAT_CACHE[n_bytes] = m
+    return m
+
+
+def crc8_bits_matmul(bits: jax.Array, length_bytes: jax.Array) -> jax.Array:
+    """CRC8 from *bit* arrays via one GF(2) matmul (MXU path).
+
+    `bits`: uint8/f32[..., N*8] MSB-first message bits, zero beyond
+    `length_bytes` bytes.  Exploits that leading zero bytes don't change
+    a zero-init CRC: the message is cyclically rolled right so it ends
+    at the buffer end, then a fixed-length bit matrix gives the CRC as
+    (bits @ M) mod 2 — no per-byte table gathers on the critical path.
+    """
+    n = bits.shape[-1]
+    assert n % 8 == 0
+    n_bytes = n // 8
+    m = jnp.asarray(_crc8_bit_matrix(n_bytes))
+    shift = (jnp.asarray(n_bytes, jnp.int32) - length_bytes) * 8
+    rolled = _roll_last(bits.astype(jnp.float32), shift)
+    crc_bits = jnp.einsum("...n,nk->...k", rolled, m) % 2.0
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+    return jnp.sum(crc_bits * weights, axis=-1).astype(jnp.uint8)
+
+
+def _roll_last(x: jax.Array, shift: jax.Array) -> jax.Array:
+    """Roll right along the last axis with a traced shift — one
+    contiguous dynamic slice of the doubled array (cheaper than an
+    index gather on TPU)."""
+    n = x.shape[-1]
+    x2 = jnp.concatenate([x, x], axis=-1)
+    start = (n - shift % n) % n
+    starts = (jnp.int32(0),) * (x.ndim - 1) + (start.astype(jnp.int32),)
+    return jax.lax.dynamic_slice(x2, starts, (*x.shape[:-1], n))
+
+
 def crc8(data: jax.Array, length: jax.Array | None = None) -> jax.Array:
     """CRC8 over `data` (uint8[..., N]) with optional per-item `length`.
 

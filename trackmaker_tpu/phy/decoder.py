@@ -234,11 +234,12 @@ def decode_capture(
         in_frame = jnp.arange(nbits_full) < total_bits
         n_valid_bits = jnp.sum((bit_ok_full & in_frame).astype(jnp.int32))
         line_fail = n_valid_bits < total_bits
-        bytes_full = bitops.pack_bits(
-            jnp.where(in_frame, bits_full, 0)[: max_total_bytes * 8])
-        payload = bytes_full[PHY_HEADER_BYTES:]
-        crc_calc = bitops.crc8_parallel(
-            payload, jnp.clip(data_len, 0, cfg.max_frame_bytes))
+        masked_bits = jnp.where(in_frame, bits_full, 0)
+        bytes_full = bitops.pack_bits(masked_bits[: max_total_bytes * 8])
+        payload_bits = masked_bits[PHY_HEADER_BYTES * 8:
+                                   max_total_bytes * 8]
+        crc_calc = bitops.crc8_bits_matmul(
+            payload_bits, jnp.clip(data_len, 0, cfg.max_frame_bytes))
         return bytes_full, n_valid_bits, line_fail, crc_calc
 
     def step(carry, _):
@@ -520,11 +521,11 @@ def _decode_capture_wave(
             padded, (jnp.clip(fs, 0),), (max_window,))
         bits_full, _ = line_coding.decode(cfg, body_win)
         in_frame = jnp.arange(bits_full.shape[-1]) < total_bits
-        bytes_full = bitops.pack_bits(
-            jnp.where(in_frame, bits_full, 0)[: max_total_bytes * 8])
-        payload = bytes_full[PHY_HEADER_BYTES:]
-        crc_calc = bitops.crc8_parallel(
-            payload, jnp.clip(dlen, 0, cfg.max_frame_bytes))
+        masked_bits = jnp.where(in_frame, bits_full, 0)
+        bytes_full = bitops.pack_bits(masked_bits[: max_total_bytes * 8])
+        crc_calc = bitops.crc8_bits_matmul(
+            masked_bits[PHY_HEADER_BYTES * 8: max_total_bytes * 8],
+            jnp.clip(dlen, 0, cfg.max_frame_bytes))
         crc_ok = (crc_calc.astype(jnp.int32) == cf) & attempted
         masked = jnp.where(
             crc_ok & (jnp.arange(max_total_bytes) <
