@@ -307,7 +307,8 @@ def main(argv=None):
 
     s = sub.add_parser("decode", parents=[common], help="offline decode of WAV/FLAC capture")
     s.add_argument("capture")
-    s.add_argument("--addr", type=int, default=2)
+    s.add_argument("--addr", type=int, default=2,
+                   help="local MAC; -1 = promiscuous (accept all)")
     s.add_argument("--max-frames", type=int, default=256)
     s.add_argument("--output")
     s.add_argument("--clock-search", action="store_true",

@@ -277,7 +277,8 @@ def decode_capture(
             n_valid_bits = total_bits
             line_fail = jnp.asarray(False)
             crc_ok = jnp.asarray(True)  # resolved in the post-pass
-        dst_ok = h["dst"] == local_addr
+        # local_addr < 0 => promiscuous (accept any destination)
+        dst_ok = (h["dst"] == local_addr) | (local_addr < 0)
 
         # --- consumption rules (decoder.rs:266-356)
         consumed = jnp.where(
@@ -505,7 +506,7 @@ def _decode_capture_wave(
         new_viol = viol | (advance & mid_run)
         new_done = done | (exists & stop_now) | ~exists
         kept = (advance & s["header_ok"] & ~s["len_bad"]
-                & (s["dst"] == local_addr))
+                & ((s["dst"] == local_addr) | (local_addr < 0)))
         return (new_cursor, new_done, new_viol), kept
 
     (cursor_f, _, violation), kept = jax.lax.scan(
