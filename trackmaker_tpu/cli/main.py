@@ -274,7 +274,31 @@ def cmd_tun(args):
     return 0
 
 
+def interactive() -> list[str]:
+    """Menu mode when no subcommand is given (reference src/main.rs:
+    428-478 used dialoguer)."""
+    options = [
+        ("Loopback PHY test (Manchester)", ["test"]),
+        ("Loopback PHY test (4B5B)", ["test", "--encoding", "4b5b"]),
+        ("ASK modem loopback", ["ask-test"]),
+        ("OFDM modem loopback", ["ofdm-test"]),
+        ("Simulated acoustic ping", ["ping"]),
+        ("Router demo", ["router"]),
+        ("BER robustness sweep", ["ber"]),
+    ]
+    print("trackmaker-tpu — select mode:")
+    for i, (label, _) in enumerate(options, 1):
+        print(f"  {i}. {label}")
+    while True:
+        choice = input(f"choice [1-{len(options)}]: ").strip()
+        if choice.isdigit() and 1 <= int(choice) <= len(options):
+            return options[int(choice) - 1][1]
+        print("invalid choice")
+
+
 def main(argv=None):
+    if argv is None and len(sys.argv) <= 1:
+        argv = interactive()
     p = argparse.ArgumentParser(
         prog="trackmaker-tpu",
         description="TPU-native acoustic modem framework")
