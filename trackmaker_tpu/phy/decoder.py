@@ -417,15 +417,57 @@ def _decode_capture_wave(
     from trackmaker_tpu import sync as sync_mod
     corr = sync_mod.auto_xcorr(samples, pre_np, pre_energy)
     hits = corr >= cfg.correlation_threshold
-    cand = jnp.nonzero(hits, size=max_candidates,
-                       fill_value=2**30)[0].astype(jnp.int32)
     run_mask = hits & ~jnp.concatenate(
         [jnp.zeros(1, bool), hits[:-1]])
     n_runs = jnp.sum(run_mask.astype(jnp.int32))
-    runs = jnp.nonzero(run_mask, size=max_frames,
-                       fill_value=2**30)[0].astype(jnp.int32)
-    overflow = n_runs > max_frames
     run_mask_pad = jnp.concatenate([run_mask, jnp.zeros(8, bool)])
+
+    # --- run-start extraction WITHOUT a global nonzero (which costs
+    # ~4ms/capture on TPU): per-512-block peel of up to RPB starts via
+    # repeated argmax, then a tiny sort to compact.  More than RPB run
+    # starts in one block (adversarial) trips `overflow` -> exact
+    # fallback.
+    blk = 512
+    hb = -(-run_mask.shape[-1] // blk)
+    rm_blocks = jnp.pad(
+        run_mask, (0, hb * blk - run_mask.shape[-1])).reshape(hb, blk)
+    per_block = jnp.sum(rm_blocks.astype(jnp.int32), axis=1)
+    rpb = 4
+    block_ids = jnp.nonzero(per_block > 0, size=max_frames,
+                            fill_value=hb)[0]          # tiny (hb elems)
+    rows = jnp.pad(rm_blocks, ((0, 1), (0, 0)))[block_ids]  # (mf, blk)
+    lane = jnp.arange(blk, dtype=jnp.int32)
+    starts_list = []
+    for _ in range(rpb):
+        has = jnp.any(rows, axis=1)
+        pos = jnp.argmax(rows, axis=1)
+        starts_list.append(jnp.where(
+            has, block_ids * blk + pos, 2**30).astype(jnp.int32))
+        rows = rows & (lane[None, :] > pos[:, None])
+    runs = jnp.sort(jnp.concatenate(starts_list))[:max_frames]
+    overflow = (n_runs > max_frames) | jnp.any(per_block > rpb) | (
+        jnp.sum((per_block > 0).astype(jnp.int32)) > max_frames)
+
+    # block index over raw hits for the conformance queries
+    hits_blocks_w = jnp.pad(
+        hits, (0, hb * blk - hits.shape[-1])).reshape(hb, blk)
+    hblock_any = jnp.any(hits_blocks_w, axis=1)
+    brange_w = jnp.arange(hb, dtype=jnp.int32)
+
+    def first_hit_from_w(cursor):
+        c = jnp.clip(cursor, 0, hb * blk - 1)
+        jb = c // blk
+        off = c % blk
+        row = hits_blocks_w[jb]
+        m1 = row & (lane >= off)
+        has1 = jnp.any(m1)
+        i1 = jb * blk + jnp.argmax(m1)
+        m2 = hblock_any & (brange_w > jb)
+        has2 = jnp.any(m2)
+        b2 = jnp.argmax(m2)
+        i2 = b2 * blk + jnp.argmax(hits_blocks_w[b2])
+        return jnp.where(has1, i1, jnp.where(has2, i2, _BIG)).astype(
+            jnp.int32), has1 | has2
 
     pad = max_window + l_pre + margin + sync_len + 8
     padded = jnp.concatenate([samples, jnp.zeros(pad, jnp.float32)])
@@ -487,7 +529,9 @@ def _decode_capture_wave(
     slots = jax.vmap(attempt)(runs)
 
     def istep(carry, xs):
-        cursor, done, viol = carry
+        # scalar-only cursor walk; the conformance check moves to a
+        # vmapped post-pass so no per-step gathers remain
+        cursor, done = carry
         start, s = xs
         exists = start < _BIG
         attempt_here = exists & ~done & (start >= cursor)
@@ -497,23 +541,28 @@ def _decode_capture_wave(
                & s["incomplete"]))
         advance = attempt_here & ~stop_now
         new_cursor = jnp.where(advance, start + s["consumed"], cursor)
-        # conformance: the next candidate past the consumed region must
-        # itself be a run start, else the sequential walk would attempt
-        # a mid-run candidate this parallel pass never considered
-        nextc = jnp.min(jnp.where(cand >= new_cursor, cand, _BIG))
-        mid_run = (nextc < _BIG) & ~run_mask_pad[
-            jnp.clip(nextc, 0, run_mask_pad.shape[0] - 1)]
-        new_viol = viol | (advance & mid_run)
         new_done = done | (exists & stop_now) | ~exists
         kept = (advance & s["header_ok"] & ~s["len_bad"]
                 & ((s["dst"] == local_addr) | (local_addr < 0)))
-        return (new_cursor, new_done, new_viol), kept
+        return (new_cursor, new_done), (kept, advance, new_cursor)
 
-    (cursor_f, _, violation), kept = jax.lax.scan(
+    (cursor_f, _), (kept, advanced, cursors_after) = jax.lax.scan(
         istep,
-        ((vlen * 0).astype(jnp.int32), vlen < 0, overflow),
+        ((vlen * 0).astype(jnp.int32), vlen < 0),
         (runs, slots),
         unroll=min(8, max_frames))
+
+    # post-hoc conformance, all advanced steps at once: the next hit
+    # past each consumed region must itself be a run start, else the
+    # sequential walk would have attempted a mid-run candidate this
+    # parallel pass never considered
+    def conf(cur):
+        nextc, has_next = first_hit_from_w(cur)
+        return has_next & ~run_mask_pad[
+            jnp.clip(nextc, 0, run_mask_pad.shape[0] - 1)]
+
+    mid_run = jax.vmap(conf)(cursors_after)
+    violation = overflow | jnp.any(advanced & mid_run)
 
     # body decode + CRC for all slots in parallel
     def body_slot(fs, dlen, cf, attempted):
