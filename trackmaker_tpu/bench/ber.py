@@ -13,7 +13,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from trackmaker_tpu.core import bitops
 from trackmaker_tpu.core.config import PHY_HEADER_BYTES, PhyConfig
 from trackmaker_tpu.core.framing import Frame
 from trackmaker_tpu.dsp import channel

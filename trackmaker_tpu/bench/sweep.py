@@ -15,7 +15,6 @@ import itertools
 import json
 import pathlib
 import time
-from dataclasses import replace
 
 from trackmaker_tpu.core.config import MacConfig, PhyConfig
 from trackmaker_tpu.link.audio import AudioEndpoint

@@ -21,8 +21,7 @@ from __future__ import annotations
 
 import enum
 import ipaddress
-from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from trackmaker_tpu.net import dns as dns_mod
 from trackmaker_tpu.net.ethernet import (

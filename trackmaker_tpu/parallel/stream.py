@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from trackmaker_tpu.core.config import PhyConfig
 from trackmaker_tpu.phy.decoder import DecodedFrames, decode_capture

@@ -24,14 +24,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from trackmaker_tpu.core import bitops
-from trackmaker_tpu.core.config import PHY_HEADER_BYTES
 from trackmaker_tpu.core.framing import Frame
 from trackmaker_tpu.dsp.osc import chirp_cached
 
