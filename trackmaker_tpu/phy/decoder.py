@@ -172,16 +172,19 @@ def decode_capture(
 
     n_sync_pos = 2 * margin + 1
 
-    def sync_refine(expected: jax.Array) -> jax.Array:
-        """±1-bit sync-word realignment (decoder.rs:158-217).  One slab
-        slice + static windowing instead of per-position dynamic slices
-        (cheaper inside the scan)."""
+    # one slab covers both the sync realignment windows and every
+    # possible header window start (frame_start <= base + 2*margin +
+    # sync_len), so a scan step touches the big capture array ONCE
+    comb_len = n_sync_pos + sync_len + 2 * margin + header_samples
+
+    def sync_refine(expected: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """±1-bit sync-word realignment (decoder.rs:158-217).
+        Returns (best position, the combined slab for header reuse)."""
         base = jnp.clip(expected - margin, 0)
         pos = base + (sync_positions + margin)   # base + [0 .. 2*margin]
         valid = ((pos >= expected - margin) & (pos <= expected + margin)
                  & (pos <= vlen - sync_len))
-        slab = jax.lax.dynamic_slice(
-            padded, (base,), (n_sync_pos + sync_len,))
+        slab = jax.lax.dynamic_slice(padded, (base,), (comb_len,))
         wins = jnp.stack(
             [jax.lax.slice(slab, (k,), (k + sync_len,))
              for k in range(n_sync_pos)])
@@ -191,7 +194,8 @@ def decode_capture(
                       dot / (jnp.sqrt(we) * sync_energy), 0.0)
         c = jnp.where(valid, c, -jnp.inf)
         best = jnp.argmax(c)  # first max wins ties, like strict `>` update
-        return jnp.where(jnp.max(c) > -1.0, pos[best], expected)
+        bestpos = jnp.where(jnp.max(c) > -1.0, pos[best], expected)
+        return bestpos, (slab, base)
 
     # Manchester line decode never truncates (no invalid symbols), so the
     # cursor advance is fully determined by the *header* — the expensive
@@ -201,9 +205,14 @@ def decode_capture(
     # inside the scan, so it keeps the unified path.
     body_in_scan = cfg.line_coding != MANCHESTER
 
-    def decode_header(frame_start):
-        hdr_win = jax.lax.dynamic_slice(
-            padded, (jnp.clip(frame_start, 0),), (header_samples,))
+    def decode_header(frame_start, slab_ctx=None):
+        if slab_ctx is not None:
+            slab, base = slab_ctx
+            off = jnp.clip(frame_start - base, 0, comb_len - header_samples)
+            hdr_win = jax.lax.dynamic_slice(slab, (off,), (header_samples,))
+        else:
+            hdr_win = jax.lax.dynamic_slice(
+                padded, (jnp.clip(frame_start, 0),), (header_samples,))
         hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
         n_valid_hdr = jnp.sum(hdr_ok[:header_bits].astype(jnp.int32))
         hdr_bits = jnp.where(
@@ -250,14 +259,14 @@ def decode_capture(
 
         # --- sync refinement + frame start
         expected = i + (l_pre - sync_len)
-        best_pos = sync_refine(expected)
+        best_pos, slab_ctx = sync_refine(expected)
         frame_start = best_pos + sync_len
 
         # reference waits for more data when the header spills past the
         # buffer end (decoder.rs:252-254); at end-of-capture that means
         # the stream is done.
         hdr_incomplete = frame_start + header_samples > vlen
-        h = decode_header(frame_start)
+        h = decode_header(frame_start, slab_ctx)
         data_len, ftype = h["data_len"], h["ftype"]
         header_ok = h["header_ok"]
 
