@@ -172,14 +172,18 @@ def decode_capture(
 
     n_sync_pos = 2 * margin + 1
 
-    # one slab covers both the sync realignment windows and every
-    # possible header window start (frame_start <= base + 2*margin +
-    # sync_len), so a scan step touches the big capture array ONCE
-    comb_len = n_sync_pos + sync_len + 2 * margin + header_samples
+    # one slab covers both the sync realignment windows (max offset
+    # 2*margin + sync_len) and every possible header window
+    # (frame_start <= base + 2*margin + sync_len), so a scan step
+    # touches the big capture array ONCE
+    comb_len = 2 * margin + sync_len + header_samples
 
-    def sync_refine(expected: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def sync_refine(
+        expected: jax.Array,
+    ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
         """±1-bit sync-word realignment (decoder.rs:158-217).
-        Returns (best position, the combined slab for header reuse)."""
+        Returns (best position, (slab, base)) — the combined slab is
+        reused by decode_header."""
         base = jnp.clip(expected - margin, 0)
         pos = base + (sync_positions + margin)   # base + [0 .. 2*margin]
         valid = ((pos >= expected - margin) & (pos <= expected + margin)
@@ -205,14 +209,10 @@ def decode_capture(
     # inside the scan, so it keeps the unified path.
     body_in_scan = cfg.line_coding != MANCHESTER
 
-    def decode_header(frame_start, slab_ctx=None):
-        if slab_ctx is not None:
-            slab, base = slab_ctx
-            off = jnp.clip(frame_start - base, 0, comb_len - header_samples)
-            hdr_win = jax.lax.dynamic_slice(slab, (off,), (header_samples,))
-        else:
-            hdr_win = jax.lax.dynamic_slice(
-                padded, (jnp.clip(frame_start, 0),), (header_samples,))
+    def decode_header(frame_start, slab_ctx):
+        slab, base = slab_ctx
+        off = jnp.clip(frame_start - base, 0, comb_len - header_samples)
+        hdr_win = jax.lax.dynamic_slice(slab, (off,), (header_samples,))
         hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
         n_valid_hdr = jnp.sum(hdr_ok[:header_bits].astype(jnp.int32))
         hdr_bits = jnp.where(
