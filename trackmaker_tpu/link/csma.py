@@ -56,7 +56,7 @@ class CsmaSender:
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
                  sample_rate: int = 48_000, seed: int = 0,
-                 max_frames_per_decode: int = 8):
+                 max_frames_per_decode: int = 8, phy=None):
         self.ep = endpoint
         self.cfg = cfg
         self.mac = mac_cfg
@@ -64,8 +64,12 @@ class CsmaSender:
         self.remote = remote_addr
         self.sr = sample_rate
         self.rng = random.Random(seed)
-        self.encoder = PhyEncoder(cfg)
-        self.decoder = PhyDecoder(cfg, local_addr, max_frames_per_decode)
+        # `phy` (optional) provides both encode_frames and
+        # process_samples/reset — e.g. an OfdmStreamPhy — so the MAC is
+        # modem-agnostic; default is the line-coded PHY
+        self.encoder = phy or PhyEncoder(cfg)
+        self.decoder = phy or PhyDecoder(cfg, local_addr,
+                                         max_frames_per_decode)
 
         self.queue: deque[bytes] = deque()
         self.seq = 0
@@ -207,15 +211,16 @@ class CsmaReceiver:
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
                  sample_rate: int = 48_000,
-                 max_frames_per_decode: int = 8):
+                 max_frames_per_decode: int = 8, phy=None):
         self.ep = endpoint
         self.cfg = cfg
         self.mac = mac_cfg
         self.local = local_addr
         self.remote = remote_addr
         self.sr = sample_rate
-        self.encoder = PhyEncoder(cfg)
-        self.decoder = PhyDecoder(cfg, local_addr, max_frames_per_decode)
+        self.encoder = phy or PhyEncoder(cfg)
+        self.decoder = phy or PhyDecoder(cfg, local_addr,
+                                         max_frames_per_decode)
         self.received: list[bytes] = []
         self.seen: set[int] = set()
         self.duplicates = 0

@@ -225,6 +225,123 @@ def find_preambles(cfg: OfdmConfig, rx: jax.Array,
     return starts
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _demod_symbols_at(cfg: OfdmConfig, max_syms: int, rx: jax.Array,
+                      start: jax.Array) -> jax.Array:
+    """Demod pilot + up to max_syms data symbols at one preamble start
+    -> uint8[max_syms * bits_per_symbol] hard bits."""
+    total = (1 + max_syms) * cfg.sym_len
+    body_off = cfg.preamble_len + cfg.guard_samples
+    pad = jnp.concatenate([rx.astype(jnp.float32),
+                           jnp.zeros(total + body_off + 8, jnp.float32)])
+    seg = jax.lax.dynamic_slice(
+        pad, (jnp.clip(start, 0) + body_off,), (total,))
+    syms = seg.reshape(1 + max_syms, cfg.sym_len)
+    spec = _time_to_spectrum(cfg, syms)
+    pilot_rx = spec[0]
+    h = pilot_rx * jnp.conj(jnp.asarray(_pilot_symbols(cfg)))
+    h = jnp.where(jnp.abs(h) < 1e-12, 1.0 + 0j, h)
+    eq = spec[1:] * jnp.conj(h) / jnp.maximum(jnp.abs(h), 1e-12)
+    return _qpsk_to_bits(eq.reshape(-1))
+
+
+class OfdmStreamPhy:
+    """Variable-length OFDM PHY with the line-coded PHY's duck type
+    (``encode_frames`` / ``process_samples`` / ``reset``), so the MAC
+    (CSMA/ARQ/GBN) and everything above it run unchanged over OFDM.
+
+    Length handling: the first data symbol carries >= the 56-bit frame
+    header, so decode demodulates pilot+all symbols up to the max frame
+    size once per detection, parses the length from the leading bits,
+    and keeps exactly (7+len)*8 bits — pad-and-mask, no second pass.
+    """
+
+    def __init__(self, cfg: OfdmConfig = OfdmConfig(),
+                 max_frame_bytes: int = 263, local_addr: int | None = None):
+        self.cfg = cfg
+        self.local_addr = local_addr
+        self.max_frame_bytes = max_frame_bytes
+        self.max_syms = cfg.n_symbols(max_frame_bytes * 8)
+        self._buf = np.zeros(0, np.float32)
+        self.preamble_len = cfg.preamble_len
+
+    # -- encoder side ------------------------------------------------------
+
+    def encode_frame(self, frame: Frame) -> np.ndarray:
+        bits = bitops.bytes_to_bits_host(frame.to_bytes())
+        w = modulate_bits(self.cfg, jnp.asarray(bits[None]),
+                          bits.shape[-1])
+        return np.asarray(w[0])
+
+    def encode_frames(self, frames: list[Frame],
+                      gap_samples: int = 256) -> np.ndarray:
+        parts = []
+        for i, f in enumerate(frames):
+            parts.append(self.encode_frame(f))
+            if i < len(frames) - 1:
+                parts.append(np.zeros(gap_samples, np.float32))
+        return np.concatenate(parts) if parts else np.zeros(0, np.float32)
+
+    # -- streaming decoder side ---------------------------------------
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, np.float32)
+
+    def frame_samples(self, n_payload: int) -> int:
+        return self.cfg.frame_samples((PHY_HEADER_BYTES_ + n_payload) * 8)
+
+    def process_samples(self, samples: np.ndarray) -> list[Frame]:
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, np.float32)])
+        cfg = self.cfg
+        if len(self._buf) < cfg.preamble_len + 1:
+            return []
+        out: list[Frame] = []
+        consumed = 0
+        # pad to power-of-2 buckets: bounded set of jit shapes
+        bucket = 4096
+        while bucket < len(self._buf):
+            bucket *= 2
+        padded = np.zeros(bucket, np.float32)
+        padded[: len(self._buf)] = self._buf
+        pj = jnp.asarray(padded)
+        starts = np.asarray(find_preambles(cfg, pj, 16))
+        for s in starts[starts >= 0]:
+            s = int(s)
+            if s < consumed:
+                continue
+            min_end = s + cfg.frame_samples(1)  # header needs 1st symbol
+            if min_end > len(self._buf):
+                break  # frame still arriving
+            bits = np.asarray(_demod_symbols_at(
+                cfg, self.max_syms, pj, s))
+            hdr = np.packbits(bits[:56])
+            data_len = (int(hdr[0]) << 8) | int(hdr[1])
+            if data_len > self.max_frame_bytes - 7:
+                consumed = s + cfg.preamble_len
+                continue
+            total_bits = (7 + data_len) * 8
+            frame_end = s + cfg.frame_samples(total_bits)
+            if frame_end > len(self._buf):
+                break  # wait for the rest of this frame
+            f = Frame.from_bits(bits[:total_bits])
+            consumed = frame_end
+            if f is None:
+                continue
+            if self.local_addr is not None and f.dst != self.local_addr:
+                continue
+            out.append(f)
+        if consumed:
+            keep = max(consumed - (cfg.preamble_len - 1), 0)
+            self._buf = self._buf[keep:]
+        elif len(self._buf) > 10 * cfg.sample_rate:
+            self._buf = self._buf[-cfg.preamble_len:]
+        return out
+
+
+PHY_HEADER_BYTES_ = 7
+
+
 class OfdmModem:
     """Frame-level facade: PHY frames <-> OFDM waveform.
 
