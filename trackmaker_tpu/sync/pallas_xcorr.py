@@ -53,17 +53,31 @@ def _banded_mats(pattern_key, seg: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
                   slab_ref, *, blk: int, seg: int, inv_pe: float,
-                  eps: float, normalize: bool, scale: float):
+                  eps: float, normalize: bool, scale: float,
+                  use_bf16: bool):
     nb = blk // 128
     slab_ref[0, :blk] = x0_ref[0, :]
     slab_ref[0, blk:] = x1_ref[0, :seg]
     rows = [slab_ref[0, 128 * b : 128 * b + seg] for b in range(nb)]
     xmat = jnp.stack(rows, axis=0)                       # (nb, SEG)
-    dot = jnp.dot(xmat, pmat_ref[:, :],
-                  preferred_element_type=jnp.float32)    # (nb, 128)
+    if use_bf16:
+        # pattern entries (±1/0 scaled) are bf16-exact; x loses ~8 bits
+        # of mantissa — fine for detection, not for oracle-exactness at
+        # the threshold boundary. Opt-in.
+        xm = xmat.astype(jnp.bfloat16)
+        pm = pmat_ref[:, :].astype(jnp.bfloat16)
+        em = emat_ref[:, :].astype(jnp.bfloat16)
+        dot = jnp.dot(xm, pm, preferred_element_type=jnp.float32)
+        if normalize:
+            energy = jnp.dot((xmat * xmat).astype(jnp.bfloat16), em,
+                             preferred_element_type=jnp.float32)
+    else:
+        dot = jnp.dot(xmat, pmat_ref[:, :],
+                      preferred_element_type=jnp.float32)    # (nb, 128)
+        if normalize:
+            energy = jnp.dot(xmat * xmat, emat_ref[:, :],
+                             preferred_element_type=jnp.float32)
     if normalize:
-        energy = jnp.dot(xmat * xmat, emat_ref[:, :],
-                         preferred_element_type=jnp.float32)
         denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
         corr = jnp.where(energy < eps, 0.0, dot * denom)
     else:
@@ -80,6 +94,7 @@ def pallas_normalized_xcorr(
     normalize: bool = True,
     scale: float = 1.0,
     full_length: bool = False,
+    use_bf16: bool = False,
 ) -> jax.Array:
     """corr[i] = dot(x[i:i+L],p) / (||x[i:i+L]||·||p||), low-energy -> 0.
 
@@ -105,7 +120,8 @@ def pallas_normalized_xcorr(
     out = pl.pallas_call(
         functools.partial(_xcorr_kernel, blk=blk, seg=seg,
                           inv_pe=1.0 / pe, eps=eps,
-                          normalize=normalize, scale=scale),
+                          normalize=normalize, scale=scale,
+                          use_bf16=use_bf16),
         out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
         grid=(grid,),
         in_specs=[
