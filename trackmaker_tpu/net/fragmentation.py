@@ -11,6 +11,7 @@ fragmentation.rs:179-182 — and recomputed by senders downstream).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 
@@ -77,12 +78,34 @@ class IpFragmenter:
 
 
 class IpReassembler:
-    def __init__(self):
-        self._fragments: dict[tuple[int, bytes], list[tuple[int, bytes]]] = {}
+    """Reassembly keyed by (identification, src IP) like the reference
+    (fragmentation.rs:234-401), hardened against two leaks the reference
+    shares: duplicate fragments are idempotent (first copy wins — a
+    retransmitted fragment no longer wedges the gap check forever), and
+    partial reassemblies expire after `timeout_s` (RFC 791's reassembly
+    timer), so loss cannot grow the tables without bound."""
+
+    def __init__(self, timeout_s: float = 30.0):
+        self.timeout_s = timeout_s
+        # key -> {offset_units: payload}
+        self._fragments: dict[tuple[int, bytes], dict[int, bytes]] = {}
         self._last_seen: dict[tuple[int, bytes], bool] = {}
         self._headers: dict[tuple[int, bytes], bytes] = {}
+        self._born: dict[tuple[int, bytes], float] = {}
+
+    def _expire(self, now: float) -> None:
+        dead = [k for k, t0 in self._born.items()
+                if now - t0 > self.timeout_s]
+        for k in dead:
+            self._fragments.pop(k, None)
+            self._last_seen.pop(k, None)
+            self._headers.pop(k, None)
+            self._born.pop(k, None)
 
     def process_fragment(self, packet: bytes) -> bytes | None:
+        now = time.monotonic()
+        self._expire(now)
+
         if len(packet) < 20:
             raise ValueError("fragment too small for header")
         ihl = (packet[0] & 0x0F) * 4
@@ -97,15 +120,16 @@ class IpReassembler:
             return bytes(packet)  # unfragmented
 
         self._headers.setdefault(key, bytes(packet[:ihl]))
-        self._fragments.setdefault(key, []).append(
-            (info.fragment_offset, bytes(packet[ihl:])))
+        self._born.setdefault(key, now)
+        self._fragments.setdefault(key, {}).setdefault(
+            info.fragment_offset, bytes(packet[ihl:]))
         if not info.more_fragments:
             self._last_seen[key] = True
 
         if not self._last_seen.get(key, False):
             return None
 
-        frags = sorted(self._fragments[key], key=lambda kv: kv[0])
+        frags = sorted(self._fragments[key].items())
         expected = 0
         for off, payload in frags:
             if off != expected:
@@ -120,4 +144,5 @@ class IpReassembler:
         del self._fragments[key]
         del self._last_seen[key]
         del self._headers[key]
+        del self._born[key]
         return bytes(out)

@@ -130,13 +130,11 @@ def build_track(cfg: AskConfig, frames: np.ndarray,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_frames", "max_candidates",
-                              "chain_window"))
+    jax.jit, static_argnames=("cfg", "max_frames", "chain_window"))
 def demodulate(
     cfg: AskConfig,
     rx: jax.Array,                  # f32[T]
     max_frames: int = 128,
-    max_candidates: int = 32768,
     chain_window: int = 4096,
 ) -> AskDecoded:
     """Batched receiver replaying ask.rs:693-796 decision-for-decision."""

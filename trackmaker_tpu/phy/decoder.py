@@ -91,14 +91,14 @@ class DecodedFrames(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_frames", "max_candidates"))
+    jax.jit, static_argnames=("cfg", "max_frames", "with_cursor"))
 def decode_capture(
     cfg: PhyConfig,
     samples: jax.Array,          # f32[T]
     local_addr: jax.Array | int,
     max_frames: int = 64,
-    max_candidates: int = 512,
     valid_len: jax.Array | int | None = None,
+    with_cursor: bool = False,
 ) -> DecodedFrames:
     """Decode one capture. vmap over a leading batch axis for batches.
 
@@ -107,6 +107,13 @@ def decode_capture(
     one compile per buffer length); frames whose body would extend past
     it are treated as incomplete, like the reference's wait-for-more-data
     path (decoder.rs:252-254, 295-297).
+
+    With `with_cursor=True` returns ``(frames, searched_until)`` where
+    `searched_until` is the sample index a streaming caller may drain
+    to: the start of a pending incomplete frame if the scan stopped on
+    one, else `valid_len - (preamble_len - 1)` once the search exhausted
+    all candidates (the reference's overlap-preserving drain,
+    decoder.rs:89-109), else the scan cursor when `max_frames` ran out.
     """
     samples = samples.astype(jnp.float32)
     t = samples.shape[-1]
@@ -252,7 +259,7 @@ def decode_capture(
         return bytes_full, n_valid_bits, line_fail, crc_calc
 
     def step(carry, _):
-        cursor, done = carry
+        cursor, done, pending = carry
 
         first, has_cand = first_hit_from(cursor)
         i = jnp.clip(first, 0, t)  # preamble start (abs)
@@ -309,6 +316,13 @@ def decode_capture(
         frame_valid = attempt_ok & crc_ok
         stop = done | ~has_cand | (has_cand & hdr_incomplete) | (
             has_cand & ~hdr_incomplete & header_ok & ~len_bad & incomplete)
+        # a stop on an *incomplete* frame pins the drain point to its
+        # preamble start: the streaming caller must keep it buffered
+        # (decoder.rs:252-254, 295-297 wait-for-more-data)
+        wait_here = has_cand & ~done & (
+            hdr_incomplete | (~hdr_incomplete & header_ok & ~len_bad
+                              & incomplete))
+        new_pending = jnp.minimum(pending, jnp.where(wait_here, i, _BIG))
         new_cursor = jnp.where(stop, cursor, i + consumed)
         new_done = stop
 
@@ -334,20 +348,29 @@ def decode_capture(
         if not body_in_scan:
             out["frame_start"] = jnp.where(keep, frame_start, 0)
             out["crc_field"] = jnp.where(keep, h["crc_field"], 0)
-        return (new_cursor, new_done), out
+        return (new_cursor, new_done, new_pending), out
 
-    (_, _), ys = jax.lax.scan(
+    (cursor_f, done_f, pending_f), ys = jax.lax.scan(
         step,
         # derive the init carry from vlen so its sharding/varying type
         # matches the loop outputs under shard_map
-        ((vlen * 0).astype(jnp.int32), vlen < 0),
+        ((vlen * 0).astype(jnp.int32), vlen < 0,
+         (vlen * 0 + _BIG).astype(jnp.int32)),
         None, length=max_frames,
         # unrolling amortizes the TPU while-loop per-iteration overhead,
         # which dominates this scan (each step is tiny)
         unroll=min(8, max_frames))
 
+    searched_until = jnp.clip(
+        jnp.where(
+            pending_f < _BIG,
+            pending_f,
+            jnp.where(done_f, vlen - (l_pre - 1), cursor_f)),
+        0, vlen)
+
     if body_in_scan:
-        return DecodedFrames(**ys)
+        res = DecodedFrames(**ys)
+        return (res, searched_until) if with_cursor else res
 
     # ---- Manchester post-pass: body decode + CRC for all slots at once
     frame_starts = ys.pop("frame_start")
@@ -375,300 +398,8 @@ def decode_capture(
         start=jnp.where(valid, ys["start"], -1),
         corr=jnp.where(valid, ys["corr"], 0.0),
     )
-    return DecodedFrames(**ys)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "max_frames", "max_candidates"))
-def _decode_capture_wave(
-    cfg: PhyConfig,
-    samples: jax.Array,
-    local_addr: jax.Array | int,
-    max_frames: int = 64,
-    max_candidates: int = 512,
-    valid_len: jax.Array | int | None = None,
-) -> tuple[DecodedFrames, jax.Array]:
-    """Optimistic *parallel* decode (Manchester): one attempt per
-    hit-run, all vmapped, with a scalar interval scan replaying the
-    cursor arithmetic and a conformance flag.
-
-    Returns (frames, conformant).  When `conformant` is True the result
-    is provably identical to :func:`decode_capture`'s sequential
-    semantics: every consumption landed on a run boundary, so the
-    sequential walk would have attempted exactly the kept runs.  When
-    False (mid-run cursor landings — e.g. corrupted headers causing
-    1-sample consumption, or more hit-runs than slots), the caller must
-    re-decode with the exact path.
-    """
-    assert cfg.line_coding == MANCHESTER, "wave path is Manchester-only"
-    samples = samples.astype(jnp.float32)
-    t = samples.shape[-1]
-    local_addr = jnp.asarray(local_addr, jnp.int32)
-    vlen = jnp.asarray(t if valid_len is None else valid_len, jnp.int32)
-
-    pre_np = line_coding.preamble_waveform(cfg)
-    pre = jnp.asarray(pre_np)
-    l_pre = pre.shape[0]
-    pre_energy = correlate.preamble_energy(pre_np)
-    sync_len = cfg.sync_len
-    sync_pat = pre[l_pre - sync_len:]
-    sync_energy = correlate.preamble_energy(pre_np[l_pre - sync_len:])
-    margin = cfg.sync_margin
-    header_samples = cfg.header_samples
-    header_bits = cfg.header_bits
-    max_total_bytes = PHY_HEADER_BYTES + cfg.max_frame_bytes
-    max_window = cfg.samples_for_bits(max_total_bytes * 8)
-
-    if t < l_pre:
-        samples = jnp.pad(samples, (0, l_pre - t))
-        t = l_pre
-
-    from trackmaker_tpu import sync as sync_mod
-    corr = sync_mod.auto_xcorr(samples, pre_np, pre_energy)
-    hits = corr >= cfg.correlation_threshold
-    run_mask = hits & ~jnp.concatenate(
-        [jnp.zeros(1, bool), hits[:-1]])
-    n_runs = jnp.sum(run_mask.astype(jnp.int32))
-    run_mask_pad = jnp.concatenate([run_mask, jnp.zeros(8, bool)])
-
-    # --- run-start extraction WITHOUT a global nonzero (which costs
-    # ~4ms/capture on TPU): per-512-block peel of up to RPB starts via
-    # repeated argmax, then a tiny sort to compact.  More than RPB run
-    # starts in one block (adversarial) trips `overflow` -> exact
-    # fallback.
-    blk = 512
-    hb = -(-run_mask.shape[-1] // blk)
-    rm_blocks = jnp.pad(
-        run_mask, (0, hb * blk - run_mask.shape[-1])).reshape(hb, blk)
-    per_block = jnp.sum(rm_blocks.astype(jnp.int32), axis=1)
-    rpb = 4
-    block_ids = jnp.nonzero(per_block > 0, size=max_frames,
-                            fill_value=hb)[0]          # tiny (hb elems)
-    rows = jnp.pad(rm_blocks, ((0, 1), (0, 0)))[block_ids]  # (mf, blk)
-    lane = jnp.arange(blk, dtype=jnp.int32)
-    starts_list = []
-    for _ in range(rpb):
-        has = jnp.any(rows, axis=1)
-        pos = jnp.argmax(rows, axis=1)
-        starts_list.append(jnp.where(
-            has, block_ids * blk + pos, 2**30).astype(jnp.int32))
-        rows = rows & (lane[None, :] > pos[:, None])
-    runs = jnp.sort(jnp.concatenate(starts_list))[:max_frames]
-    overflow = (n_runs > max_frames) | jnp.any(per_block > rpb) | (
-        jnp.sum((per_block > 0).astype(jnp.int32)) > max_frames)
-
-    # block index over raw hits for the conformance queries
-    hits_blocks_w = jnp.pad(
-        hits, (0, hb * blk - hits.shape[-1])).reshape(hb, blk)
-    hblock_any = jnp.any(hits_blocks_w, axis=1)
-    brange_w = jnp.arange(hb, dtype=jnp.int32)
-
-    def first_hit_from_w(cursor):
-        c = jnp.clip(cursor, 0, hb * blk - 1)
-        jb = c // blk
-        off = c % blk
-        row = hits_blocks_w[jb]
-        m1 = row & (lane >= off)
-        has1 = jnp.any(m1)
-        i1 = jb * blk + jnp.argmax(m1)
-        m2 = hblock_any & (brange_w > jb)
-        has2 = jnp.any(m2)
-        b2 = jnp.argmax(m2)
-        i2 = b2 * blk + jnp.argmax(hits_blocks_w[b2])
-        return jnp.where(has1, i1, jnp.where(has2, i2, _BIG)).astype(
-            jnp.int32), has1 | has2
-
-    pad = max_window + l_pre + margin + sync_len + 8
-    padded = jnp.concatenate([samples, jnp.zeros(pad, jnp.float32)])
-    sync_positions = jnp.arange(2 * margin + 1, dtype=jnp.int32) - margin
-    n_sync_pos = 2 * margin + 1
-
-    def sync_refine(expected):
-        base = jnp.clip(expected - margin, 0)
-        pos = base + (sync_positions + margin)
-        valid = ((pos >= expected - margin) & (pos <= expected + margin)
-                 & (pos <= vlen - sync_len))
-        slab = jax.lax.dynamic_slice(
-            padded, (base,), (n_sync_pos + sync_len,))
-        wins = jnp.stack(
-            [jax.lax.slice(slab, (k,), (k + sync_len,))
-             for k in range(n_sync_pos)])
-        dot = wins @ sync_pat
-        we = jnp.sum(wins * wins, axis=-1)
-        c = jnp.where((we > 1e-6) & (sync_energy > 1e-6),
-                      dot / (jnp.sqrt(we) * sync_energy), 0.0)
-        c = jnp.where(valid, c, -jnp.inf)
-        best = jnp.argmax(c)
-        return jnp.where(jnp.max(c) > -1.0, pos[best], expected)
-
-    def attempt(i):
-        """Header-level attempt at run start i (all runs in parallel)."""
-        i_c = jnp.clip(i, 0, t)
-        expected = i_c + (l_pre - sync_len)
-        frame_start = sync_refine(expected) + sync_len
-        hdr_win = jax.lax.dynamic_slice(
-            padded, (jnp.clip(frame_start, 0),), (header_samples,))
-        hdr_bits, _ = line_coding.decode(cfg, hdr_win)
-        hdr_bytes = bitops.pack_bits(hdr_bits[:header_bits])
-        data_len = (hdr_bytes[0].astype(jnp.int32) << 8) | hdr_bytes[1]
-        ftype = hdr_bytes[3].astype(jnp.int32)
-        header_ok = (ftype == 1) | (ftype == 2)
-        len_bad = ((ftype == FRAME_TYPE_DATA) & (data_len == 0)) | (
-            data_len > cfg.max_frame_bytes)
-        total_samples = _samples_for_bits_traced(
-            cfg, (PHY_HEADER_BYTES + data_len) * 8)
-        consumed = jnp.where(
-            ~header_ok, header_samples,
-            jnp.where(len_bad, 1, l_pre + total_samples))
-        return dict(
-            frame_start=frame_start,
-            data_len=data_len,
-            crc_field=hdr_bytes[2].astype(jnp.int32),
-            ftype=ftype,
-            seq=hdr_bytes[4].astype(jnp.int32),
-            src=hdr_bytes[5].astype(jnp.int32),
-            dst=hdr_bytes[6].astype(jnp.int32),
-            header_ok=header_ok,
-            len_bad=len_bad,
-            hdr_incomplete=frame_start + header_samples > vlen,
-            incomplete=frame_start + total_samples > vlen,
-            consumed=consumed,
-        )
-
-    slots = jax.vmap(attempt)(runs)
-
-    def istep(carry, xs):
-        # scalar-only cursor walk; the conformance check moves to a
-        # vmapped post-pass so no per-step gathers remain
-        cursor, done = carry
-        start, s = xs
-        exists = start < _BIG
-        attempt_here = exists & ~done & (start >= cursor)
-        stop_now = attempt_here & (
-            s["hdr_incomplete"]
-            | (~s["hdr_incomplete"] & s["header_ok"] & ~s["len_bad"]
-               & s["incomplete"]))
-        advance = attempt_here & ~stop_now
-        new_cursor = jnp.where(advance, start + s["consumed"], cursor)
-        new_done = done | (exists & stop_now) | ~exists
-        kept = (advance & s["header_ok"] & ~s["len_bad"]
-                & ((s["dst"] == local_addr) | (local_addr < 0)))
-        return (new_cursor, new_done), (kept, advance, new_cursor)
-
-    (cursor_f, _), (kept, advanced, cursors_after) = jax.lax.scan(
-        istep,
-        ((vlen * 0).astype(jnp.int32), vlen < 0),
-        (runs, slots),
-        unroll=min(8, max_frames))
-
-    # post-hoc conformance, all advanced steps at once: the next hit
-    # past each consumed region must itself be a run start, else the
-    # sequential walk would have attempted a mid-run candidate this
-    # parallel pass never considered
-    def conf(cur):
-        nextc, has_next = first_hit_from_w(cur)
-        return has_next & ~run_mask_pad[
-            jnp.clip(nextc, 0, run_mask_pad.shape[0] - 1)]
-
-    mid_run = jax.vmap(conf)(cursors_after)
-    violation = overflow | jnp.any(advanced & mid_run)
-
-    # body decode + CRC for all slots in parallel
-    def body_slot(fs, dlen, cf, attempted):
-        total_bits = (PHY_HEADER_BYTES + dlen) * 8
-        body_win = jax.lax.dynamic_slice(
-            padded, (jnp.clip(fs, 0),), (max_window,))
-        bits_full, _ = line_coding.decode(cfg, body_win)
-        in_frame = jnp.arange(bits_full.shape[-1]) < total_bits
-        masked_bits = jnp.where(in_frame, bits_full, 0)
-        bytes_full = bitops.pack_bits(masked_bits[: max_total_bytes * 8])
-        crc_calc = bitops.crc8_bits_matmul(
-            masked_bits[PHY_HEADER_BYTES * 8: max_total_bytes * 8],
-            jnp.clip(dlen, 0, cfg.max_frame_bytes))
-        crc_ok = (crc_calc.astype(jnp.int32) == cf) & attempted
-        masked = jnp.where(
-            crc_ok & (jnp.arange(max_total_bytes) <
-                      PHY_HEADER_BYTES + dlen), bytes_full, 0)
-        return masked.astype(jnp.uint8), crc_ok
-
-    frame_bytes, valid = jax.vmap(body_slot)(
-        slots["frame_start"], slots["data_len"], slots["crc_field"], kept)
-
-    z = jnp.int32(0)
-    res = DecodedFrames(
-        valid=valid,
-        frame_bytes=frame_bytes,
-        length=jnp.where(valid, slots["data_len"], z),
-        frame_type=jnp.where(valid, slots["ftype"], z),
-        sequence=jnp.where(valid, slots["seq"], z),
-        src=jnp.where(valid, slots["src"], z),
-        dst=jnp.where(valid, slots["dst"], z),
-        start=jnp.where(valid, runs, -1),
-        corr=jnp.where(
-            valid,
-            corr[jnp.clip(runs, 0, corr.shape[-1] - 1)], 0.0),
-    )
-    return res, ~violation
-
-
-@functools.lru_cache(maxsize=64)
-def _batched_wave_fn(cfg, max_frames, max_candidates):
-    return jax.jit(jax.vmap(
-        lambda s, a: _decode_capture_wave(cfg, s, a, max_frames,
-                                          max_candidates),
-        in_axes=(0, None)))
-
-
-@functools.lru_cache(maxsize=64)
-def _batched_exact_fn(cfg, max_frames, max_candidates):
-    return jax.jit(jax.vmap(
-        lambda s, a: decode_capture(cfg, s, a, max_frames,
-                                    max_candidates),
-        in_axes=(0, None)))
-
-
-def decode_capture_auto(
-    cfg: PhyConfig,
-    samples,                     # f32[T] or f32[B, T]
-    local_addr: int,
-    max_frames: int = 64,
-    max_candidates: int = 512,
-) -> DecodedFrames:
-    """Host-level fast path: Manchester captures run the parallel wave
-    decoder; any capture whose conformance check fails (and any non-
-    Manchester config) is re-decoded with the exact sequential path.
-    Semantics always equal :func:`decode_capture`."""
-    x = jnp.asarray(samples)
-    batched = x.ndim == 2
-    if cfg.line_coding != MANCHESTER:
-        if batched:
-            return _batched_exact_fn(cfg, max_frames, max_candidates)(
-                x, local_addr)
-        return decode_capture(cfg, x, local_addr, max_frames,
-                              max_candidates)
-
-    if not batched:
-        res, ok = _decode_capture_wave(cfg, x, local_addr, max_frames,
-                                       max_candidates)
-        if bool(ok):
-            return res
-        return decode_capture(cfg, x, local_addr, max_frames,
-                              max_candidates)
-
-    res, ok = _batched_wave_fn(cfg, max_frames, max_candidates)(
-        x, local_addr)
-    ok = np.asarray(ok)
-    if ok.all():
-        return res
-    exact = _batched_exact_fn(cfg, max_frames, max_candidates)(
-        x, local_addr)
-    pick = jnp.asarray(ok)
-
-    def merge(a, b):
-        shape = (pick.shape[0],) + (1,) * (a.ndim - 1)
-        return jnp.where(pick.reshape(shape), a, b)
-
-    return jax.tree_util.tree_map(merge, res, exact)
+    res = DecodedFrames(**ys)
+    return (res, searched_until) if with_cursor else res
 
 
 class PhyDecoder:
@@ -686,11 +417,9 @@ class PhyDecoder:
         self.local_addr = local_addr
         self.max_frames = max_frames_per_call
         self._buf = np.zeros(0, dtype=np.float32)
-        self._consumed = 0  # absolute position fully decoded so far
 
     def reset(self) -> None:
         self._buf = np.zeros(0, dtype=np.float32)
-        self._consumed = 0
 
     @staticmethod
     def _bucket(n: int, min_bucket: int = 4096) -> int:
@@ -705,23 +434,22 @@ class PhyDecoder:
         min_need = self.cfg.preamble_len + self.cfg.header_samples
         if len(self._buf) < min_need:
             return []
-        # decode everything we have; drop fully-consumed prefix after.
+        # decode everything we have; drop the searched prefix after.
         # buffers are zero-padded to power-of-2 buckets so jit compiles a
         # handful of shapes, with valid_len carrying the true length.
         n = len(self._buf)
         bucket = self._bucket(n)
         padded = np.zeros(bucket, np.float32)
         padded[:n] = self._buf
-        res = decode_capture(
+        res, searched = decode_capture(
             self.cfg, jnp.asarray(padded), self.local_addr,
-            max_frames=self.max_frames, valid_len=n)
+            max_frames=self.max_frames, valid_len=n, with_cursor=True)
         frames = res.to_frames()
-        starts = np.asarray(res.start)
-        lens = np.asarray(res.length)
-        if frames:
-            last = int(np.max(starts))
-            k = int(np.argmax(starts))
-            end = last + self.cfg.preamble_len + self.cfg.frame_samples(
-                int(lens[k]))
-            self._buf = self._buf[end:]
+        # drain the searched prefix even when nothing decoded — the
+        # reference does this every call, keeping a preamble-1 overlap
+        # (decoder.rs:89-109); without it a noise-only stream grows the
+        # buffer without bound and re-decodes the same prefix (O(n^2)).
+        drop = int(searched)
+        if drop > 0:
+            self._buf = self._buf[drop:]
         return frames

@@ -105,6 +105,7 @@ bool parse_streaminfo(const uint8_t* data, size_t len, StreamInfo* si,
     uint32_t blen = ((uint32_t)data[pos + 1] << 16) |
                     ((uint32_t)data[pos + 2] << 8) | data[pos + 3];
     pos += 4;
+    if (blen > len - pos) return false;  // truncated/malformed block
     if (btype == 0 && blen >= 34) {
       const uint8_t* p = data + pos;
       si->min_block = (p[0] << 8) | p[1];
@@ -184,6 +185,7 @@ bool decode_subframe(BitReader& br, uint32_t blocksize, uint32_t bps,
     for (uint32_t i = 0; i < blocksize; i++) out[i] = br.read_signed(ebps);
   } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // FIXED
     uint32_t order = type & 0x07;
+    if (order > blocksize) return false;  // warmup would overrun out[]
     for (uint32_t i = 0; i < order; i++) out[i] = br.read_signed(ebps);
     if (!decode_residual(br, blocksize, order, out + order)) return false;
     const int* c = kFixedCoeffs[order];
@@ -194,6 +196,7 @@ bool decode_subframe(BitReader& br, uint32_t blocksize, uint32_t bps,
     }
   } else if (type & 0x20) {  // LPC
     uint32_t order = (type & 0x1F) + 1;
+    if (order > blocksize) return false;  // warmup would overrun out[]
     for (uint32_t i = 0; i < order; i++) out[i] = br.read_signed(ebps);
     uint32_t prec = (uint32_t)br.read_bits(4);
     if (prec == 0xF) return false;
@@ -266,9 +269,14 @@ int64_t tm_flac_decode(const uint8_t* data, size_t len, int32_t* out,
 
   BitReader br(data + off, len - off);
   int64_t* ch_buf[kMaxChannels];
+  // Floor the allocation at 33 entries (max LPC order + 1) so even a
+  // hostile STREAMINFO max_block smaller than a subframe's order cannot
+  // make the warmup loops write past the buffer (defense in depth on
+  // top of the order > blocksize rejection in decode_subframe).
   uint32_t maxb = si.max_block ? si.max_block : 65535;
+  uint32_t alloc_n = maxb < 33 ? 33 : maxb;
   for (uint32_t c = 0; c < si.channels; c++)
-    ch_buf[c] = (int64_t*)malloc(sizeof(int64_t) * maxb);
+    ch_buf[c] = (int64_t*)malloc(sizeof(int64_t) * alloc_n);
 
   int64_t written = 0;
   int64_t rc = 0;

@@ -5,6 +5,8 @@ from trackmaker_tpu.sync.correlate import (  # noqa: F401
 )
 from trackmaker_tpu.sync.pallas_xcorr import pallas_normalized_xcorr  # noqa: F401
 
+import os
+
 import jax
 import numpy as _np
 
@@ -16,6 +18,20 @@ def _on_tpu() -> bool:
         return False
 
 
+def bf16_enabled() -> bool:
+    """Whether the Pallas xcorr kernel may use bf16 multiplicands.
+
+    Default OFF: decode_capture's invariant is decision-for-decision
+    oracle equality, and single-pass bf16 is not provably equal to the
+    f32 3-pass matmul at the corr>=0.9 threshold boundary.  bf16 was
+    *measured* bit-identical on v5e (and is ~20% faster on the kernel),
+    so callers that run their own correctness gate on real hardware —
+    bench.py payload-verifies every decode — opt in via
+    TM_XCORR_BF16=1.
+    """
+    return os.environ.get("TM_XCORR_BF16", "0") == "1"
+
+
 def auto_xcorr(samples, pattern_np, pattern_energy=None, eps: float = 1e-6):
     """Normalized sliding correlation, dispatched by backend.
 
@@ -25,10 +41,8 @@ def auto_xcorr(samples, pattern_np, pattern_energy=None, eps: float = 1e-6):
     would be slower and the conv compiles instantly there).
     """
     if _on_tpu():
-        # use_bf16 measured bit-identical to the f32 path on v5e (Mosaic
-        # lowers f32 matmuls through bf16 passes anyway) and ~20% faster
         return pallas_normalized_xcorr(samples, _np.asarray(pattern_np),
-                                       eps=eps, use_bf16=True)
+                                       eps=eps, use_bf16=bf16_enabled())
     import jax.numpy as jnp
     return normalized_xcorr(samples, jnp.asarray(pattern_np),
                             pattern_energy, eps)
@@ -45,6 +59,6 @@ def auto_sliding_dot_scaled(samples, pattern_np, scale: float):
     if _on_tpu():
         return pallas_normalized_xcorr(
             padded, _np.asarray(pattern_np), normalize=False, scale=scale,
-            use_bf16=True)
+            use_bf16=bf16_enabled())
     out = sliding_dot(padded, jnp.asarray(pattern_np, jnp.float32)) * scale
     return out
