@@ -411,8 +411,8 @@ def test_r11_incomplete_waits_then_completes():
     # to the pending frame's preamble start (0 here).
     padded = np.zeros(len(wave) + 64, np.float32)
     padded[:len(wave)] = wave
-    res, cur = decode_capture(cfg, padded, 2, valid_len=cut2,
-                              with_cursor=True)
+    res, cur, _fc = decode_capture(cfg, padded, 2, valid_len=cut2,
+                                   with_cursor=True)
     assert int(res.count) == 0
     assert int(cur) == 0   # pending frame starts at sample 0
     res2 = decode_capture(cfg, padded, 2, valid_len=len(wave))

@@ -5,10 +5,27 @@ between chunks so detections never straddle a boundary
 (src/phy/decoder.rs:89-109).  Sharding a capture's *time* axis across
 devices needs the same overlap arithmetic, device-to-device: every shard
 pulls a halo (one max-size frame + preamble + sync margin) from its right
-neighbor over ICI with ``ppermute``, decodes its extended block locally,
-and keeps exactly the frames whose preamble starts inside its own region
-— a deterministic ownership rule replacing sequential consumption at
-block seams.
+neighbor over ICI with ``ppermute`` and decodes its extended block
+locally, attempting exactly the candidates whose preamble starts inside
+its own region (``scan_limit``).
+
+Ownership alone is NOT equivalent to sequential consumption: a frame
+near the seam whose *payload* embeds preamble bytes can consume into the
+next block's region, suppressing candidates there that the next shard —
+scanning from its own start — would otherwise attempt (and possibly
+decode as a valid frame the sequential walk never emits).  The fix is a
+**consumed-until fixpoint**: each shard reports its final consumption
+cursor; the right neighbor restarts its walk at that intrusion point
+(``start_cursor``) and re-decodes; iterate until no cursor changes.
+Each shard converges once its left neighbor has, so the loop terminates
+in <= n_shards iterations — in practice 1 extra decode only when a
+frame actually straddles a seam.  Blocks smaller than the halo are fine:
+an intrusion reaching past the immediate neighbor propagates through it
+on the next iteration (a shard whose start_cursor exceeds its
+scan_limit attempts nothing and forwards the endpoint unchanged).  With the fixpoint converged the
+per-block walks stitch into exactly the sequential cursor walk, so
+blocked == sequential decode decision-for-decision
+(tests/test_parallel_adversarial.py).
 
 This is the blockwise/"long-context" treatment of unbounded sample
 streams; the same function handles one long recording on one chip by
@@ -31,6 +48,25 @@ from trackmaker_tpu.phy.decoder import DecodedFrames, decode_capture
 def halo_size(cfg: PhyConfig) -> int:
     return (cfg.preamble_len + cfg.max_frame_samples
             + cfg.sync_margin + cfg.sync_len + 8)
+
+
+def _mask_mine(res: DecodedFrames, block: int, gstart_base) -> DecodedFrames:
+    """Keep frames whose preamble starts inside the shard's own region,
+    rebasing starts to global indices."""
+    mine = res.valid & (res.start >= 0) & (res.start < block)
+    gstart = jnp.where(mine, res.start + gstart_base, -1)
+    return res._replace(
+        valid=mine,
+        start=gstart,
+        frame_bytes=jnp.where(
+            mine[..., None], res.frame_bytes, 0).astype(jnp.uint8),
+        length=jnp.where(mine, res.length, 0),
+        frame_type=jnp.where(mine, res.frame_type, 0),
+        sequence=jnp.where(mine, res.sequence, 0),
+        src=jnp.where(mine, res.src, 0),
+        dst=jnp.where(mine, res.dst, 0),
+        corr=jnp.where(mine, res.corr, 0.0),
+    )
 
 
 def decode_blocked_sharded(
@@ -72,25 +108,47 @@ def decode_blocked_sharded(
         # last shard has no right neighbor: zeros
         right_halo = jnp.where(idx < nsp - 1, right_halo, 0.0)
         ext = jnp.concatenate([xb, right_halo], axis=1)  # [1, block+halo]
-        res = decode_capture(cfg, ext[0], local_addr,
-                             max_frames=max_frames_per_block,
-                             valid_len=jnp.where(idx < nsp - 1,
-                                                 block + halo,
-                                                 t - idx * block))
-        mine = res.valid & (res.start >= 0) & (res.start < block)
-        gstart = jnp.where(mine, res.start + idx * block, -1)
-        res = res._replace(
-            valid=mine,
-            start=gstart,
-            frame_bytes=jnp.where(mine[:, None], res.frame_bytes, 0),
-            length=jnp.where(mine, res.length, 0),
-            frame_type=jnp.where(mine, res.frame_type, 0),
-            sequence=jnp.where(mine, res.sequence, 0),
-            src=jnp.where(mine, res.src, 0),
-            dst=jnp.where(mine, res.dst, 0),
-            corr=jnp.where(mine, res.corr, 0.0),
-        )
-        return jax.tree_util.tree_map(lambda a: a[None], res)
+        vlen = jnp.where(idx < nsp - 1, block + halo, t - idx * block)
+
+        def decode(cur0):
+            res, _s, fcur = decode_capture(
+                cfg, ext[0], local_addr,
+                max_frames=max_frames_per_block,
+                valid_len=vlen, with_cursor=True,
+                start_cursor=cur0, scan_limit=block)
+            return res, fcur
+
+        cur0 = (vlen * 0).astype(jnp.int32)
+        res0, fcur0 = decode(cur0)
+
+        # consumed-until fixpoint over the sp ring: pass each shard's
+        # global consumption endpoint right; restart the neighbor's walk
+        # at the intrusion point; loop while any shard's cursor moved.
+        def propose(cur, fcur):
+            e = jnp.reshape(idx * block + fcur, (1,))  # global endpoint
+            e_left = jax.lax.ppermute(
+                e, "sp", [(i, (i + 1) % nsp) for i in range(nsp)])[0]
+            nc = jnp.where(idx == 0, 0,
+                           jnp.maximum(e_left - idx * block, 0))
+            return nc.astype(jnp.int32)
+
+        def cond(state):
+            return state[3]
+
+        def body(state):
+            cur, res, fcur, _go = state
+            nc = propose(cur, fcur)
+            go = jax.lax.psum(
+                (nc != cur).astype(jnp.int32), "sp") > 0  # uniform
+            res2, fcur2 = jax.lax.cond(
+                go, lambda: decode(nc), lambda: (res, fcur))
+            return (jnp.where(go, nc, cur), res2, fcur2, go)
+
+        cur, res, fcur, _ = jax.lax.while_loop(
+            cond, body, (cur0, res0, fcur0, jnp.asarray(True)))
+
+        out = _mask_mine(res, block, idx * block)
+        return jax.tree_util.tree_map(lambda a: a[None], out)
 
     out = run(blocks)
     # flatten [n_shards, K] -> [n_shards*K]
@@ -117,15 +175,40 @@ def _decode_blocked_jit(cfg, x, local_addr, n_blocks,
     idx = starts[:, None] + jnp.arange(block + halo, dtype=jnp.int32)
     wins = x[idx]
     vlens = jnp.minimum(block + halo, t - starts)
-    res = jax.vmap(
-        lambda w, v: decode_capture(cfg, w, local_addr,
-                                    max_frames=max_frames_per_block,
-                                    valid_len=v))(wins, vlens)
-    mine = res.valid & (res.start >= 0) & (res.start < block)
-    gstart = jnp.where(mine, res.start + starts[:, None], -1)
-    res = res._replace(valid=mine, start=gstart)
+
+    def decode(cursors):
+        res, _s, fcur = jax.vmap(
+            lambda w, v, c: decode_capture(
+                cfg, w, local_addr, max_frames=max_frames_per_block,
+                valid_len=v, with_cursor=True, start_cursor=c,
+                scan_limit=block))(wins, vlens, cursors)
+        return res, fcur
+
+    cur0 = jnp.zeros(n_blocks, jnp.int32)
+    res0, fcur0 = decode(cur0)
+
+    # same consumed-until fixpoint as the sharded path, in-batch
+    def propose(fcur):
+        e = starts + fcur
+        nxt = jnp.maximum(e[:-1] - starts[1:], 0).astype(jnp.int32)
+        return jnp.concatenate([jnp.zeros(1, jnp.int32), nxt])
+
+    def cond(state):
+        cur, _res, fcur = state
+        return jnp.any(propose(fcur) != cur)
+
+    def body(state):
+        cur, _res, fcur = state
+        nc = propose(fcur)
+        res2, fcur2 = decode(nc)
+        return (nc, res2, fcur2)
+
+    _cur, res, _fcur = jax.lax.while_loop(
+        cond, body, (cur0, res0, fcur0))
+
+    out = _mask_mine(res, block, starts[:, None])
     return jax.tree_util.tree_map(
-        lambda a: a.reshape((-1,) + a.shape[2:]), res)
+        lambda a: a.reshape((-1,) + a.shape[2:]), out)
 
 
 def decode_blocked_single_chip(
@@ -139,5 +222,6 @@ def decode_blocked_single_chip(
     form for very long captures on one device (fully jitted; pass a
     device-resident array to avoid re-uploading the capture)."""
     x = jnp.asarray(capture, jnp.float32)
+    t = int(x.shape[-1])
     return _decode_blocked_jit(cfg, x, local_addr, n_blocks,
-                               max_frames_per_block, int(x.shape[-1]))
+                               max_frames_per_block, t)

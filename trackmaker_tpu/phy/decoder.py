@@ -99,6 +99,8 @@ def decode_capture(
     max_frames: int = 64,
     valid_len: jax.Array | int | None = None,
     with_cursor: bool = False,
+    start_cursor: jax.Array | int | None = None,
+    scan_limit: jax.Array | int | None = None,
 ) -> DecodedFrames:
     """Decode one capture. vmap over a leading batch axis for batches.
 
@@ -108,17 +110,30 @@ def decode_capture(
     it are treated as incomplete, like the reference's wait-for-more-data
     path (decoder.rs:252-254, 295-297).
 
-    With `with_cursor=True` returns ``(frames, searched_until)`` where
-    `searched_until` is the sample index a streaming caller may drain
-    to: the start of a pending incomplete frame if the scan stopped on
-    one, else `valid_len - (preamble_len - 1)` once the search exhausted
-    all candidates (the reference's overlap-preserving drain,
-    decoder.rs:89-109), else the scan cursor when `max_frames` ran out.
+    With `with_cursor=True` returns ``(frames, searched_until,
+    final_cursor)``: `searched_until` is the sample index a streaming
+    caller may drain to — the start of a pending incomplete frame if
+    the scan stopped on one, else `valid_len - (preamble_len - 1)` once
+    the search exhausted all candidates (the reference's
+    overlap-preserving drain, decoder.rs:89-109), else the scan cursor
+    when `max_frames` ran out.  `final_cursor` is the raw consumption
+    cursor after the last attempted candidate — the blocked/sharded
+    decoder's seam-reconciliation signal (parallel/stream.py).
+
+    `start_cursor` begins the sequential walk at that sample (hits
+    before it are skipped — they were consumed by an upstream block);
+    `scan_limit` ends it at the first candidate >= that sample (those
+    belong to the downstream block).  Both are dynamic values: no
+    recompilation per distinct value.
     """
     samples = samples.astype(jnp.float32)
     t = samples.shape[-1]
     local_addr = jnp.asarray(local_addr, jnp.int32)
     vlen = jnp.asarray(t if valid_len is None else valid_len, jnp.int32)
+    cursor0 = jnp.asarray(
+        0 if start_cursor is None else start_cursor, jnp.int32)
+    limit = (_BIG if scan_limit is None
+             else jnp.asarray(scan_limit, jnp.int32))
 
     pre_np = line_coding.preamble_waveform(cfg)
     pre = jnp.asarray(pre_np)
@@ -262,6 +277,9 @@ def decode_capture(
         cursor, done, pending = carry
 
         first, has_cand = first_hit_from(cursor)
+        # candidates at/past scan_limit belong to the downstream block:
+        # treat them as absent (ends the walk with the cursor unchanged)
+        has_cand = has_cand & (first < limit)
         i = jnp.clip(first, 0, t)  # preamble start (abs)
 
         # --- sync refinement + frame start
@@ -354,7 +372,7 @@ def decode_capture(
         step,
         # derive the init carry from vlen so its sharding/varying type
         # matches the loop outputs under shard_map
-        ((vlen * 0).astype(jnp.int32), vlen < 0,
+        ((vlen * 0 + cursor0).astype(jnp.int32), vlen < 0,
          (vlen * 0 + _BIG).astype(jnp.int32)),
         None, length=max_frames,
         # unrolling amortizes the TPU while-loop per-iteration overhead,
@@ -370,7 +388,7 @@ def decode_capture(
 
     if body_in_scan:
         res = DecodedFrames(**ys)
-        return (res, searched_until) if with_cursor else res
+        return (res, searched_until, cursor_f) if with_cursor else res
 
     # ---- Manchester post-pass: body decode + CRC for all slots at once
     frame_starts = ys.pop("frame_start")
@@ -399,7 +417,7 @@ def decode_capture(
         corr=jnp.where(valid, ys["corr"], 0.0),
     )
     res = DecodedFrames(**ys)
-    return (res, searched_until) if with_cursor else res
+    return (res, searched_until, cursor_f) if with_cursor else res
 
 
 class PhyDecoder:
@@ -441,7 +459,7 @@ class PhyDecoder:
         bucket = self._bucket(n)
         padded = np.zeros(bucket, np.float32)
         padded[:n] = self._buf
-        res, searched = decode_capture(
+        res, searched, _ = decode_capture(
             self.cfg, jnp.asarray(padded), self.local_addr,
             max_frames=self.max_frames, valid_len=n, with_cursor=True)
         frames = res.to_frames()
