@@ -171,6 +171,65 @@ def crc8_bits_matmul(bits: jax.Array, length_bytes: jax.Array) -> jax.Array:
     return jnp.sum(crc_bits * weights, axis=-1).astype(jnp.uint8)
 
 
+_CRC8_UNZERO_CACHE: dict[int, np.ndarray] = {}
+
+
+def _crc8_unzero_table(max_z: int) -> np.ndarray:
+    """U[z] (8, 8) GF(2) matrices with crc_bits(m) = crc_bits(m·0^z) @ U[z]:
+    appending one zero byte maps crc -> CRC8_TABLE[crc], which is linear
+    over GF(2) and invertible (poly 0x07 has a nonzero constant term), so
+    a fixed-length CRC over a zero-padded buffer can be corrected to the
+    true variable-length CRC with one 8x8 GF(2) matrix — no dynamic roll
+    (which lowers to a gather) on the hot path."""
+    if max_z in _CRC8_UNZERO_CACHE:
+        return _CRC8_UNZERO_CACHE[max_z]
+    # A: crc -> crc after one appended zero byte, as an 8x8 GF(2) matrix
+    # acting on MSB-first bit rows.
+    a = np.zeros((8, 8), dtype=np.uint8)
+    for b in range(8):
+        out = CRC8_TABLE[1 << (7 - b)]
+        a[b] = [(out >> (7 - k)) & 1 for k in range(8)]
+    # invert A over GF(2)
+    m = np.concatenate([a.copy(), np.eye(8, dtype=np.uint8)], axis=1)
+    for col in range(8):
+        piv = col + int(np.argmax(m[col:, col]))
+        m[[col, piv]] = m[[piv, col]]
+        for r in range(8):
+            if r != col and m[r, col]:
+                m[r] ^= m[col]
+    a_inv = m[:, 8:]
+    u = np.zeros((max_z + 1, 8, 8), dtype=np.float32)
+    u[0] = np.eye(8)
+    for z in range(1, max_z + 1):
+        u[z] = (u[z - 1] @ a_inv) % 2
+    _CRC8_UNZERO_CACHE[max_z] = u
+    return u
+
+
+def crc8_bits_fixed_unzero(
+    bits: jax.Array, length_bytes: jax.Array, n_bytes: int
+) -> jax.Array:
+    """CRC8 of the first `length_bytes` bytes of an `n_bytes`-long bit
+    buffer whose bytes beyond `length_bytes` are ZERO.
+
+    Computes the fixed-length CRC with one static GF(2) matmul, then
+    un-appends the (n_bytes - length_bytes) trailing zero bytes with the
+    precomputed inverse-update matrix — fully dense, batching over any
+    leading axes (unlike :func:`crc8_bits_matmul`, whose dynamic roll
+    lowers to a per-item gather)."""
+    assert bits.shape[-1] == n_bytes * 8
+    m = jnp.asarray(_crc8_bit_matrix(n_bytes))
+    crc_bits = jnp.einsum(
+        "...n,nk->...k", bits.astype(jnp.float32), m) % 2.0
+    z = jnp.clip(n_bytes - length_bytes, 0, n_bytes)
+    u = jnp.asarray(_crc8_unzero_table(n_bytes))          # (n+1, 8, 8)
+    onehot = jax.nn.one_hot(z, n_bytes + 1, dtype=jnp.float32)
+    uz = jnp.einsum("...z,zjk->...jk", onehot, u)
+    fixed = jnp.einsum("...j,...jk->...k", crc_bits, uz) % 2.0
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+    return jnp.sum(fixed * weights, axis=-1).astype(jnp.uint8)
+
+
 def _roll_last(x: jax.Array, shift: jax.Array) -> jax.Array:
     """Roll right along the last axis with a traced shift — one
     contiguous dynamic slice of the doubled array (cheaper than an

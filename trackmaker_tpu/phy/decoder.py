@@ -91,7 +91,8 @@ class DecodedFrames(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_frames", "with_cursor"))
+    jax.jit,
+    static_argnames=("cfg", "max_frames", "with_cursor", "optimistic"))
 def decode_capture(
     cfg: PhyConfig,
     samples: jax.Array,          # f32[T]
@@ -101,6 +102,7 @@ def decode_capture(
     with_cursor: bool = False,
     start_cursor: jax.Array | int | None = None,
     scan_limit: jax.Array | int | None = None,
+    optimistic: bool = False,
 ) -> DecodedFrames:
     """Decode one capture. vmap over a leading batch axis for batches.
 
@@ -125,7 +127,21 @@ def decode_capture(
     `scan_limit` ends it at the first candidate >= that sample (those
     belong to the downstream block).  Both are dynamic values: no
     recompilation per distinct value.
+
+    `optimistic` (4B5B only) moves the body decode out of the scan like
+    Manchester by *assuming* no invalid 4B5B symbol occurs inside any
+    attempted frame (the invalid-symbol consumption rule,
+    decoder.rs:306-320, is the one thing that makes 4B5B cursor
+    arithmetic depend on the body).  Returns ``(frames, conformant)``;
+    when `conformant` is False some attempted slot line-failed, the
+    optimistic cursor walk is unsound from that point, and the caller
+    must re-decode with the exact path (see
+    :func:`decode_capture_fast`).
     """
+    if optimistic:
+        assert cfg.line_coding == FOUR_B_FIVE_B, \
+            "optimistic mode is the 4B5B fast path"
+        assert not with_cursor, "optimistic mode has no cursor semantics"
     samples = samples.astype(jnp.float32)
     t = samples.shape[-1]
     local_addr = jnp.asarray(local_addr, jnp.int32)
@@ -228,14 +244,21 @@ def decode_capture(
     # full-window body decode can then move OUT of the sequential scan
     # into a post-pass vmapped over all frame slots at once.  4B5B's
     # invalid-symbol consumption rule (decoder.rs:311-319) needs the body
-    # inside the scan, so it keeps the unified path.
-    body_in_scan = cfg.line_coding != MANCHESTER
+    # inside the scan — unless `optimistic` defers it to the post-pass
+    # with a conformance check.
+    body_in_scan = cfg.line_coding != MANCHESTER and not optimistic
 
     def decode_header(frame_start, slab_ctx):
         slab, base = slab_ctx
         off = jnp.clip(frame_start - base, 0, comb_len - header_samples)
         hdr_win = jax.lax.dynamic_slice(slab, (off,), (header_samples,))
-        hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
+        if optimistic:
+            hdr_bits, hdr_ok, near0 = line_coding.fourb5b_decode_opt(
+                hdr_win, cfg.samples_per_level)
+            hdr_zero = jnp.any(near0)
+        else:
+            hdr_bits, hdr_ok = line_coding.decode(cfg, hdr_win)
+            hdr_zero = jnp.asarray(False)
         n_valid_hdr = jnp.sum(hdr_ok[:header_bits].astype(jnp.int32))
         hdr_bits = jnp.where(
             jnp.arange(header_bits) < n_valid_hdr, hdr_bits[:header_bits], 0)
@@ -252,6 +275,7 @@ def decode_capture(
         # (bits_to_bytes zero-fills the tail, crc.rs:63-75)
         type_ok = (fields["ftype"] == 1) | (fields["ftype"] == 2)
         fields["header_ok"] = (n_valid_hdr >= 49) & type_ok
+        fields["hdr_zero"] = hdr_zero
         return fields
 
     def decode_body(frame_start, data_len):
@@ -366,6 +390,18 @@ def decode_capture(
         if not body_in_scan:
             out["frame_start"] = jnp.where(keep, frame_start, 0)
             out["crc_field"] = jnp.where(keep, h["crc_field"], 0)
+        if optimistic:
+            # conformance needs line_fail for EVERY attempted slot —
+            # including dst-filtered ones, whose consumption also
+            # depends on it (decoder.rs:306-329) — and a near-zero
+            # level in ANY examined header window (the carry rule
+            # could change header bytes without an invalid symbol)
+            att = (has_cand & ~done & ~hdr_incomplete & header_ok
+                   & ~len_bad & ~incomplete)
+            out["att"] = att
+            out["fs_all"] = jnp.where(att, frame_start, 0)
+            out["len_all"] = jnp.where(att, data_len, 0)
+            out["hdr_nonconf"] = has_cand & ~done & h["hdr_zero"]
         return (new_cursor, new_done, new_pending), out
 
     (cursor_f, done_f, pending_f), ys = jax.lax.scan(
@@ -390,20 +426,54 @@ def decode_capture(
         res = DecodedFrames(**ys)
         return (res, searched_until, cursor_f) if with_cursor else res
 
-    # ---- Manchester post-pass: body decode + CRC for all slots at once
+    # ---- post-pass: body decode + CRC for all slots at once (Manchester
+    # always; 4B5B in optimistic mode, plus the conformance check)
     frame_starts = ys.pop("frame_start")
     crc_fields = ys.pop("crc_field")
 
-    def body_slot(fs, dlen, cf, attempted):
-        bytes_full, _nv, _lf, crc_calc = decode_body(fs, dlen)
-        crc_ok = (crc_calc.astype(jnp.int32) == cf) & attempted
-        masked = jnp.where(
-            crc_ok & (jnp.arange(max_total_bytes) <
-                      PHY_HEADER_BYTES + dlen), bytes_full, 0)
-        return masked.astype(jnp.uint8), crc_ok
+    if optimistic:
+        att = ys.pop("att")
+        fs_all = ys.pop("fs_all")
+        len_all = ys.pop("len_all")
+        hdr_nonconf = ys.pop("hdr_nonconf")
 
-    frame_bytes, valid = jax.vmap(body_slot)(
-        frame_starts, ys["length"], crc_fields, ys["valid"])
+        def body_slot_opt(fs, dlen, cf, keep):
+            total_bits = (PHY_HEADER_BYTES + dlen) * 8
+            body_win = jax.lax.dynamic_slice(
+                padded, (jnp.clip(fs, 0),), (max_window,))
+            bits, bit_ok, near0 = line_coding.fourb5b_decode_opt(
+                body_win, cfg.samples_per_level)
+            in_frame = jnp.arange(bits.shape[-1]) < total_bits
+            line_fail = jnp.any(~bit_ok & in_frame)
+            lvl_in_frame = (jnp.arange(near0.shape[-1])
+                            < (total_bits // 4) * 5)
+            nonconf = line_fail | jnp.any(near0 & lvl_in_frame)
+            masked_bits = jnp.where(in_frame, bits, 0)
+            bytes_full = bitops.pack_bits(
+                masked_bits[: max_total_bytes * 8])
+            crc_calc = bitops.crc8_bits_matmul(
+                masked_bits[PHY_HEADER_BYTES * 8: max_total_bytes * 8],
+                jnp.clip(dlen, 0, cfg.max_frame_bytes))
+            ok = (crc_calc.astype(jnp.int32) == cf) & keep & ~nonconf
+            masked = jnp.where(
+                ok & (jnp.arange(max_total_bytes) <
+                      PHY_HEADER_BYTES + dlen), bytes_full, 0)
+            return masked.astype(jnp.uint8), ok, nonconf
+
+        frame_bytes, valid, nonconfs = jax.vmap(body_slot_opt)(
+            fs_all, len_all, crc_fields, ys["valid"])
+        conformant = ~(jnp.any(att & nonconfs) | jnp.any(hdr_nonconf))
+    else:
+        def body_slot(fs, dlen, cf, attempted):
+            bytes_full, _nv, _lf, crc_calc = decode_body(fs, dlen)
+            crc_ok = (crc_calc.astype(jnp.int32) == cf) & attempted
+            masked = jnp.where(
+                crc_ok & (jnp.arange(max_total_bytes) <
+                          PHY_HEADER_BYTES + dlen), bytes_full, 0)
+            return masked.astype(jnp.uint8), crc_ok
+
+        frame_bytes, valid = jax.vmap(body_slot)(
+            frame_starts, ys["length"], crc_fields, ys["valid"])
     z = jnp.int32(0)
     ys.update(
         valid=valid,
@@ -417,7 +487,96 @@ def decode_capture(
         corr=jnp.where(valid, ys["corr"], 0.0),
     )
     res = DecodedFrames(**ys)
+    if optimistic:
+        return res, conformant
     return (res, searched_until, cursor_f) if with_cursor else res
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_fn(cfg, max_frames, optimistic):
+    return jax.jit(jax.vmap(
+        lambda s, a: decode_capture(cfg, s, a, max_frames,
+                                    optimistic=optimistic),
+        in_axes=(0, None)))
+
+
+def _spec_supported(cfg: PhyConfig) -> bool:
+    """Whether the Pallas speculative kernel covers this config on this
+    backend (Manchester spl=3 on TPU; see phy/pallas_decode.py)."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return (on_tpu
+            and cfg.line_coding == MANCHESTER
+            and cfg.samples_per_level == 3
+            and cfg.preamble_len == 96 and cfg.sync_len == 48
+            and cfg.sync_margin == 6 and cfg.header_samples == 336)
+
+
+def decode_capture_fast(
+    cfg: PhyConfig,
+    samples,                     # f32[T] or f32[B, T]
+    local_addr: int,
+    max_frames: int = 64,
+) -> DecodedFrames:
+    """Host-level batch decode picking the fastest sound path.
+
+    Manchester on TPU: the Pallas speculative decoder
+    (phy/pallas_decode.py — candidate table + attempt kernel + scalar
+    walk, measured 3.1x the exact scan); rows whose candidate table
+    overflowed re-decode exactly.  4B5B: the optimistic two-pass (body
+    decode out of the scan); any capture whose conformance flag trips
+    (an attempted slot hit an invalid 4B5B symbol or a near-zero level)
+    re-decodes exactly.  Results always equal :func:`decode_capture` up
+    to slot compaction (the speculative path packs valid frames into
+    the leading slots; the valid-masked content is identical)."""
+    x = jnp.asarray(samples)
+    batched = x.ndim == 2
+    if cfg.line_coding == MANCHESTER:
+        if _spec_supported(cfg):
+            from trackmaker_tpu.phy.pallas_decode import (
+                decode_capture_spec_jit)
+            xb = x if batched else x[None]
+            res, ok = decode_capture_spec_jit(
+                cfg, xb, local_addr, max_frames=max_frames)
+            ok = np.asarray(ok)
+            if ok.all():
+                return res if batched else jax.tree_util.tree_map(
+                    lambda a: a[0], res)
+            exact = _batched_fn(cfg, max_frames, False)(xb, local_addr)
+            pick = jnp.asarray(ok)
+
+            def merge2(a, b):
+                shape = (pick.shape[0],) + (1,) * (a.ndim - 1)
+                return jnp.where(pick.reshape(shape), a, b)
+
+            merged = jax.tree_util.tree_map(merge2, res, exact)
+            return merged if batched else jax.tree_util.tree_map(
+                lambda a: a[0], merged)
+        if batched:
+            return _batched_fn(cfg, max_frames, False)(x, local_addr)
+        return decode_capture(cfg, x, local_addr, max_frames)
+
+    if not batched:
+        res, ok = decode_capture(cfg, x, local_addr, max_frames,
+                                 optimistic=True)
+        if bool(ok):
+            return res
+        return decode_capture(cfg, x, local_addr, max_frames)
+
+    res, ok = _batched_fn(cfg, max_frames, True)(x, local_addr)
+    ok = np.asarray(ok)
+    if ok.all():
+        return res
+    exact = _batched_fn(cfg, max_frames, False)(x, local_addr)
+    pick = jnp.asarray(ok)
+
+    def merge(a, b):
+        shape = (pick.shape[0],) + (1,) * (a.ndim - 1)
+        return jnp.where(pick.reshape(shape), a, b)
+
+    return jax.tree_util.tree_map(merge, res, exact)
 
 
 class PhyDecoder:

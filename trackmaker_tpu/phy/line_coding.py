@@ -169,6 +169,45 @@ def fourb5b_decode(
     return bits, bit_ok
 
 
+def fourb5b_decode_opt(
+    samples: jax.Array, samples_per_level: int, eps: float = 1e-6
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Optimistic 4B5B decode: assumes no near-zero level averages, so
+    the reference's last-valid-average carry (line_coding.rs:265-269)
+    degenerates to the immediate predecessor — pure elementwise ops, no
+    associative scan.  Returns ``(bits, bit_ok, near_zero_levels)``;
+    callers must treat any near-zero level *inside the decoded frame* as
+    non-conformant and re-decode with :func:`fourb5b_decode` (the carry
+    could change the bits without producing an invalid symbol).
+    """
+    spl = samples_per_level
+    n_lvl = samples.shape[-1] // spl
+    n_sym = n_lvl // 5
+    n_lvl = n_sym * 5
+    x = samples[..., : n_lvl * spl].reshape(*samples.shape[:-1], n_lvl, spl)
+    avg = jnp.mean(x, axis=-1)                            # (..., n_lvl)
+    near0 = jnp.abs(avg) <= eps
+
+    init_shape = (*avg.shape[:-1], 1)
+    prev = jnp.concatenate(
+        [jnp.ones(init_shape, avg.dtype), avg[..., :-1]], -1)
+    coded = (prev * avg < 0.0).astype(jnp.int32)
+
+    sym_bits = coded.reshape(*coded.shape[:-1], n_sym, 5)
+    weights = jnp.asarray([16, 8, 4, 2, 1], dtype=jnp.int32)
+    symbols = jnp.sum(sym_bits * weights, axis=-1)
+    nibbles = _DEC_J[symbols]
+    sym_ok = nibbles >= 0
+    prefix_ok = jnp.cumprod(sym_ok.astype(jnp.int32), axis=-1).astype(bool)
+
+    nib = jnp.maximum(nibbles, 0)
+    shifts = jnp.arange(3, -1, -1, dtype=jnp.int32)
+    bits = ((nib[..., None] >> shifts) & 1).astype(jnp.uint8)
+    bits = bits.reshape(*bits.shape[:-2], n_sym * 4)
+    bit_ok = jnp.repeat(prefix_ok, 4, axis=-1)
+    return bits, bit_ok, near0
+
+
 # ---------------------------------------------------------------------------
 # Polymorphic dispatch + preamble
 # ---------------------------------------------------------------------------

@@ -1,0 +1,442 @@
+"""Speculative batched PHY decode: Pallas attempt kernel + scalar walk.
+
+Round-2 profiling on the real chip showed the two-phase decoder's cost
+is NOT compute: the per-step ops inside the consumption `lax.scan`
+(sync-refine window stack, header decode) each cost ~30-60us of
+dispatch, and XLA lowers vmapped `dynamic_slice` window gathers to
+catastrophically slow gather ops (19 ms for 128 windows x 32 captures
+vs <1 ms of actual HBM traffic).  This module restructures decoding so
+neither appears on the hot path:
+
+1. *Candidate extraction* (XLA, dense): every correlation hit becomes a
+   candidate — per-512-block argmax peel (no `nonzero`, no sort) +
+   rank/one-hot compaction into a sorted list of up to `C` positions.
+   More hits than `C` (or more than `RPB` per block) sets an overflow
+   flag -> the caller falls back to the exact scan path.
+
+2. *Attempt kernel* (Pallas, grid over captures): for each candidate,
+   one double-buffered DMA pulls a (36, 384)-row slab from HBM (384
+   samples = 3 DMA-aligned lanes of 128 = exactly 8 Manchester bytes =
+   64 bits, so byte/bit boundaries land on fixed row offsets with no
+   in-kernel reshape); the +/-1-bit sync-word realignment
+   (decoder.rs:158-217) and the full Manchester frame decode
+   (decoder.rs:242-331) are banded-Toeplitz matmuls on the MXU, with
+   the arbitrary sample offset handled by dynamically slicing
+   precomputed offset tables along sublanes.
+
+3. *Epilogue* (XLA, dense): header fields, length sanity, destination
+   filter and CRC8 — the CRC uses a fixed-length GF(2) matmul plus a
+   zero-append inverse correction (bitops.crc8_bits_fixed_unzero), so
+   no dynamic roll/gather.
+
+4. *Walk kernel* (Pallas, grid over captures): the sequential
+   consumption walk over the candidate list runs as one SMEM scalar
+   loop — replacing the dispatch-bound `lax.scan` (~4-6 ms) with a
+   single kernel launch.  The walk replays decoder.rs:242-356's cursor
+   decisions exactly; because EVERY hit is in the candidate table (not
+   just run starts), mid-run cursor landings are handled exactly and no
+   conformance check is needed — only candidate overflow forces the
+   exact path.
+
+Manchester only (the flagship config); other line codings use the
+in-scan exact path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trackmaker_tpu.core import bitops
+from trackmaker_tpu.core.config import (
+    FRAME_TYPE_DATA,
+    MANCHESTER,
+    PHY_HEADER_BYTES,
+    PhyConfig,
+)
+from trackmaker_tpu.phy import line_coding
+
+DROW = 384        # samples per DMA row: 3 aligned lanes = 8 bytes = 64 bits
+NR = 48           # DMA rows per slab: 8-aligned start + residual + frame
+BROWS = 34        # byte-grid rows: 34*8 = 272 >= 263 frame bytes
+RPB = 4           # max hits per 512-lag block before overflow
+BLK = 512
+_BIGI = np.int32(2**30)
+
+
+def _check_cfg(cfg: PhyConfig) -> None:
+    assert cfg.line_coding == MANCHESTER and cfg.samples_per_level == 3, \
+        "speculative kernel is specialized for Manchester spl=3"
+    assert cfg.preamble_len == 96 and cfg.sync_len == 48
+    assert cfg.sync_margin == 6 and cfg.header_samples == 336
+
+
+@functools.lru_cache(maxsize=8)
+def _sync_tables(pattern_key) -> tuple[np.ndarray, float]:
+    """8 sublane-shifted copies of the banded sync matrix
+    T[u+383, k] = sync_pat[u - k] (u in [0, 61) nonzero, k in [0, 13)):
+    Mosaic requires dynamic sublane slice starts provably divisible by
+    8, so slice copy v = start % 8 at the 8-aligned start - v.  The
+    window-energy band is T*T elementwise (the pattern is exactly +-1),
+    so no separate energy table is needed."""
+    sp = np.asarray(pattern_key, np.float32)
+    assert len(sp) == 48 and np.all(np.abs(sp) == 1.0)
+    orig = np.zeros((1159, 128), np.float32)
+    for u in range(0, 61):
+        for k in range(13):
+            j = u - k
+            if 0 <= j < 48:
+                orig[u + 383, k] = sp[j]
+    t8 = np.stack([orig[v:v + 1151] for v in range(8)])
+    se = float(np.sqrt(np.sum(sp.astype(np.float64) ** 2)))
+    return t8, se
+
+
+@functools.lru_cache(maxsize=2)
+def _body_table() -> np.ndarray:
+    """8 shifted copies of Tb[u+383, m] = v6[u - 6m] for u in [0, 384),
+    m in [0, 64): bit m of a 64-bit row is sign(first-half sum -
+    second-half sum) of the 6 samples at offset 6m
+    (line_coding.rs:93-123); the slices Tb[383-o : 767-o] /
+    Tb[767-o : 1151-o] absorb the frame's sample offset o within its
+    DMA row."""
+    v6 = np.array([1, 1, 1, -1, -1, -1], np.float32)
+    orig = np.zeros((1159, 128), np.float32)
+    for u in range(0, 384):
+        for m in range(64):
+            j = u - 6 * m
+            if 0 <= j < 6:
+                orig[u + 383, m] = v6[j]
+    return np.stack([orig[v:v + 1151] for v in range(8)])
+
+
+@functools.lru_cache(maxsize=2)
+def _pack_table() -> np.ndarray:
+    """W[m, k] = 2^(7 - (m - 8k)) for 8k <= m < 8k+8, k in [0, 8):
+    packs a 64-bit row into its 8 MSB-first bytes via one matmul."""
+    w = np.zeros((128, 128), np.float32)
+    for k in range(8):
+        for bbit in range(8):
+            w[8 * k + bbit, k] = float(1 << (7 - bbit))
+    return w
+
+
+def _attempt_kernel(cand_ref, vlen_ref, x384_ref, t8_ref, tb8_ref, w_ref,
+                    bytes_ref, xw, sem, *, n_cand: int, t_max: int,
+                    sync_e: float):
+    b = pl.program_id(0)
+    vlen = vlen_ref[b]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def base_of(c):
+        pos = cand_ref[b, c]
+        i_c = jnp.minimum(pos, t_max)
+        # base = expected - margin = i + (96 - 48) - 6 (decoder.rs:177-179)
+        return i_c, i_c + 42
+
+    def dma(c, slot):
+        _, base = base_of(c)
+        r0 = base // DROW
+        start8 = pl.multiple_of((r0 // 8) * 8, 8)  # HBM slices need
+        return pltpu.make_async_copy(              # 8-aligned sublanes
+            x384_ref.at[b, pl.ds(start8, NR), :],
+            xw.at[slot], sem.at[slot])
+
+    def tslice(tref, start):
+        """384-row slice of the band table at an arbitrary start, via
+        the (start % 8)-shifted copy + an 8-aligned slice."""
+        v = start % 8
+        idx = pl.multiple_of(start - v, 8)
+        return tref[v, pl.ds(idx, DROW), :]
+
+    dma(0, 0).start()
+
+    def body_fn(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < n_cand)
+        def _():
+            dma(c + 1, (c + 1) % 2).start()
+
+        dma(c, slot).wait()
+        i_c, base = base_of(c)
+        q = base % DROW
+        ro = (base // DROW) % 8        # residual rows below the slab top
+
+        def rowsel(kk, height, max_k):
+            # xw[slot, kk:kk+height] with a traced kk, as a masked sum of
+            # static slices (dynamic sublane slices need 8-alignment)
+            acc = jnp.zeros((height, DROW), jnp.float32)
+            for j in range(max_k):
+                acc = acc + jnp.where(
+                    kk == j, xw[slot, j:j + height, :], 0.0)
+            return acc
+
+        # ---- sync refine: 13 sliding sync-word dots as banded matmuls
+        a_s = tslice(t8_ref, 383 - q)
+        b_s = tslice(t8_ref, 767 - q)
+        x01 = rowsel(ro, 2, 8)
+        x0 = x01[0:1, :]
+        x1 = x01[1:2, :]
+        dot = (jnp.dot(x0, a_s, preferred_element_type=jnp.float32)
+               + jnp.dot(x1, b_s, preferred_element_type=jnp.float32))
+        en = (jnp.dot(x0 * x0, a_s * a_s,
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(x1 * x1, b_s * b_s,
+                        preferred_element_type=jnp.float32))
+        posk = base + lane
+        validk = (lane < 13) & (posk <= vlen - 48)
+        cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
+        cc = jnp.where(validk, cc, -jnp.inf)
+        best = jnp.argmax(cc).astype(jnp.int32)
+        bestpos = jnp.where(jnp.max(cc) > -1.0, base + best, i_c + 48)
+        fs = bestpos + 48
+
+        # ---- body decode: 34 rows x 64 bits as two banded matmuls
+        off = fs - (base // DROW) * DROW        # in [48, 493)
+        r0b = off // DROW                       # 0 or 1
+        o2 = off % DROW
+        a_b = tslice(tb8_ref, 383 - o2)
+        b_b = tslice(tb8_ref, 767 - o2)
+        xsh = rowsel(ro + r0b, BROWS + 1, 10)   # rows [ro+r0b, +35)
+        d = (jnp.dot(xsh[0:BROWS, :], a_b,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(xsh[1:BROWS + 1, :], b_b,
+                       preferred_element_type=jnp.float32))
+        bits = (d <= 0.0).astype(jnp.float32)   # bit=1 iff 2nd half larger
+        byte_blk = jnp.dot(bits, w_ref[:, :],
+                           preferred_element_type=jnp.float32)  # (34, 128)
+        # lanes 0..7 hold the row's 8 bytes; stash fs at [33, 8] (exact
+        # in f32 for any T < 2^24; row 33 covers bytes 264.. > 263)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 0)
+        lane_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 1)
+        byte_blk = jnp.where((row_id == BROWS - 1) & (lane_id == 8),
+                             fs.astype(jnp.float32), byte_blk)
+        bytes_ref[0, pl.ds(c * BROWS, BROWS), :] = byte_blk
+        return 0
+
+    jax.lax.fori_loop(0, n_cand, body_fn, 0)
+
+
+def _walk_kernel(fields_ref, keep_ref, *, n_cand: int, max_frames: int):
+    """Sequential consumption walk (decoder.rs:242-356) over the sorted
+    candidate list, as SMEM scalar ops.  fields rows: 0=pos, 1=consumed,
+    2=stop-if-attempted, 3=keep-if-attempted."""
+    def body(c, carry):
+        cur, done, att = carry
+        pos = fields_ref[0, 0, c]
+        consumed = fields_ref[0, 1, c]
+        stopf = fields_ref[0, 2, c]
+        keepf = fields_ref[0, 3, c]
+        exists = pos < _BIGI
+        at = exists & (done == 0) & (pos >= cur) & (att < max_frames)
+        stop = at & (stopf > 0)
+        adv = at & jnp.logical_not(stop)
+        keep_ref[0, 0, c] = (adv & (keepf > 0)).astype(jnp.int32)
+        return (jnp.where(adv, pos + consumed, cur),
+                jnp.where(stop, 1, done),
+                att + at.astype(jnp.int32))
+
+    jax.lax.fori_loop(0, n_cand, body,
+                      (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+
+def _extract_candidates(hits: jax.Array, n_cand: int):
+    """All hit positions, ascending, padded with 2^30 — via per-block
+    argmax peel + rank compaction (dense ops only; `nonzero` measured
+    ~5 ms/batch on-chip)."""
+    n = hits.shape[-1]
+    hb = -(-n // BLK)
+    rows = jnp.pad(hits, [(0, 0)] * (hits.ndim - 1)
+                   + [(0, hb * BLK - n)]).reshape(*hits.shape[:-1], hb, BLK)
+    lane = jnp.arange(BLK, dtype=jnp.int32)
+    base = jnp.arange(hb, dtype=jnp.int32) * BLK
+    starts = []
+    r = rows
+    for _ in range(RPB):
+        has = jnp.any(r, axis=-1)
+        p = jnp.argmax(r, axis=-1).astype(jnp.int32)
+        starts.append(jnp.where(has, base + p, _BIGI))
+        r = r & (lane > p[..., None])
+    per_block = jnp.sum(rows.astype(jnp.int32), axis=-1)
+    overflow = jnp.any(per_block > RPB, axis=-1) | (
+        jnp.sum(per_block, axis=-1) > n_cand)
+    flat = jnp.stack(starts, axis=-1).reshape(*hits.shape[:-1], hb * RPB)
+    valid = flat < _BIGI
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
+    onehot = (valid[..., None]
+              & (rank[..., None] == jnp.arange(n_cand, dtype=jnp.int32))
+              ).astype(jnp.float32)
+    cand = jnp.einsum("...i,...ic->...c",
+                      jnp.where(valid, flat, 0).astype(jnp.float32), onehot)
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
+                     cand.astype(jnp.int32), _BIGI)
+    return cand, overflow
+
+
+def decode_capture_spec(
+    cfg: PhyConfig,
+    samples: jax.Array,          # f32[B, T]
+    local_addr,
+    max_frames: int = 64,
+    n_cand: int = 128,
+    valid_len=None,
+    interpret: bool = False,
+):
+    """Batched speculative decode.  Returns ``(DecodedFrames, ok[B])``;
+    rows with ``ok=False`` (candidate overflow) must be re-decoded with
+    the exact path — :func:`trackmaker_tpu.phy.decoder.decode_capture_fast`
+    does this automatically.  Valid frames are compacted to the leading
+    slots in position order (the exact path instead leaves failed
+    attempts as invalid slots in between; the valid-masked content is
+    identical)."""
+    _check_cfg(cfg)
+    x = jnp.asarray(samples, jnp.float32)
+    assert x.ndim == 2
+    b, t = x.shape
+    local_addr = jnp.asarray(local_addr, jnp.int32)
+    vlens = jnp.broadcast_to(
+        jnp.asarray(t if valid_len is None else valid_len, jnp.int32), (b,))
+
+    pre_np = line_coding.preamble_waveform(cfg)
+    from trackmaker_tpu.sync import correlate
+    pre_energy = correlate.preamble_energy(pre_np)
+    sp = pre_np[cfg.preamble_len - cfg.sync_len:]
+    t8_np, sync_e = _sync_tables(tuple(sp.tolist()))
+    tb8_np = _body_table()
+    w_np = _pack_table()
+
+    from trackmaker_tpu import sync as sync_mod
+    corr = jax.vmap(
+        lambda s: sync_mod.auto_xcorr(s, pre_np, pre_energy))(x)
+    hits = corr >= cfg.correlation_threshold
+    cand, overflow = _extract_candidates(hits, n_cand)
+
+    # row-shaped view for the kernel's slab DMAs; padded so any clipped
+    # candidate's NR-row slab stays in bounds
+    r384 = -(-(t + 42) // DROW) + NR + 10
+    x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - t))).reshape(b, r384, DROW)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),     # x384
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # t8 (sync band)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # tb8 (body band)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # pack
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_cand * BROWS, 128), lambda bb, *_: (bb, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NR, DROW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    bytes_cm = pl.pallas_call(
+        functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
+                          sync_e=sync_e),
+        out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS, 128),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_cand * (2 + 2 + 2 * BROWS + BROWS) * DROW * 128,
+            transcendentals=0,
+            bytes_accessed=4 * b * n_cand * NR * DROW),
+        interpret=interpret,
+    )(cand, vlens, x384, jnp.asarray(t8_np), jnp.asarray(tb8_np),
+      jnp.asarray(w_np))
+
+    # ---- dense epilogue: fields, CRC, walk inputs -----------------------
+    grid8 = bytes_cm.reshape(b, n_cand, BROWS, 128)
+    byts_i = grid8[..., :8].reshape(b, n_cand, BROWS * 8).astype(jnp.int32)
+    fs = grid8[:, :, BROWS - 1, 8].astype(jnp.int32)
+    dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
+    crc_field = byts_i[..., 2]
+    ftype = byts_i[..., 3]
+    header_ok = (ftype == 1) | (ftype == 2)
+    len_bad = ((ftype == FRAME_TYPE_DATA) & (dlen == 0)) | (
+        dlen > cfg.max_frame_bytes)
+    total_samples = (PHY_HEADER_BYTES + dlen) * 8 * 6
+    vl = vlens[:, None]
+    hdr_incomplete = fs + cfg.header_samples > vl
+    incomplete = fs + total_samples > vl
+    dst = byts_i[..., 6]
+    dst_ok = (dst == local_addr) | (local_addr < 0)
+
+    n_total = PHY_HEADER_BYTES + cfg.max_frame_bytes     # 263
+    in_frame = (jnp.arange(n_total)
+                < (PHY_HEADER_BYTES + dlen)[..., None])
+    bytes_m = jnp.where(in_frame, byts_i[..., :n_total], 0)
+    bits = bitops.unpack_bits(bytes_m.astype(jnp.uint8))
+    payload_bits = bits[..., PHY_HEADER_BYTES * 8:]
+    crc = bitops.crc8_bits_fixed_unzero(
+        payload_bits, jnp.clip(dlen, 0, cfg.max_frame_bytes),
+        cfg.max_frame_bytes)
+    crc_ok = crc.astype(jnp.int32) == crc_field
+
+    consumed = jnp.where(
+        ~header_ok, cfg.header_samples,
+        jnp.where(len_bad, 1, cfg.preamble_len + total_samples))
+    stopf = hdr_incomplete | (header_ok & ~len_bad & incomplete)
+    keepf = (~hdr_incomplete & header_ok & ~len_bad & ~incomplete
+             & dst_ok & crc_ok)
+    fields = jnp.stack(
+        [cand, consumed, stopf.astype(jnp.int32), keepf.astype(jnp.int32)],
+        axis=1).astype(jnp.int32)                         # (B, 4, C)
+
+    keep = pl.pallas_call(
+        functools.partial(_walk_kernel, n_cand=n_cand,
+                          max_frames=max_frames),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n_cand), jnp.int32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 4, n_cand), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 1, n_cand), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.SMEM),
+        interpret=interpret,
+    )(fields)[:, 0, :].astype(bool)
+
+    # ---- compaction to max_frames slots ---------------------------------
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
+    sel = keep[:, None, :] & (
+        rank[:, None, :] == jnp.arange(max_frames)[None, :, None])
+    any_k = jnp.any(sel, axis=-1)                        # (B, K)
+    idx = jnp.argmax(sel, axis=-1)                       # (B, K)
+
+    def takec(a):
+        g = jnp.take_along_axis(
+            a, idx.reshape(b, max_frames, *([1] * (a.ndim - 2))), axis=1)
+        return jnp.where(any_k.reshape(b, max_frames,
+                                       *([1] * (a.ndim - 2))), g, 0)
+
+    out_bytes = takec(bytes_m.astype(jnp.uint8))
+    starts = takec(cand)
+    corr_v = jnp.take_along_axis(
+        corr, jnp.clip(starts, 0, corr.shape[-1] - 1), axis=1)
+
+    from trackmaker_tpu.phy.decoder import DecodedFrames
+    res = DecodedFrames(
+        valid=any_k,
+        frame_bytes=out_bytes,
+        length=takec(dlen),
+        frame_type=takec(ftype),
+        sequence=takec(byts_i[..., 4]),
+        src=takec(byts_i[..., 5]),
+        dst=takec(dst),
+        start=jnp.where(any_k, starts, -1),
+        corr=jnp.where(any_k, corr_v, 0.0),
+    )
+    return res, ~overflow
+
+
+decode_capture_spec_jit = jax.jit(
+    decode_capture_spec,
+    static_argnames=("cfg", "max_frames", "n_cand", "interpret"))
