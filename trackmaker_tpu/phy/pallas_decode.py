@@ -126,11 +126,12 @@ def _pack_table() -> np.ndarray:
     return w
 
 
-def _attempt_kernel(cand_ref, vlen_ref, x384_ref, t8_ref, tb8_ref, w_ref,
-                    bytes_ref, xw, sem, *, n_cand: int, t_max: int,
-                    sync_e: float):
+def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
+                    tb8_ref, w_ref, bytes_ref, xw, sem, *, n_cand: int,
+                    t_max: int, sync_e: float):
     b = pl.program_id(0)
     vlen = vlen_ref[b]
+    nv = jnp.minimum(nval_ref[b], n_cand)  # skip the 2^30 fill slots
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def base_of(c):
@@ -154,12 +155,14 @@ def _attempt_kernel(cand_ref, vlen_ref, x384_ref, t8_ref, tb8_ref, w_ref,
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
 
-    dma(0, 0).start()
+    @pl.when(nv > 0)
+    def _():
+        dma(0, 0).start()
 
     def body_fn(c, _):
         slot = c % 2
 
-        @pl.when(c + 1 < n_cand)
+        @pl.when(c + 1 < nv)
         def _():
             dma(c + 1, (c + 1) % 2).start()
 
@@ -220,7 +223,7 @@ def _attempt_kernel(cand_ref, vlen_ref, x384_ref, t8_ref, tb8_ref, w_ref,
         bytes_ref[0, pl.ds(c * BROWS, BROWS), :] = byte_blk
         return 0
 
-    jax.lax.fori_loop(0, n_cand, body_fn, 0)
+    jax.lax.fori_loop(0, nv, body_fn, 0)
 
 
 def _walk_kernel(fields_ref, keep_ref, *, n_cand: int, max_frames: int):
@@ -277,7 +280,7 @@ def _extract_candidates(hits: jax.Array, n_cand: int):
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
     cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
                      cand.astype(jnp.int32), _BIGI)
-    return cand, overflow
+    return cand, n_valid, overflow
 
 
 def decode_capture_spec(
@@ -316,7 +319,7 @@ def decode_capture_spec(
     corr = jax.vmap(
         lambda s: sync_mod.auto_xcorr(s, pre_np, pre_energy))(x)
     hits = corr >= cfg.correlation_threshold
-    cand, overflow = _extract_candidates(hits, n_cand)
+    cand, n_valid, overflow = _extract_candidates(hits, n_cand)
 
     # row-shaped view for the kernel's slab DMAs; padded so any clipped
     # candidate's NR-row slab stays in bounds
@@ -324,7 +327,7 @@ def decode_capture_spec(
     x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - t))).reshape(b, r384, DROW)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),     # x384
@@ -351,8 +354,8 @@ def decode_capture_spec(
             transcendentals=0,
             bytes_accessed=4 * b * n_cand * NR * DROW),
         interpret=interpret,
-    )(cand, vlens, x384, jnp.asarray(t8_np), jnp.asarray(tb8_np),
-      jnp.asarray(w_np))
+    )(cand, vlens, n_valid.astype(jnp.int32), x384, jnp.asarray(t8_np),
+      jnp.asarray(tb8_np), jnp.asarray(w_np))
 
     # ---- dense epilogue: fields, CRC, walk inputs -----------------------
     grid8 = bytes_cm.reshape(b, n_cand, BROWS, 128)
