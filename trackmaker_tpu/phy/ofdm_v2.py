@@ -1,0 +1,282 @@
+"""OFDM receiver v2: Schmidl-Cox fine timing, smoothed channel
+estimation, per-symbol pilot-tone phase tracking.
+
+The v1 receiver (phy/ofdm.py) is minimal: chirp correlation timing and
+a one-tap equalizer from a SINGLE pilot symbol.  That single-symbol
+channel estimate is as noisy as the data (an ~3 dB effective-SNR loss
+near the cliff), timing rides entirely on the chirp peak, and nothing
+tracks phase drift across a frame (sample-clock offset).  v2, designed
+per the round-1 verdict (design reference: the AFC/sync ideas in the
+vendored fldigi modem, assets/psk.cxx):
+
+* **Repeated-halves pilot symbol** — pilot energy only on EVEN bins, so
+  its time body is two identical halves.  The Schmidl-Cox metric
+  M(d) = P(d)^2 / R(d)^2 with P(d) = sum r[d+k] r[d+k+N/2] is computed
+  on a +-search window around the chirp estimate and its argmax refines
+  the symbol timing (robust to the chirp peak wandering in noise).
+* **Smoothed channel estimate** — the acoustic channel's impulse
+  response is shorter than the CP, so H(f) is smooth across bins: a
+  complex moving average over the per-bin pilot estimates cuts the
+  estimator noise by ~the window size, recovering the ~3 dB the noisy
+  one-shot estimate costs v1.
+* **Per-symbol pilot tones** — every `pilot_spacing`-th data bin
+  carries a known BPSK pilot in EVERY data symbol.  Each symbol's
+  common phase error (CPE) and linear phase-vs-bin slope (residual
+  timing / sample-clock drift) are estimated from those tones and
+  de-rotated before demapping, so +-tens-of-ppm clock offset no longer
+  rotates late symbols off the constellation.
+
+Frame format (modulate_bits_v2): chirp ‖ guard ‖ SC pilot symbol ‖ data
+symbols (pilot tones embedded).  The v1 format stays untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trackmaker_tpu.core.framing import Frame
+from trackmaker_tpu.dsp.osc import chirp_cached
+from trackmaker_tpu.phy.ofdm import (
+    OfdmConfig,
+    _bits_to_qpsk,
+    _qpsk_to_bits,
+    _spectrum_to_time,
+    _time_to_spectrum,
+    find_preambles,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class OfdmV2Config(OfdmConfig):
+    pilot_spacing: int = 8      # every Nth data bin is a pilot tone
+    sc_search: int = 32         # +- timing search around the chirp peak
+    smooth_bins: int = 9        # channel-estimate moving-average window
+    track_cpe: bool = True      # per-symbol common-phase-error correction
+    track_slope: bool = True    # per-symbol phase-slope (timing drift)
+    use_sc: bool = True         # Schmidl-Cox fine timing
+
+    @property
+    def pilot_bin_idx(self) -> np.ndarray:
+        return np.arange(0, self.n_bins, self.pilot_spacing)
+
+    @property
+    def data_bin_idx(self) -> np.ndarray:
+        mask = np.ones(self.n_bins, bool)
+        mask[self.pilot_bin_idx] = False
+        return np.nonzero(mask)[0]
+
+    @property
+    def bits_per_symbol(self) -> int:  # type: ignore[override]
+        return len(self.data_bin_idx) * self.bits_per_sym
+
+
+@functools.lru_cache(maxsize=16)
+def _sc_pilot(cfg: OfdmV2Config) -> np.ndarray:
+    """BPSK pilot on even bins only -> repeated-halves time body."""
+    rng = np.random.default_rng(cfg.pilot_seed)
+    p = (2.0 * rng.integers(0, 2, cfg.n_bins) - 1.0).astype(np.complex64)
+    even = ((np.arange(cfg.n_bins) + cfg.bin_lo) % 2 == 0)
+    # doubled amplitude keeps the pilot symbol's power comparable
+    return np.where(even, p * np.sqrt(2.0), 0.0).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=16)
+def _tone_pilots(cfg: OfdmV2Config) -> np.ndarray:
+    rng = np.random.default_rng(cfg.pilot_seed + 1)
+    n = len(cfg.pilot_bin_idx)
+    return (2.0 * rng.integers(0, 2, n) - 1.0).astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def modulate_bits_v2(cfg: OfdmV2Config, bits: jax.Array,
+                     n_bits: int) -> jax.Array:
+    """uint8[B, n_bits] -> f32[B, frame_samples]."""
+    b = bits.shape[0]
+    n_sym = cfg.n_symbols(n_bits)
+    pad = n_sym * cfg.bits_per_symbol - n_bits
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    qpsk = _bits_to_qpsk(bits).reshape(b, n_sym, len(cfg.data_bin_idx))
+    subs = jnp.zeros((b, n_sym, cfg.n_bins), jnp.complex64)
+    subs = subs.at[..., jnp.asarray(cfg.data_bin_idx)].set(qpsk)
+    subs = subs.at[..., jnp.asarray(cfg.pilot_bin_idx)].set(
+        jnp.asarray(_tone_pilots(cfg)))
+    pilot = jnp.broadcast_to(
+        jnp.asarray(_sc_pilot(cfg)), (b, 1, cfg.n_bins))
+    t_syms = _spectrum_to_time(
+        cfg, jnp.concatenate([pilot, subs], axis=1))
+    body = t_syms.reshape(b, -1)
+    pre = jnp.asarray(chirp_cached(
+        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
+        cfg.sample_rate))
+    pre = jnp.broadcast_to(pre, (b, cfg.preamble_len))
+    guard = jnp.zeros((b, cfg.guard_samples), jnp.float32)
+    return jnp.concatenate([pre, guard, body], axis=-1)
+
+
+def _smooth_complex(h: jax.Array, win: int) -> jax.Array:
+    """Complex moving average along the last axis (edge-clamped)."""
+    n = h.shape[-1]
+    pad = win // 2
+    hp = jnp.concatenate(
+        [jnp.repeat(h[..., :1], pad, -1), h,
+         jnp.repeat(h[..., -1:], pad, -1)], axis=-1)
+    k = jnp.ones(win) / win
+    re = jnp.convolve(hp.real, k, mode="valid") if h.ndim == 1 else None
+    if re is not None:
+        return (re + 1j * jnp.convolve(hp.imag, k, mode="valid"))[:n]
+    # batched: windowed sum via cumsum
+    cs = jnp.cumsum(hp, axis=-1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
+    out = (cs[..., win:] - cs[..., :-win]) / win
+    return out[..., :n]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
+                     starts: jax.Array) -> jax.Array:
+    """Demodulate v2 frames whose chirp starts at `starts` (int[B]) ->
+    uint8[B, n_bits]."""
+    n_sym = cfg.n_symbols(n_bits)
+    total = (1 + n_sym) * cfg.sym_len
+    body_off = cfg.preamble_len + cfg.guard_samples
+    half = cfg.n_fft // 2
+    s = cfg.sc_search
+    pad = jnp.concatenate([
+        rx.astype(jnp.float32),
+        jnp.zeros(total + body_off + 2 * s + cfg.n_fft + 8, jnp.float32)])
+    pilots = jnp.asarray(_tone_pilots(cfg))
+    pbins = jnp.asarray(cfg.pilot_bin_idx)
+    dbins = jnp.asarray(cfg.data_bin_idx)
+    sc_tx = jnp.asarray(_sc_pilot(cfg))
+
+    def one(start):
+        # --- Schmidl-Cox fine timing on the repeated-halves pilot body
+        if cfg.use_sc:
+            pilot_body = start + body_off + cfg.cp_len
+            base = jnp.maximum(pilot_body - s, 0)
+            seg = jax.lax.dynamic_slice(pad, (base,),
+                                        (2 * s + cfg.n_fft,))
+            d = jnp.arange(2 * s)[:, None] + jnp.arange(half)[None, :]
+            a = seg[d]                      # (2s, half)
+            bseg = seg[d + half]
+            p = jnp.sum(a * bseg, axis=-1)
+            r = jnp.sum(bseg * bseg, axis=-1)
+            m = (p * p) / jnp.maximum(r * r, 1e-12)
+            d_star = jnp.argmax(m)
+            fine = base + d_star - cfg.cp_len - body_off  # refined start
+        else:
+            fine = start
+
+        # --- FFT all symbols at the refined timing
+        seg2 = jax.lax.dynamic_slice(
+            pad, (jnp.maximum(fine, 0) + body_off,), (total,))
+        spec = _time_to_spectrum(cfg, seg2.reshape(1 + n_sym, cfg.sym_len))
+
+        # --- smoothed channel estimate from the SC pilot (even bins)
+        h_raw = spec[0] * jnp.conj(sc_tx) / jnp.maximum(
+            jnp.abs(sc_tx) ** 2, 1e-12)
+        even = ((jnp.arange(cfg.n_bins) + cfg.bin_lo) % 2 == 0)
+        # interpolate odd bins from even neighbours, then smooth
+        idx = jnp.arange(cfg.n_bins)
+        left = jnp.clip(idx - 1, 0, cfg.n_bins - 1)
+        right = jnp.clip(idx + 1, 0, cfg.n_bins - 1)
+        h_f = jnp.where(even, h_raw,
+                        0.5 * (h_raw[left] + h_raw[right]))
+        h = _smooth_complex(h_f, cfg.smooth_bins)
+        h = jnp.where(jnp.abs(h) < 1e-9, 1.0 + 0j, h)
+
+        # --- one-tap equalize all data symbols
+        eq = spec[1:] * jnp.conj(h) / jnp.maximum(jnp.abs(h) ** 2, 1e-12)
+
+        # --- pilot-tone tracking: clock drift produces a phase
+        # trajectory LINEAR in the symbol index, so fit one line per
+        # frame instead of using raw per-symbol estimates — the fit
+        # averages the estimator noise over all symbols (raw
+        # per-symbol correction measurably costs ~1 dB at the AWGN
+        # cliff) while capturing drift ramps exactly.
+        pt = eq[:, pbins] * jnp.conj(pilots)          # (n_sym, n_pilot)
+        cpe = jnp.sum(pt, axis=-1)
+        srange = jnp.arange(n_sym, dtype=jnp.float32)
+        if cfg.track_cpe and n_sym > 1:
+            # per-symbol increment from consecutive ratios (no unwrap)
+            binc = jnp.angle(jnp.sum(cpe[1:] * jnp.conj(cpe[:-1])))
+            a0 = jnp.angle(jnp.sum(cpe * jnp.exp(-1j * binc * srange)))
+            theta = a0 + binc * srange
+        elif cfg.track_cpe:
+            theta = jnp.angle(cpe)
+        else:
+            theta = jnp.zeros(n_sym)
+        npil = pt.shape[-1]
+        lo = jnp.sum(pt[:, : npil // 2], axis=-1)
+        hi = jnp.sum(pt[:, npil - npil // 2:], axis=-1)
+        dphi = jnp.angle(hi * jnp.conj(lo))           # over ~half the band
+        span = (pbins[npil - npil // 2:].mean()
+                - pbins[: npil // 2].mean())
+        slope_raw = dphi / jnp.maximum(span, 1.0)
+        if cfg.track_slope and n_sym > 1:
+            # least-squares line over symbols
+            sm = jnp.mean(srange)
+            den = jnp.sum((srange - sm) ** 2)
+            d1 = jnp.sum((srange - sm) * slope_raw) / jnp.maximum(den, 1.0)
+            c0 = jnp.mean(slope_raw) - d1 * sm
+            slope = c0 + d1 * srange
+        elif cfg.track_slope:
+            slope = slope_raw
+        else:
+            slope = jnp.zeros(n_sym)
+        binr = jnp.arange(cfg.n_bins, dtype=jnp.float32)
+        rot = jnp.exp(-1j * (theta[:, None]
+                             + slope[:, None]
+                             * (binr[None, :] - jnp.mean(binr))))
+        eqc = eq * rot
+
+        bits = _qpsk_to_bits(eqc[:, dbins].reshape(-1))
+        return bits[:n_bits]
+
+    return jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+
+
+class OfdmModemV2:
+    """Frame-level facade over the v2 waveform (equal-length frames)."""
+
+    def __init__(self, cfg: OfdmV2Config = OfdmV2Config()):
+        self.cfg = cfg
+
+    def encode_frames(self, frames: list[Frame],
+                      gap_samples: int = 256) -> np.ndarray:
+        from trackmaker_tpu.core import bitops
+        assert frames
+        nb = {len(f.to_bytes()) * 8 for f in frames}
+        assert len(nb) == 1, "group equal-length frames"
+        bits = jnp.asarray(np.stack(
+            [bitops.bytes_to_bits_host(f.to_bytes()) for f in frames]))
+        waves = np.asarray(modulate_bits_v2(self.cfg, bits, nb.pop()))
+        parts = []
+        for i, w in enumerate(waves):
+            parts.append(w)
+            if i < len(waves) - 1:
+                parts.append(np.zeros(gap_samples, np.float32))
+        return np.concatenate(parts)
+
+    def decode(self, rx: np.ndarray, frame_bytes_len: int,
+               max_frames: int = 64) -> list[Frame]:
+        n_bits = frame_bytes_len * 8
+        starts = np.asarray(find_preambles(
+            self.cfg, jnp.asarray(rx), max_frames))
+        starts = starts[starts >= 0]
+        if len(starts) == 0:
+            return []
+        bits = np.asarray(demodulate_at_v2(
+            self.cfg, jnp.asarray(rx), n_bits, jnp.asarray(starts)))
+        out = []
+        for row in bits:
+            f = Frame.from_bits(row)
+            if f is not None:
+                out.append(f)
+        return out
