@@ -230,3 +230,85 @@ def active_regions(samples: np.ndarray, threshold: float = 0.05,
         len(samples), ctypes.c_float(threshold), hang, halo,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_regions)
     return out[: 2 * k].reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Real-audio capture/playback (tm_audio.cc): ALSA via dlopen when the
+# host has libasound, else a loopback "virtual cable" between the
+# playback and capture rings — the hardware-facing side of the
+# reference's JACK recorder (src/audio/recorder.rs:35-153), with the
+# lock-free ring as the RT/batch cut point.
+# ---------------------------------------------------------------------------
+
+BACKEND_ALSA = 0
+BACKEND_LOOPBACK = 1          # paced at the sample rate
+BACKEND_LOOPBACK_FAST = 2     # unpaced (tests)
+
+
+def _audio_bind(lib):
+    if getattr(lib, "_audio_bound", False):
+        return
+    lib.tm_audio_alsa_available.restype = ctypes.c_int
+    lib.tm_audio_open.restype = ctypes.c_void_p
+    lib.tm_audio_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_uint, ctypes.c_uint,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.tm_audio_close.argtypes = [ctypes.c_void_p]
+    lib._audio_bound = True
+
+
+def alsa_available() -> bool:
+    lib = _load()
+    _audio_bind(lib)
+    return bool(lib.tm_audio_alsa_available())
+
+
+class AudioDuplex:
+    """Half-duplex audio endpoint over the SPSC rings.
+
+    `capture` pops what arrived from the device (or the loopback
+    cable); `play` pushes samples toward it.  Mirrors the reference's
+    AppShared record/playback buffers with the RT thread living in C++.
+    """
+
+    def __init__(self, device: str = "default",
+                 backend: int | None = None, rate: int = 48_000,
+                 period: int = 256, ring_capacity: int = 1 << 22):
+        lib = _load()
+        _audio_bind(lib)
+        if backend is None:
+            backend = (BACKEND_ALSA if lib.tm_audio_alsa_available()
+                       else BACKEND_LOOPBACK)
+        self.backend = backend
+        self.rate = rate
+        self.capture_ring = RingBuffer(ring_capacity)
+        self.playback_ring = RingBuffer(ring_capacity)
+        self._lib = lib
+        self._h = lib.tm_audio_open(
+            device.encode(), backend, rate, period,
+            ctypes.c_void_p(self.capture_ring._ptr),
+            ctypes.c_void_p(self.playback_ring._ptr))
+        if not self._h:
+            raise RuntimeError(
+                f"tm_audio_open failed (backend={backend}); "
+                "for ALSA check libasound.so.2 and the device name")
+
+    def play(self, samples: np.ndarray) -> int:
+        return self.playback_ring.push(samples)
+
+    def capture(self, n: int) -> np.ndarray:
+        return self.capture_ring.pop(n)
+
+    def pending_capture(self) -> int:
+        return len(self.capture_ring)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.tm_audio_close(ctypes.c_void_p(self._h))
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,187 @@
+// Real-audio capture/playback shim feeding the SPSC sample rings.
+//
+// Reference equivalent: the JACK real-time process callback + AppShared
+// buffers (src/audio/recorder.rs:35-153, src/device/jack.rs:17-64).
+// TPU-native redesign: the cut point between real-time audio and the
+// batched decode pipeline is the lock-free ring (tm_runtime.cc); this
+// file adds the hardware-facing side:
+//
+// * ALSA backend, loaded via dlopen("libasound.so.2") at runtime — no
+//   ALSA headers or link-time dependency, so the library builds and
+//   every other feature works in audio-less containers; on a real
+//   Linux box with ALSA the same .so captures/plays live audio.
+// * Loopback backend: a pump thread moves samples playback-ring ->
+//   capture-ring at a paced (or unpaced) rate — a virtual audio cable
+//   for tests, demos and CI, exactly how the reference's no-JACK
+//   "test" mode loops encode into decode (src/main.rs:480-589).
+//
+// Duplex model mirrors recorder.rs's half-duplex state machine: the
+// caller (Python) flips between capturing (pop from capture ring) and
+// playing (push to playback ring).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <dlfcn.h>
+#include <pthread.h>
+#include <unistd.h>
+
+// --- ring API from tm_runtime.cc -------------------------------------
+extern "C" {
+size_t tm_ring_push(void* ring, const float* data, size_t len);
+size_t tm_ring_pop(void* ring, float* out, size_t len);
+size_t tm_ring_size(void* ring);
+}
+
+namespace {
+
+// ---- minimal ALSA surface, resolved at runtime -----------------------
+typedef void snd_pcm_t;
+constexpr int kSndPcmStreamPlayback = 0;
+constexpr int kSndPcmStreamCapture = 1;
+constexpr int kSndPcmFormatFloatLE = 14;   // SND_PCM_FORMAT_FLOAT_LE
+constexpr int kSndPcmAccessRwInterleaved = 3;
+
+struct AlsaApi {
+  void* lib = nullptr;
+  int (*open)(snd_pcm_t**, const char*, int, int) = nullptr;
+  int (*set_params)(snd_pcm_t*, int, int, unsigned, unsigned, int,
+                    unsigned) = nullptr;
+  long (*readi)(snd_pcm_t*, void*, unsigned long) = nullptr;
+  long (*writei)(snd_pcm_t*, const void*, unsigned long) = nullptr;
+  int (*recover)(snd_pcm_t*, int, int) = nullptr;
+  int (*close)(snd_pcm_t*) = nullptr;
+
+  bool load() {
+    if (lib) return true;
+    lib = dlopen("libasound.so.2", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) lib = dlopen("libasound.so", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) return false;
+    open = (decltype(open))dlsym(lib, "snd_pcm_open");
+    set_params = (decltype(set_params))dlsym(lib, "snd_pcm_set_params");
+    readi = (decltype(readi))dlsym(lib, "snd_pcm_readi");
+    writei = (decltype(writei))dlsym(lib, "snd_pcm_writei");
+    recover = (decltype(recover))dlsym(lib, "snd_pcm_recover");
+    close = (decltype(close))dlsym(lib, "snd_pcm_close");
+    return open && set_params && readi && writei && recover && close;
+  }
+};
+
+AlsaApi g_alsa;
+
+struct AudioDuplex {
+  void* cap_ring;      // device -> decoder
+  void* play_ring;     // encoder -> device
+  unsigned rate;
+  unsigned period;     // frames per chunk
+  std::atomic<bool> stop{false};
+  pthread_t cap_thread{};
+  pthread_t play_thread{};
+  snd_pcm_t* cap_pcm = nullptr;
+  snd_pcm_t* play_pcm = nullptr;
+  bool loopback = false;
+  bool paced = true;   // loopback: move data at real-time rate
+};
+
+void* capture_main(void* arg) {
+  auto* d = (AudioDuplex*)arg;
+  float buf[4096];
+  while (!d->stop.load(std::memory_order_relaxed)) {
+    long n = g_alsa.readi(d->cap_pcm, buf,
+                          d->period < 4096 ? d->period : 4096);
+    if (n < 0) {
+      if (g_alsa.recover(d->cap_pcm, (int)n, 1) < 0) break;
+      continue;
+    }
+    tm_ring_push(d->cap_ring, buf, (size_t)n);
+  }
+  return nullptr;
+}
+
+void* playback_main(void* arg) {
+  auto* d = (AudioDuplex*)arg;
+  float buf[4096];
+  const size_t chunk = d->period < 4096 ? d->period : 4096;
+  while (!d->stop.load(std::memory_order_relaxed)) {
+    size_t got = tm_ring_pop(d->play_ring, buf, chunk);
+    if (got == 0) {           // underrun: feed silence
+      memset(buf, 0, chunk * sizeof(float));
+      got = chunk;
+    }
+    long n = g_alsa.writei(d->play_pcm, buf, got);
+    if (n < 0 && g_alsa.recover(d->play_pcm, (int)n, 1) < 0) break;
+  }
+  return nullptr;
+}
+
+void* loopback_main(void* arg) {
+  auto* d = (AudioDuplex*)arg;
+  float buf[4096];
+  const size_t chunk = d->period < 4096 ? d->period : 4096;
+  const useconds_t sleep_us =
+      d->paced ? (useconds_t)(1e6 * chunk / d->rate) : 0;
+  while (!d->stop.load(std::memory_order_relaxed)) {
+    size_t got = tm_ring_pop(d->play_ring, buf, chunk);
+    if (got) tm_ring_push(d->cap_ring, buf, got);
+    if (sleep_us) usleep(sleep_us);
+    else if (!got) usleep(200);  // idle; avoid a hot spin
+  }
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+int tm_audio_alsa_available(void) { return g_alsa.load() ? 1 : 0; }
+
+// Open a duplex stream. backend: 0 = ALSA (device name, e.g.
+// "default"), 1 = loopback paced at `rate`, 2 = loopback unpaced
+// (tests). Returns an opaque handle or NULL.
+void* tm_audio_open(const char* device, int backend, unsigned rate,
+                    unsigned period, void* capture_ring,
+                    void* playback_ring) {
+  auto* d = new AudioDuplex();
+  d->cap_ring = capture_ring;
+  d->play_ring = playback_ring;
+  d->rate = rate;
+  d->period = period ? period : 256;
+
+  if (backend == 0) {
+    if (!g_alsa.load()) { delete d; return nullptr; }
+    if (g_alsa.open(&d->cap_pcm, device, kSndPcmStreamCapture, 0) < 0 ||
+        g_alsa.set_params(d->cap_pcm, kSndPcmFormatFloatLE,
+                          kSndPcmAccessRwInterleaved, 1, rate, 1,
+                          500000) < 0) {
+      delete d; return nullptr;
+    }
+    if (g_alsa.open(&d->play_pcm, device, kSndPcmStreamPlayback, 0) < 0 ||
+        g_alsa.set_params(d->play_pcm, kSndPcmFormatFloatLE,
+                          kSndPcmAccessRwInterleaved, 1, rate, 1,
+                          500000) < 0) {
+      g_alsa.close(d->cap_pcm);
+      delete d; return nullptr;
+    }
+    pthread_create(&d->cap_thread, nullptr, capture_main, d);
+    pthread_create(&d->play_thread, nullptr, playback_main, d);
+    return d;
+  }
+
+  d->loopback = true;
+  d->paced = (backend == 1);
+  pthread_create(&d->cap_thread, nullptr, loopback_main, d);
+  return d;
+}
+
+void tm_audio_close(void* handle) {
+  auto* d = (AudioDuplex*)handle;
+  if (!d) return;
+  d->stop.store(true, std::memory_order_relaxed);
+  pthread_join(d->cap_thread, nullptr);
+  if (!d->loopback) pthread_join(d->play_thread, nullptr);
+  if (d->cap_pcm) g_alsa.close(d->cap_pcm);
+  if (d->play_pcm) g_alsa.close(d->play_pcm);
+  delete d;
+}
+
+}  // extern "C"
