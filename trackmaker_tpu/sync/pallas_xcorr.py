@@ -52,31 +52,45 @@ def _banded_mats(pattern_key, seg: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
-                  slab_ref, *, blk: int, seg: int, inv_pe: float,
+                  *, blk: int, seg: int, inv_pe: float,
                   eps: float, normalize: bool, scale: float,
                   use_bf16: bool):
     nb = blk // 128
-    slab_ref[0, :blk] = x0_ref[0, :]
-    slab_ref[0, blk:] = x1_ref[0, :seg]
-    rows = [slab_ref[0, 128 * b : 128 * b + seg] for b in range(nb)]
-    xmat = jnp.stack(rows, axis=0)                       # (nb, SEG)
-    if use_bf16:
-        # pattern entries (±1/0 scaled) are bf16-exact; x loses ~8 bits
-        # of mantissa — fine for detection, not for oracle-exactness at
-        # the threshold boundary. Opt-in.
-        xm = xmat.astype(jnp.bfloat16)
-        pm = pmat_ref[:, :].astype(jnp.bfloat16)
-        em = emat_ref[:, :].astype(jnp.bfloat16)
-        dot = jnp.dot(xm, pm, preferred_element_type=jnp.float32)
-        if normalize:
-            energy = jnp.dot((xmat * xmat).astype(jnp.bfloat16), em,
-                             preferred_element_type=jnp.float32)
-    else:
-        dot = jnp.dot(xmat, pmat_ref[:, :],
-                      preferred_element_type=jnp.float32)    # (nb, 128)
-        if normalize:
-            energy = jnp.dot(xmat * xmat, emat_ref[:, :],
-                             preferred_element_type=jnp.float32)
+    nch = seg // 128
+    # Row b of X is the slab x[128b : 128b+seg]; rather than nb
+    # slice+stack ops (which dominate the kernel at large blk), split
+    # the contraction over the seg axis: X @ P = sum_k R[k:k+nb] @
+    # P[128k:128k+128] where R = slab.reshape(-1, 128) — each term is a
+    # shifted view of the same 128-lane reshape, no gather/stack.
+    slab = jnp.concatenate([x0_ref[0:1, :], x1_ref[0:1, :seg]], axis=1)
+    r = slab.reshape(nb + nch, 128)
+    sq = r * r if normalize else None
+    dot = jnp.zeros((nb, 128), jnp.float32)
+    energy = jnp.zeros((nb, 128), jnp.float32)
+    for k in range(nch):
+        rk = r[k:k + nb]
+        if use_bf16:
+            # pattern entries (±1/0 scaled) are bf16-exact; x loses ~8
+            # bits of mantissa — fine for detection, not for
+            # oracle-exactness at the threshold boundary. Opt-in.
+            dot = dot + jnp.dot(
+                rk.astype(jnp.bfloat16),
+                pmat_ref[128 * k:128 * (k + 1), :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            if normalize:
+                energy = energy + jnp.dot(
+                    sq[k:k + nb].astype(jnp.bfloat16),
+                    emat_ref[128 * k:128 * (k + 1), :].astype(
+                        jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        else:
+            dot = dot + jnp.dot(
+                rk, pmat_ref[128 * k:128 * (k + 1), :],
+                preferred_element_type=jnp.float32)
+            if normalize:
+                energy = energy + jnp.dot(
+                    sq[k:k + nb], emat_ref[128 * k:128 * (k + 1), :],
+                    preferred_element_type=jnp.float32)
     if normalize:
         denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
         corr = jnp.where(energy < eps, 0.0, dot * denom)
@@ -136,7 +150,6 @@ def pallas_normalized_xcorr(
         ],
         out_specs=pl.BlockSpec((1, blk), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, blk + seg), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * t_pad * seg, transcendentals=0,
             bytes_accessed=4 * (2 * t_pad + 2 * seg * 128)),
