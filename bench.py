@@ -89,7 +89,7 @@ def bench_line_coded(cfg, rng):
 
     from trackmaker_tpu.core.config import MANCHESTER
     from trackmaker_tpu.phy.decoder import _batched_fn, _spec_supported
-    if cfg.line_coding == MANCHESTER and _spec_supported(cfg):
+    if _spec_supported(cfg):
         from trackmaker_tpu.phy.pallas_decode import decode_capture_spec_jit
         fn = (lambda x: decode_capture_spec_jit(
             cfg, x, 2, max_frames=n_frames + 8))

@@ -169,3 +169,94 @@ def test_fast_wrapper_spec_fallback_merge():
     output must equal per-row references."""
     if jax.default_backend() != "tpu":
         pytest.skip("fast wrapper uses the kernel only on TPU")
+
+
+# ---------------------------------------------------------------------------
+# 4B5B speculative kernel
+
+
+def _cfg4():
+    from trackmaker_tpu.core.config import FOUR_B_FIVE_B
+    return PhyConfig(line_coding=FOUR_B_FIVE_B)
+
+
+def test_spec_4b5b_basic_and_failures():
+    cfg = _cfg4()
+    enc = OracleEncoder(cfg)
+    rng = np.random.default_rng(1)
+    parts = [rng.normal(0, 0.03, 400).astype(np.float32)]
+    parts.append(enc.encode_frame(Frame.new_data(1, 1, 2, b"first")))
+    parts.append(np.zeros(300, np.float32))
+    parts.append(enc.encode_frame(Frame.new_data(2, 1, 9, b"foreign")))
+    parts.append(np.zeros(300, np.float32))
+    crc_bad = np.array(enc.encode_frame(Frame.new_data(3, 1, 2, b"badcrc")),
+                       np.float32)
+    bit = 7 * 8 + 3
+    sym = bit // 4  # flip one coded symbol's samples -> invalid symbol
+    crc_bad[cfg.preamble_len + sym * 15: cfg.preamble_len
+            + sym * 15 + 15] *= -1.0
+    parts.append(crc_bad)
+    parts.append(np.zeros(300, np.float32))
+    parts.append(enc.encode_frame(Frame.new_data(4, 1, 2, b"last")))
+    parts.append(np.zeros(600, np.float32))
+    wave = np.concatenate(parts)
+    res, _ = _spec_vs_exact(cfg, wave)
+    assert [q for _, q, _ in _masked(res, 0)] == [1, 4]
+
+
+def test_spec_4b5b_zero_levels_trip_conformance():
+    """Exact zero samples inside an attempted frame engage the
+    reference's last-valid-average skip (line_coding.rs:265-269), which
+    the optimistic kernel cannot replay -> ok=False, and
+    decode_capture_fast must fall back to the exact result."""
+    cfg = _cfg4()
+    enc = OracleEncoder(cfg)
+    w = np.array(enc.encode_frame(
+        Frame.new_data(1, 1, 2, b"zeroed-levels")), np.float32)
+    w[cfg.preamble_len + 20 * 15 + 3: cfg.preamble_len + 20 * 15 + 6] = 0.0
+    wave = np.concatenate([w, np.zeros(500, np.float32)])
+    x = wave[None]
+    _res, ok = decode_capture_spec(cfg, x, 2, max_frames=8, n_cand=32,
+                                   interpret=True)
+    assert not bool(np.asarray(ok)[0])
+    # skipped-candidate zeros must NOT trip (gap zeros are everywhere)
+    clean = np.concatenate([
+        enc.encode_frame(Frame.new_data(2, 1, 2, b"clean")),
+        np.zeros(4000, np.float32)])
+    _res2, ok2 = decode_capture_spec(cfg, clean[None], 2, max_frames=8,
+                                     n_cand=32, interpret=True)
+    assert bool(np.asarray(ok2)[0])
+
+
+def test_spec_4b5b_evil_embedded_and_partial_header():
+    cfg = _cfg4()
+    enc = OracleEncoder(cfg)
+    evil = Frame.new_data(1, 1, 2, bytes([0x33, 0x5A]) + _raw(b"EV",
+                                                              seq=99))
+    w2 = np.array(enc.encode_frame(Frame.new_data(2, 1, 2, b"hdrcut")),
+                  np.float32)
+    # invalid symbol at coded-symbol 12 -> 48 valid header bits < 49:
+    # header-fail path (consumes header_samples)
+    w2[cfg.preamble_len + 12 * 15: cfg.preamble_len + 13 * 15] *= -1.0
+    # flipping one symbol's polarity inverts NRZI transitions at its
+    # edges; depending on the pattern that may or may not produce an
+    # invalid code — differential equality is the real assertion
+    wave = np.concatenate([
+        np.zeros(200, np.float32), enc.encode_frame(evil),
+        np.zeros(400, np.float32), w2,
+        np.zeros(400, np.float32),
+        enc.encode_frame(Frame.new_data(5, 1, 2, b"tail")),
+        np.zeros(500, np.float32)])
+    res, _ = _spec_vs_exact(cfg, wave)
+    assert all(q != 99 for _, q, _ in _masked(res, 0))
+
+
+def test_spec_4b5b_incomplete_and_max_frames():
+    cfg = _cfg4()
+    enc = OracleEncoder(cfg)
+    frames = [Frame.new_data(i, 1, 2, bytes([i]) * 5) for i in range(6)]
+    wave = enc.encode_frames(frames, gap_samples=250)
+    res, _ = _spec_vs_exact(cfg, wave, max_frames=3)
+    assert len(_masked(res, 0)) == 3
+    full = np.concatenate([wave, np.zeros(200, np.float32)])
+    _spec_vs_exact(cfg, full, valid_len=len(wave) - 30)

@@ -501,17 +501,16 @@ def _batched_fn(cfg, max_frames, optimistic):
 
 
 def _spec_supported(cfg: PhyConfig) -> bool:
-    """Whether the Pallas speculative kernel covers this config on this
-    backend (Manchester spl=3 on TPU; see phy/pallas_decode.py)."""
+    """Whether a Pallas speculative kernel covers this config on this
+    backend (Manchester/4B5B spl=3 on TPU; see phy/pallas_decode.py)."""
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    return (on_tpu
-            and cfg.line_coding == MANCHESTER
-            and cfg.samples_per_level == 3
-            and cfg.preamble_len == 96 and cfg.sync_len == 48
-            and cfg.sync_margin == 6 and cfg.header_samples == 336)
+    if not on_tpu:
+        return False
+    from trackmaker_tpu.phy.pallas_decode import spec_supported_cfg
+    return spec_supported_cfg(cfg)
 
 
 def decode_capture_fast(
@@ -522,19 +521,19 @@ def decode_capture_fast(
 ) -> DecodedFrames:
     """Host-level batch decode picking the fastest sound path.
 
-    Manchester on TPU: the Pallas speculative decoder
+    On TPU both line codings run the Pallas speculative decoder
     (phy/pallas_decode.py — candidate table + attempt kernel + scalar
-    walk, measured 3.1x the exact scan); rows whose candidate table
-    overflowed re-decode exactly.  4B5B: the optimistic two-pass (body
-    decode out of the scan); any capture whose conformance flag trips
-    (an attempted slot hit an invalid 4B5B symbol or a near-zero level)
-    re-decodes exactly.  Results always equal :func:`decode_capture` up
-    to slot compaction (the speculative path packs valid frames into
-    the leading slots; the valid-masked content is identical)."""
+    walk; measured 4.1x / 4.8x the exact scan for Manchester / 4B5B);
+    rows whose candidate table overflowed — or, 4B5B, whose attempted
+    candidates hit a near-zero level average (the optimistic NRZI rule
+    cannot replay the reference's skip-carry) — re-decode exactly.
+    On CPU, Manchester uses the exact path and 4B5B the optimistic
+    two-pass.  Results always equal :func:`decode_capture` up to slot
+    compaction (the speculative path packs valid frames into the
+    leading slots; the valid-masked content is identical)."""
     x = jnp.asarray(samples)
     batched = x.ndim == 2
-    if cfg.line_coding == MANCHESTER:
-        if _spec_supported(cfg):
+    if _spec_supported(cfg):
             from trackmaker_tpu.phy.pallas_decode import (
                 decode_capture_spec_jit)
             xb = x if batched else x[None]
@@ -554,6 +553,7 @@ def decode_capture_fast(
             merged = jax.tree_util.tree_map(merge2, res, exact)
             return merged if batched else jax.tree_util.tree_map(
                 lambda a: a[0], merged)
+    if cfg.line_coding == MANCHESTER:
         if batched:
             return _batched_fn(cfg, max_frames, False)(x, local_addr)
         return decode_capture(cfg, x, local_addr, max_frames)

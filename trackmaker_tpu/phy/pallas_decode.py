@@ -38,8 +38,12 @@ neither appears on the hot path:
    conformance check is needed — only candidate overflow forces the
    exact path.
 
-Manchester only (the flagship config); other line codings use the
-in-scan exact path.
+Two attempt kernels share the architecture: Manchester (byte = 48
+samples) and 4B5B+NRZI (byte = 30 samples; level sums via banded
+matmuls, NRZI transitions as lane-shifted products, the 4B5B inverse
+table as 32 iota-compare selects — near-zero level averages are
+conformance-flagged since the optimistic transition rule ignores the
+reference's last-valid-average carry, line_coding.rs:265-269).
 """
 
 from __future__ import annotations
@@ -54,6 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from trackmaker_tpu.core import bitops
 from trackmaker_tpu.core.config import (
+    FOUR_B_FIVE_B,
     FRAME_TYPE_DATA,
     MANCHESTER,
     PHY_HEADER_BYTES,
@@ -69,28 +74,39 @@ BLK = 512
 _BIGI = np.int32(2**30)
 
 
+def spec_supported_cfg(cfg: PhyConfig) -> bool:
+    if cfg.samples_per_level != 3:
+        return False
+    if cfg.line_coding == MANCHESTER:
+        return (cfg.preamble_len == 96 and cfg.sync_len == 48
+                and cfg.sync_margin == 6 and cfg.header_samples == 336)
+    if cfg.line_coding == FOUR_B_FIVE_B:
+        return (cfg.preamble_len == 60 and cfg.sync_len == 30
+                and cfg.sync_margin == 15 and cfg.header_samples == 210)
+    return False
+
+
 def _check_cfg(cfg: PhyConfig) -> None:
-    assert cfg.line_coding == MANCHESTER and cfg.samples_per_level == 3, \
-        "speculative kernel is specialized for Manchester spl=3"
-    assert cfg.preamble_len == 96 and cfg.sync_len == 48
-    assert cfg.sync_margin == 6 and cfg.header_samples == 336
+    assert spec_supported_cfg(cfg), \
+        "speculative kernels are specialized for spl=3 configs"
 
 
 @functools.lru_cache(maxsize=8)
-def _sync_tables(pattern_key) -> tuple[np.ndarray, float]:
+def _sync_tables(pattern_key, n_pos: int) -> tuple[np.ndarray, float]:
     """8 sublane-shifted copies of the banded sync matrix
-    T[u+383, k] = sync_pat[u - k] (u in [0, 61) nonzero, k in [0, 13)):
-    Mosaic requires dynamic sublane slice starts provably divisible by
-    8, so slice copy v = start % 8 at the 8-aligned start - v.  The
-    window-energy band is T*T elementwise (the pattern is exactly +-1),
-    so no separate energy table is needed."""
+    T[u+383, k] = sync_pat[u - k] for k in [0, n_pos): Mosaic requires
+    dynamic sublane slice starts provably divisible by 8, so slice
+    copy v = start % 8 at the 8-aligned start - v.  The window-energy
+    band is T*T elementwise (the patterns are exactly +-1), so no
+    separate energy table is needed."""
     sp = np.asarray(pattern_key, np.float32)
-    assert len(sp) == 48 and np.all(np.abs(sp) == 1.0)
+    assert np.all(np.abs(sp) == 1.0)
+    w = len(sp)
     orig = np.zeros((1159, 128), np.float32)
-    for u in range(0, 61):
-        for k in range(13):
+    for u in range(0, w + n_pos):
+        for k in range(n_pos):
             j = u - k
-            if 0 <= j < 48:
+            if 0 <= j < w:
                 orig[u + 383, k] = sp[j]
     t8 = np.stack([orig[v:v + 1151] for v in range(8)])
     se = float(np.sqrt(np.sum(sp.astype(np.float64) ** 2)))
@@ -226,10 +242,194 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
     jax.lax.fori_loop(0, nv, body_fn, 0)
 
 
+
+
+# ---------------------------------------------------------------------------
+# 4B5B + NRZI attempt kernel
+# ---------------------------------------------------------------------------
+
+NR4 = 48          # DMA rows per 4B5B slab
+LROWS = 6         # regrouped level rows of 640 (5*128) levels each
+BROWS4 = 24       # output rows per candidate (4B5B)
+
+
+@functools.lru_cache(maxsize=2)
+def _level_mats() -> tuple[np.ndarray, np.ndarray]:
+    """MA[p][s, j] / MB[p][s, j]: sum of the 3 samples of level j at
+    sample phase p within a 384-sample row (MB catches level 127's
+    spill into the next row for p > 0).  Stacked (3, 384, 128)."""
+    ma = np.zeros((3, 384, 128), np.float32)
+    mb = np.zeros((3, 384, 128), np.float32)
+    for p in range(3):
+        for j in range(128):
+            for ss in range(3 * j + p, 3 * j + p + 3):
+                if ss < 384:
+                    ma[p, ss, j] = 1.0
+                else:
+                    mb[p, ss - 384, j] = 1.0
+    return ma, mb
+
+
+@functools.lru_cache(maxsize=2)
+def _sym_mats() -> tuple[np.ndarray, np.ndarray]:
+    """W5[5m+j, m] = 2^(4-j): packs 5 transition bits into the symbol
+    value; Z5: 0/1 ones band (zero-level count per symbol)."""
+    w5 = np.zeros((640, 128), np.float32)
+    z5 = np.zeros((640, 128), np.float32)
+    for m in range(128):
+        for j in range(5):
+            w5[5 * m + j, m] = float(1 << (4 - j))
+            z5[5 * m + j, m] = 1.0
+    return w5, z5
+
+
+def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
+                         ma_ref, mb_ref, w5_ref, z5_ref, out_ref, xw, sem,
+                         *, n_cand: int, t_max: int, sync_e: float):
+    b = pl.program_id(0)
+    vlen = vlen_ref[b]
+    nv = jnp.minimum(nval_ref[b], n_cand)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def base_of(c):
+        pos = cand_ref[b, c]
+        i_c = jnp.minimum(pos, t_max)
+        # base = expected - margin = i + (60 - 30) - 15
+        return i_c, i_c + 15
+
+    def dma(c, slot):
+        _, base = base_of(c)
+        r0 = base // DROW
+        start8 = pl.multiple_of((r0 // 8) * 8, 8)
+        return pltpu.make_async_copy(
+            x384_ref.at[b, pl.ds(start8, NR4), :],
+            xw.at[slot], sem.at[slot])
+
+    def tslice(tref, start):
+        v = start % 8
+        idx = pl.multiple_of(start - v, 8)
+        return tref[v, pl.ds(idx, DROW), :]
+
+    @pl.when(nv > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body_fn(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < nv)
+        def _():
+            dma(c + 1, (c + 1) % 2).start()
+
+        dma(c, slot).wait()
+        i_c, base = base_of(c)
+        ro = (base // DROW) % 8
+        q0 = base % DROW
+
+        def rowsel(kk, height, max_k):
+            acc = jnp.zeros((height, DROW), jnp.float32)
+            for j in range(max_k):
+                acc = acc + jnp.where(
+                    kk == j, xw[slot, j:j + height, :], 0.0)
+            return acc
+
+        # ---- sync refine: 31 sliding 30-sample dots, banded matmuls
+        a_s = tslice(t8_ref, 383 - q0)
+        b_s = tslice(t8_ref, 767 - q0)
+        x01 = rowsel(ro, 2, 8)
+        x0 = x01[0:1, :]
+        x1 = x01[1:2, :]
+        dot = (jnp.dot(x0, a_s, preferred_element_type=jnp.float32)
+               + jnp.dot(x1, b_s, preferred_element_type=jnp.float32))
+        en = (jnp.dot(x0 * x0, a_s * a_s,
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(x1 * x1, b_s * b_s,
+                        preferred_element_type=jnp.float32))
+        posk = base + lane
+        validk = (lane < 31) & (posk <= vlen - 30)
+        cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
+        cc = jnp.where(validk, cc, -jnp.inf)
+        best = jnp.argmax(cc).astype(jnp.int32)
+        bestpos = jnp.where(jnp.max(cc) > -1.0, base + best, i_c + 30)
+        fs = bestpos + 30
+
+        # ---- level sums for the whole slab at the frame's sample phase
+        oo = fs - (base // DROW // 8) * 8 * DROW  # offset within slab
+        p = oo % 3
+        ma = jnp.where(p == 0, ma_ref[0], jnp.where(p == 1, ma_ref[1],
+                                                    ma_ref[2]))
+        mb = jnp.where(p == 0, mb_ref[0], jnp.where(p == 1, mb_ref[1],
+                                                    mb_ref[2]))
+        lv_all = (jnp.dot(xw[slot, 0:NR4 - 1, :], ma,
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(xw[slot, 1:NR4, :], mb,
+                            preferred_element_type=jnp.float32))
+        # level j of slab row k is global level 128k + j - ql, with the
+        # frame's level 0 at row ro2 lane ql
+        ro2 = oo // DROW
+        ql = (oo % DROW) // 3
+
+        def lrowsel(kk, height, max_k):
+            acc = jnp.zeros((height, 128), jnp.float32)
+            for j in range(max_k):
+                acc = acc + jnp.where(
+                    kk == j, lv_all[j:j + height, :], 0.0)
+            return acc
+
+        lsel = lrowsel(ro2, 32, 10)            # (32, 128)
+        ar = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        ac = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        s1 = (ar == ac + ql).astype(jnp.float32)
+        s2 = (ar == ac + ql - 128).astype(jnp.float32)
+        lal = (jnp.dot(lsel[0:31, :], s1,
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(lsel[1:32, :], s2,
+                         preferred_element_type=jnp.float32))  # (31,128)
+        lflat = lal[0:30, :].reshape(1, 30 * 128)   # (1, 3840)
+
+        # ---- NRZI transitions (optimistic: prev = previous level);
+        # computed on the flat level row so the only boundary fix is
+        # lane 0 (fresh decode state: prev level = +1,
+        # line_coding.rs:228)
+        lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, 3840), 1)
+        prevf = jnp.where(lane_f == 0, 1.0, pltpu.roll(lflat, 1, 1))
+        tr = (prevf * lflat < 0.0).astype(jnp.float32).reshape(LROWS, 640)
+        nz = (jnp.abs(lflat) <= 4e-6).astype(jnp.float32).reshape(
+            LROWS, 640)
+
+        # ---- symbols, validity, nibbles (table-free 4B5B inverse)
+        sym = jnp.dot(tr, w5_ref[:, :],
+                      preferred_element_type=jnp.float32)    # (6, 128)
+        zc = jnp.dot(nz, z5_ref[:, :],
+                     preferred_element_type=jnp.float32)
+        nib = jnp.zeros((LROWS, 128), jnp.float32)
+        ok = jnp.zeros((LROWS, 128), jnp.float32)
+        for nv_, code in enumerate(line_coding.FOURB_FIVEB_ENCODE):
+            m = (sym == float(code)).astype(jnp.float32)
+            nib = nib + m * float(nv_)
+            ok = ok + m
+
+        # ---- output block: nib rows 0-5, ok 6-11, zero 12-17, fs 18
+        blk24 = jnp.concatenate(
+            [nib, ok, (zc > 0).astype(jnp.float32),
+             jnp.zeros((BROWS4 - 3 * LROWS, 128), jnp.float32)], axis=0)
+        r24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 0)
+        l24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 1)
+        blk24 = jnp.where((r24 == 3 * LROWS) & (l24 == 0),
+                          fs.astype(jnp.float32), blk24)
+        out_ref[0, pl.ds(c * BROWS4, BROWS4), :] = blk24
+        return 0
+
+    jax.lax.fori_loop(0, nv, body_fn, 0)
+
+
+
 def _walk_kernel(fields_ref, keep_ref, *, n_cand: int, max_frames: int):
     """Sequential consumption walk (decoder.rs:242-356) over the sorted
     candidate list, as SMEM scalar ops.  fields rows: 0=pos, 1=consumed,
-    2=stop-if-attempted, 3=keep-if-attempted."""
+    2=stop-if-attempted, 3=keep-if-attempted.  Output rows: 0=keep,
+    1=attempted (candidates the cursor actually reached — skipped ones
+    never influence decode, so conformance checks gate on this)."""
     def body(c, carry):
         cur, done, att = carry
         pos = fields_ref[0, 0, c]
@@ -241,6 +441,7 @@ def _walk_kernel(fields_ref, keep_ref, *, n_cand: int, max_frames: int):
         stop = at & (stopf > 0)
         adv = at & jnp.logical_not(stop)
         keep_ref[0, 0, c] = (adv & (keepf > 0)).astype(jnp.int32)
+        keep_ref[0, 1, c] = at.astype(jnp.int32)
         return (jnp.where(adv, pos + consumed, cur),
                 jnp.where(stop, 1, done),
                 att + at.astype(jnp.int32))
@@ -293,12 +494,13 @@ def decode_capture_spec(
     interpret: bool = False,
 ):
     """Batched speculative decode.  Returns ``(DecodedFrames, ok[B])``;
-    rows with ``ok=False`` (candidate overflow) must be re-decoded with
-    the exact path — :func:`trackmaker_tpu.phy.decoder.decode_capture_fast`
-    does this automatically.  Valid frames are compacted to the leading
-    slots in position order (the exact path instead leaves failed
-    attempts as invalid slots in between; the valid-masked content is
-    identical)."""
+    rows with ``ok=False`` (candidate overflow, or — 4B5B — a near-zero
+    level average whose skip-carry the optimistic transition rule cannot
+    replay) must be re-decoded with the exact path —
+    :func:`trackmaker_tpu.phy.decoder.decode_capture_fast` does this
+    automatically.  Valid frames are compacted to the leading slots in
+    position order (the exact path instead leaves failed attempts as
+    invalid slots in between; the valid-masked content is identical)."""
     _check_cfg(cfg)
     x = jnp.asarray(samples, jnp.float32)
     assert x.ndim == 2
@@ -306,14 +508,14 @@ def decode_capture_spec(
     local_addr = jnp.asarray(local_addr, jnp.int32)
     vlens = jnp.broadcast_to(
         jnp.asarray(t if valid_len is None else valid_len, jnp.int32), (b,))
+    manchester = cfg.line_coding == MANCHESTER
 
     pre_np = line_coding.preamble_waveform(cfg)
     from trackmaker_tpu.sync import correlate
     pre_energy = correlate.preamble_energy(pre_np)
     sp = pre_np[cfg.preamble_len - cfg.sync_len:]
-    t8_np, sync_e = _sync_tables(tuple(sp.tolist()))
-    tb8_np = _body_table()
-    w_np = _pack_table()
+    t8_np, sync_e = _sync_tables(tuple(sp.tolist()),
+                                 2 * cfg.sync_margin + 1)
 
     from trackmaker_tpu import sync as sync_mod
     corr = jax.vmap(
@@ -322,62 +524,129 @@ def decode_capture_spec(
     cand, n_valid, overflow = _extract_candidates(hits, n_cand)
 
     # row-shaped view for the kernel's slab DMAs; padded so any clipped
-    # candidate's NR-row slab stays in bounds
-    r384 = -(-(t + 42) // DROW) + NR + 10
+    # candidate's slab stays in bounds
+    nr = NR if manchester else NR4
+    r384 = -(-(t + 48) // DROW) + nr + 10
     x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - t))).reshape(b, r384, DROW)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),     # x384
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # t8 (sync band)
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # tb8 (body band)
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # pack
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_cand * BROWS, 128), lambda bb, *_: (bb, 0, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NR, DROW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    bytes_cm = pl.pallas_call(
-        functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
-                          sync_e=sync_e),
-        out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS, 128),
-                                       jnp.float32),
-        grid_spec=grid_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_cand * (2 + 2 + 2 * BROWS + BROWS) * DROW * 128,
-            transcendentals=0,
-            bytes_accessed=4 * b * n_cand * NR * DROW),
-        interpret=interpret,
-    )(cand, vlens, n_valid.astype(jnp.int32), x384, jnp.asarray(t8_np),
-      jnp.asarray(tb8_np), jnp.asarray(w_np))
+    n_total = PHY_HEADER_BYTES + cfg.max_frame_bytes     # 263
+    if manchester:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),     # x384
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # t8 (sync)
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # tb8 (body)
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # pack
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_cand * BROWS, 128), lambda bb, *_: (bb, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, NR, DROW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        bytes_cm = pl.pallas_call(
+            functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
+                              sync_e=sync_e),
+            out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS, 128),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n_cand * (2 + 2 + 2 * BROWS + BROWS)
+                * DROW * 128,
+                transcendentals=0,
+                bytes_accessed=4 * b * n_cand * NR * DROW),
+            interpret=interpret,
+        )(cand, vlens, n_valid.astype(jnp.int32), x384,
+          jnp.asarray(t8_np), jnp.asarray(_body_table()),
+          jnp.asarray(_pack_table()))
 
-    # ---- dense epilogue: fields, CRC, walk inputs -----------------------
-    grid8 = bytes_cm.reshape(b, n_cand, BROWS, 128)
-    byts_i = grid8[..., :8].reshape(b, n_cand, BROWS * 8).astype(jnp.int32)
-    fs = grid8[:, :, BROWS - 1, 8].astype(jnp.int32)
-    dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
+        grid8 = bytes_cm.reshape(b, n_cand, BROWS, 128)
+        byts_i = grid8[..., :8].reshape(
+            b, n_cand, BROWS * 8).astype(jnp.int32)
+        fs = grid8[:, :, BROWS - 1, 8].astype(jnp.int32)
+        dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
+        total_bits = (PHY_HEADER_BYTES + dlen) * 8
+        total_samples = total_bits * 6
+        n_valid_bits = total_bits          # Manchester never truncates
+        line_fail = jnp.zeros_like(dlen, bool)
+        hdr_valid = jnp.ones_like(dlen, bool)
+        nonconf = jnp.zeros_like(dlen, bool)
+    else:
+        ma_np, mb_np = _level_mats()
+        w5_np, z5_np = _sym_mats()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(
+                (1, n_cand * BROWS4, 128), lambda bb, *_: (bb, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, NR4, DROW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out_cm = pl.pallas_call(
+            functools.partial(_attempt_kernel_4b5b, n_cand=n_cand,
+                              t_max=t, sync_e=sync_e),
+            out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS4, 128),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n_cand * (2 * NR4 + 2 * 32 + 4 + 4)
+                * DROW * 128,
+                transcendentals=0,
+                bytes_accessed=4 * b * n_cand * NR4 * DROW),
+            interpret=interpret,
+        )(cand, vlens, n_valid.astype(jnp.int32), x384,
+          jnp.asarray(t8_np), jnp.asarray(ma_np), jnp.asarray(mb_np),
+          jnp.asarray(w5_np), jnp.asarray(z5_np))
+
+        g = out_cm.reshape(b, n_cand, BROWS4, 128)
+        nib = g[:, :, 0:LROWS, :].reshape(b, n_cand, 768)
+        sym_ok = g[:, :, LROWS:2 * LROWS, :].reshape(b, n_cand, 768) > 0
+        zflag = g[:, :, 2 * LROWS:3 * LROWS, :].reshape(b, n_cand, 768) > 0
+        fs = g[:, :, 3 * LROWS, 0].astype(jnp.int32)
+
+        # valid-prefix rule (line_coding.rs:277-289): everything from
+        # the first invalid symbol on is zero-filled
+        pok = jnp.cumprod(sym_ok.astype(jnp.int32), axis=-1)
+        nib_m = (nib * pok).astype(jnp.int32)
+        byts_i = (nib_m[..., 0::2] * 16 + nib_m[..., 1::2])[..., :n_total]
+        dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
+        total_bits = (PHY_HEADER_BYTES + dlen) * 8
+        total_samples = (total_bits // 4) * 15
+        in_sym = (jnp.arange(768) < (total_bits // 4)[..., None])
+        n_valid_bits = 4 * jnp.sum(pok * in_sym, axis=-1)
+        line_fail = n_valid_bits < total_bits
+        # >= 49 decoded header bits <=> first 13 nibbles valid
+        hdr_valid = jnp.sum(pok[..., :13], axis=-1) == 13
+        # conformance: a near-zero level average means the exact
+        # decoder's skip-carry could produce different bits/validity
+        hdr_zero = jnp.any(zflag[..., :14], axis=-1)
+        body_zero = jnp.any(zflag & in_sym, axis=-1)
+        nonconf = hdr_zero | body_zero
+
+    byts_i = byts_i[..., :n_total]
     crc_field = byts_i[..., 2]
     ftype = byts_i[..., 3]
-    header_ok = (ftype == 1) | (ftype == 2)
+    header_ok = ((ftype == 1) | (ftype == 2)) & hdr_valid
     len_bad = ((ftype == FRAME_TYPE_DATA) & (dlen == 0)) | (
         dlen > cfg.max_frame_bytes)
-    total_samples = (PHY_HEADER_BYTES + dlen) * 8 * 6
     vl = vlens[:, None]
     hdr_incomplete = fs + cfg.header_samples > vl
     incomplete = fs + total_samples > vl
     dst = byts_i[..., 6]
     dst_ok = (dst == local_addr) | (local_addr < 0)
 
-    n_total = PHY_HEADER_BYTES + cfg.max_frame_bytes     # 263
     in_frame = (jnp.arange(n_total)
                 < (PHY_HEADER_BYTES + dlen)[..., None])
-    bytes_m = jnp.where(in_frame, byts_i[..., :n_total], 0)
+    bytes_m = jnp.where(in_frame, byts_i, 0)
     bits = bitops.unpack_bits(bytes_m.astype(jnp.uint8))
     payload_bits = bits[..., PHY_HEADER_BYTES * 8:]
     crc = bitops.crc8_bits_fixed_unzero(
@@ -385,27 +654,33 @@ def decode_capture_spec(
         cfg.max_frame_bytes)
     crc_ok = crc.astype(jnp.int32) == crc_field
 
+    sfb_valid = ((n_valid_bits + 3) // 4) * 15 if not manchester \
+        else n_valid_bits * 6
     consumed = jnp.where(
         ~header_ok, cfg.header_samples,
-        jnp.where(len_bad, 1, cfg.preamble_len + total_samples))
+        jnp.where(len_bad, 1,
+                  jnp.where(line_fail, cfg.preamble_len + sfb_valid,
+                            cfg.preamble_len + total_samples)))
     stopf = hdr_incomplete | (header_ok & ~len_bad & incomplete)
     keepf = (~hdr_incomplete & header_ok & ~len_bad & ~incomplete
-             & dst_ok & crc_ok)
+             & ~line_fail & dst_ok & crc_ok)
     fields = jnp.stack(
         [cand, consumed, stopf.astype(jnp.int32), keepf.astype(jnp.int32)],
         axis=1).astype(jnp.int32)                         # (B, 4, C)
 
-    keep = pl.pallas_call(
+    walk_out = pl.pallas_call(
         functools.partial(_walk_kernel, n_cand=n_cand,
                           max_frames=max_frames),
-        out_shape=jax.ShapeDtypeStruct((b, 1, n_cand), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 2, n_cand), jnp.int32),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, 4, n_cand), lambda bb: (bb, 0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, 1, n_cand), lambda bb: (bb, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, n_cand), lambda bb: (bb, 0, 0),
                                memory_space=pltpu.SMEM),
         interpret=interpret,
-    )(fields)[:, 0, :].astype(bool)
+    )(fields)
+    keep = walk_out[:, 0, :].astype(bool)
+    attempted = walk_out[:, 1, :].astype(bool)
 
     # ---- compaction to max_frames slots ---------------------------------
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
@@ -415,10 +690,10 @@ def decode_capture_spec(
     idx = jnp.argmax(sel, axis=-1)                       # (B, K)
 
     def takec(a):
-        g = jnp.take_along_axis(
+        g2 = jnp.take_along_axis(
             a, idx.reshape(b, max_frames, *([1] * (a.ndim - 2))), axis=1)
         return jnp.where(any_k.reshape(b, max_frames,
-                                       *([1] * (a.ndim - 2))), g, 0)
+                                       *([1] * (a.ndim - 2))), g2, 0)
 
     out_bytes = takec(bytes_m.astype(jnp.uint8))
     starts = takec(cand)
@@ -437,7 +712,8 @@ def decode_capture_spec(
         start=jnp.where(any_k, starts, -1),
         corr=jnp.where(any_k, corr_v, 0.0),
     )
-    return res, ~overflow
+    ok = ~(overflow | jnp.any(attempted & nonconf, axis=-1))
+    return res, ok
 
 
 decode_capture_spec_jit = jax.jit(
