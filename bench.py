@@ -104,7 +104,10 @@ def bench_blocked_600s(cfg, rng):
     import jax.numpy as jnp
     from trackmaker_tpu.core.framing import Frame
     from trackmaker_tpu.oracle.phy import OracleEncoder
-    from trackmaker_tpu.parallel.stream import decode_blocked_single_chip
+    from trackmaker_tpu.parallel.stream import (
+        _decode_blocked_jit, _decode_blocked_spec_jit,
+        decode_blocked_single_chip)
+    from trackmaker_tpu.phy.decoder import _spec_supported
 
     t = 600 * 48_000                       # 28.8 Msamples
     n_frames = 48
@@ -122,13 +125,24 @@ def bench_blocked_600s(cfg, rng):
     x = jnp.asarray(wave)
 
     n_blocks = 64
-    fn = (lambda x: decode_blocked_single_chip(
-        cfg, x, 2, n_blocks=n_blocks, max_frames_per_block=8))
-    res = fn(x)
+    # gate through the dispatching wrapper (spec path + ok-fallback
+    # on TPU), then time the jitted computation it used
+    res = decode_blocked_single_chip(
+        cfg, x, 2, n_blocks=n_blocks, max_frames_per_block=8)
     valid = np.asarray(res.valid)
     got = sorted(np.asarray(res.sequence)[valid].tolist())
     if got != seqs:
         return 0.0, f"blocked gate failed: {len(got)}/{n_frames} frames"
+    if _spec_supported(cfg):
+        spec_res, spec_ok = _decode_blocked_spec_jit(
+            cfg, x, 2, n_blocks, 8, t, 128)
+        if bool(np.asarray(spec_ok)):
+            fn = (lambda x: _decode_blocked_spec_jit(
+                cfg, x, 2, n_blocks, 8, t, 128))
+        else:
+            fn = (lambda x: _decode_blocked_jit(cfg, x, 2, n_blocks, 8, t))
+    else:
+        fn = (lambda x: _decode_blocked_jit(cfg, x, 2, n_blocks, 8, t))
     dt = _timeit(fn, x, iters=3)
     return t / dt / 48_000.0, None
 

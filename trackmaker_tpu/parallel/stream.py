@@ -162,6 +162,25 @@ def _out_struct():
     return DecodedFrames(z, z, z, z, z, z, z, z, z)
 
 
+def _overlapping_blocks(x, t: int, n_blocks: int, block: int, halo: int):
+    """[n_blocks, block+halo] overlapping windows of x (length t) via
+    shifted reshapes — a general XLA gather here measured 235 ms for a
+    28.8M-sample capture on v5e vs 17 ms for this construction (the
+    windows are just a reshape of the base blocks plus halo columns
+    sliced from ceil(halo/block) shifted copies)."""
+    nxtra = -(-halo // block)
+    xp = jnp.pad(x, (0, block * (n_blocks + nxtra) - t))
+    parts = [xp[: n_blocks * block].reshape(n_blocks, block)]
+    got, j = 0, 0
+    while got < halo:
+        take = min(block, halo - got)
+        y = xp[(j + 1) * block: (j + 1 + n_blocks) * block]
+        parts.append(y.reshape(n_blocks, block)[:, :take])
+        got += take
+        j += 1
+    return jnp.concatenate(parts, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_blocks", "max_frames_per_block", "t"))
@@ -169,11 +188,8 @@ def _decode_blocked_jit(cfg, x, local_addr, n_blocks,
                         max_frames_per_block, t):
     halo = halo_size(cfg)
     block = -(-t // n_blocks)
-    x = jnp.pad(x, (0, block * n_blocks + halo - t))
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    # one gather builds all overlapping block windows
-    idx = starts[:, None] + jnp.arange(block + halo, dtype=jnp.int32)
-    wins = x[idx]
+    wins = _overlapping_blocks(x, t, n_blocks, block, halo)
     vlens = jnp.minimum(block + halo, t - starts)
 
     def decode(cursors):
@@ -211,17 +227,102 @@ def _decode_blocked_jit(cfg, x, local_addr, n_blocks,
         lambda a: a.reshape((-1,) + a.shape[2:]), out)
 
 
+def _decode_blocked_spec(cfg, x, local_addr, n_blocks,
+                         max_frames_per_block, t, n_cand,
+                         interpret=False):
+    """Blockwise decode through the speculative Pallas decoder.
+
+    The structural win over `_decode_blocked_jit`: the speculative
+    decoder's phase A (correlation + attempt kernel + decision
+    epilogue, phy/pallas_decode.py) is cursor-independent, so it runs
+    ONCE over all block windows; the consumed-until seam fixpoint then
+    re-runs only the tiny SMEM walk kernel until cursors converge —
+    instead of re-decoding whole blocks per iteration.
+
+    Returns ``(frames, ok)``; `ok=False` (candidate-table overflow or a
+    4B5B conformance flag on an *attempted* candidate in the converged
+    walk) means the caller must fall back to the exact blocked path.
+    Conformance gates on the FINAL walk's attempted set: block 0's walk
+    never depends on a cursor, so by left-to-right induction a
+    converged fixpoint whose final walks are all conformant reproduces
+    the sequential cursor walk exactly (same argument as the module
+    docstring, with 'decode' = 'walk over exact per-candidate fields')."""
+    from trackmaker_tpu.phy.pallas_decode import (
+        _spec_compact, _spec_phase_a, _spec_walk)
+
+    halo = halo_size(cfg)
+    block = -(-t // n_blocks)
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    wins = _overlapping_blocks(x, t, n_blocks, block, halo)
+    vlens = jnp.minimum(block + halo, t - starts)
+
+    a = _spec_phase_a(cfg, wins, jnp.asarray(local_addr, jnp.int32),
+                      n_cand, vlens, interpret)
+    limit = jnp.full((n_blocks,), block, jnp.int32)
+
+    def walk(cur):
+        keep, att, fcur, _done, _pend = _spec_walk(
+            a.fields, cur, limit, max_frames_per_block, interpret)
+        return keep, att, fcur
+
+    cur0 = jnp.zeros(n_blocks, jnp.int32)
+    keep0, att0, fcur0 = walk(cur0)
+
+    def propose(fcur):
+        e = starts + fcur
+        nxt = jnp.maximum(e[:-1] - starts[1:], 0).astype(jnp.int32)
+        return jnp.concatenate([jnp.zeros(1, jnp.int32), nxt])
+
+    def cond(state):
+        cur, _k, _a, fcur = state
+        return jnp.any(propose(fcur) != cur)
+
+    def body(state):
+        cur, _k, _a, fcur = state
+        nc = propose(fcur)
+        k2, a2, f2 = walk(nc)
+        return (nc, k2, a2, f2)
+
+    _cur, keep, att, _f = jax.lax.while_loop(
+        cond, body, (cur0, keep0, att0, fcur0))
+
+    res = _spec_compact(a, keep, max_frames_per_block)
+    res = _mask_mine(res, block, starts[:, None])
+    ok = jnp.all(~(a.overflow | jnp.any(att & a.nonconf, axis=-1)))
+    flat = jax.tree_util.tree_map(
+        lambda arr: arr.reshape((-1,) + arr.shape[2:]), res)
+    return flat, ok
+
+
+_decode_blocked_spec_jit = jax.jit(
+    _decode_blocked_spec,
+    static_argnames=("cfg", "n_blocks", "max_frames_per_block", "t",
+                     "n_cand", "interpret"))
+
+
 def decode_blocked_single_chip(
     cfg: PhyConfig,
     capture,
     local_addr: int,
     n_blocks: int,
     max_frames_per_block: int = 32,
+    n_cand: int = 128,
 ) -> DecodedFrames:
     """Same blockwise decomposition vmapped on one chip — the batched
     form for very long captures on one device (fully jitted; pass a
-    device-resident array to avoid re-uploading the capture)."""
+    device-resident array to avoid re-uploading the capture).
+
+    On TPU with a kernel-supported config this routes through the
+    speculative decoder (`_decode_blocked_spec`), falling back to the
+    exact scan path when any block overflows its candidate table or
+    trips a 4B5B conformance flag."""
     x = jnp.asarray(capture, jnp.float32)
     t = int(x.shape[-1])
+    from trackmaker_tpu.phy.decoder import _spec_supported
+    if _spec_supported(cfg):
+        res, ok = _decode_blocked_spec_jit(
+            cfg, x, local_addr, n_blocks, max_frames_per_block, t, n_cand)
+        if bool(np.asarray(ok)):
+            return res
     return _decode_blocked_jit(cfg, x, local_addr, n_blocks,
                                max_frames_per_block, t)

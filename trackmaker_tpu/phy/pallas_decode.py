@@ -49,6 +49,7 @@ reference's last-valid-average carry, line_coding.rs:265-269).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -423,31 +424,85 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
     jax.lax.fori_loop(0, nv, body_fn, 0)
 
 
-
-def _walk_kernel(fields_ref, keep_ref, *, n_cand: int, max_frames: int):
+def _walk_kernel(fields_ref, scal_ref, out_ref, *, n_cand: int,
+                 max_frames: int):
     """Sequential consumption walk (decoder.rs:242-356) over the sorted
     candidate list, as SMEM scalar ops.  fields rows: 0=pos, 1=consumed,
-    2=stop-if-attempted, 3=keep-if-attempted.  Output rows: 0=keep,
-    1=attempted (candidates the cursor actually reached — skipped ones
-    never influence decode, so conformance checks gate on this)."""
+    2=stop-if-attempted, 3=keep-if-attempted.  scal lanes: 0=start
+    cursor (hits before it were consumed by an upstream block),
+    1=scan limit (candidates at/past it belong to the downstream block;
+    see decoder.decode_capture's cursor semantics).  Output rows:
+    0=keep, 1=attempted (candidates the cursor actually reached —
+    skipped ones never influence decode, so conformance checks gate on
+    this), 2=walk state in lanes 0..3: [final cursor, stopped on an
+    incomplete frame, pending preamble start (_BIGI if none), attempt
+    count]."""
+    cur0 = scal_ref[0, 0, 0]
+    limit = scal_ref[0, 0, 1]
+
     def body(c, carry):
-        cur, done, att = carry
+        cur, done, att, pending = carry
         pos = fields_ref[0, 0, c]
         consumed = fields_ref[0, 1, c]
         stopf = fields_ref[0, 2, c]
         keepf = fields_ref[0, 3, c]
-        exists = pos < _BIGI
+        exists = (pos < _BIGI) & (pos < limit)
         at = exists & (done == 0) & (pos >= cur) & (att < max_frames)
         stop = at & (stopf > 0)
         adv = at & jnp.logical_not(stop)
-        keep_ref[0, 0, c] = (adv & (keepf > 0)).astype(jnp.int32)
-        keep_ref[0, 1, c] = at.astype(jnp.int32)
+        out_ref[0, 0, c] = (adv & (keepf > 0)).astype(jnp.int32)
+        out_ref[0, 1, c] = at.astype(jnp.int32)
         return (jnp.where(adv, pos + consumed, cur),
                 jnp.where(stop, 1, done),
-                att + at.astype(jnp.int32))
+                att + at.astype(jnp.int32),
+                jnp.where(stop, jnp.minimum(pending, pos), pending))
 
-    jax.lax.fori_loop(0, n_cand, body,
-                      (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    cur, done, att, pending = jax.lax.fori_loop(
+        0, n_cand, body,
+        (cur0, jnp.int32(0), jnp.int32(0), jnp.int32(_BIGI)))
+    out_ref[0, 2, 0] = cur
+    out_ref[0, 2, 1] = done
+    out_ref[0, 2, 2] = pending
+    out_ref[0, 2, 3] = att
+
+
+def _spec_walk(fields, start_cursor, scan_limit, max_frames: int,
+               interpret: bool = False):
+    """Run the walk kernel over the per-candidate decision fields.
+
+    Returns ``(keep, attempted, final_cursor, done, pending)`` per
+    capture.  `done` mirrors decode_capture's done_f: True when the
+    walk ended on a stop or ran out of candidates — NOT when it merely
+    hit `max_frames` attempts (the exact scan's remaining steps would
+    then see no candidate and stop, decoder.py's `step`)."""
+    b, _, n_cand = fields.shape
+    # (B, 1, 2): keeps the SMEM block's last two dims equal to the
+    # overall array dims (Mosaic's block-shape rule)
+    scal = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(start_cursor, jnp.int32), (b,)),
+        jnp.broadcast_to(jnp.asarray(scan_limit, jnp.int32), (b,)),
+    ], axis=1)[:, None, :]
+    out = pl.pallas_call(
+        functools.partial(_walk_kernel, n_cand=n_cand,
+                          max_frames=max_frames),
+        out_shape=jax.ShapeDtypeStruct((b, 3, n_cand), jnp.int32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 4, n_cand), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, n_cand), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.SMEM),
+        interpret=interpret,
+    )(fields, scal)
+    keep = out[:, 0, :].astype(bool)
+    attempted = out[:, 1, :].astype(bool)
+    cur_f = out[:, 2, 0]
+    pending = out[:, 2, 2]
+    done = (out[:, 2, 1] > 0) | (out[:, 2, 3] < max_frames)
+    return keep, attempted, cur_f, done, pending
 
 
 def _extract_candidates(hits: jax.Array, n_cand: int):
@@ -484,30 +539,38 @@ def _extract_candidates(hits: jax.Array, n_cand: int):
     return cand, n_valid, overflow
 
 
-def decode_capture_spec(
+class SpecFields(NamedTuple):
+    """Cursor-independent per-candidate decode products (phase A).
+
+    Everything here depends only on the capture, not on where the
+    consumption walk starts — so blocked/sharded callers can compute it
+    ONCE and re-run only the (tiny) walk kernel inside their
+    consumed-until seam fixpoint (parallel/stream.py)."""
+    cand: jax.Array       # i32[B, C] candidate preamble starts (_BIGI pad)
+    fields: jax.Array     # i32[B, 4, C] walk rows: pos/consumed/stop/keep
+    overflow: jax.Array   # bool[B] candidate table overflowed
+    nonconf: jax.Array    # bool[B, C] optimistic decode unsound if attempted
+    bytes_m: jax.Array    # i32[B, C, n_total] frame bytes, masked to length
+    dlen: jax.Array       # i32[B, C]
+    ftype: jax.Array      # i32[B, C]
+    seq: jax.Array        # i32[B, C]
+    src: jax.Array        # i32[B, C]
+    dst: jax.Array        # i32[B, C]
+    corr: jax.Array       # f32[B, T] dense correlation (for reporting)
+
+
+def _spec_phase_a(
     cfg: PhyConfig,
-    samples: jax.Array,          # f32[B, T]
-    local_addr,
-    max_frames: int = 64,
-    n_cand: int = 128,
-    valid_len=None,
+    x: jax.Array,              # f32[B, T]
+    local_addr: jax.Array,     # i32 scalar
+    n_cand: int,
+    vlens: jax.Array,          # i32[B]
     interpret: bool = False,
-):
-    """Batched speculative decode.  Returns ``(DecodedFrames, ok[B])``;
-    rows with ``ok=False`` (candidate overflow, or — 4B5B — a near-zero
-    level average whose skip-carry the optimistic transition rule cannot
-    replay) must be re-decoded with the exact path —
-    :func:`trackmaker_tpu.phy.decoder.decode_capture_fast` does this
-    automatically.  Valid frames are compacted to the leading slots in
-    position order (the exact path instead leaves failed attempts as
-    invalid slots in between; the valid-masked content is identical)."""
-    _check_cfg(cfg)
-    x = jnp.asarray(samples, jnp.float32)
-    assert x.ndim == 2
+) -> SpecFields:
+    """Dense correlation + candidate extraction + attempt kernel +
+    decision epilogue — every per-candidate quantity the consumption
+    walk needs, computed for ALL candidates independent of the cursor."""
     b, t = x.shape
-    local_addr = jnp.asarray(local_addr, jnp.int32)
-    vlens = jnp.broadcast_to(
-        jnp.asarray(t if valid_len is None else valid_len, jnp.int32), (b,))
     manchester = cfg.line_coding == MANCHESTER
 
     pre_np = line_coding.preamble_waveform(cfg)
@@ -668,54 +731,101 @@ def decode_capture_spec(
         [cand, consumed, stopf.astype(jnp.int32), keepf.astype(jnp.int32)],
         axis=1).astype(jnp.int32)                         # (B, 4, C)
 
-    walk_out = pl.pallas_call(
-        functools.partial(_walk_kernel, n_cand=n_cand,
-                          max_frames=max_frames),
-        out_shape=jax.ShapeDtypeStruct((b, 2, n_cand), jnp.int32),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, 4, n_cand), lambda bb: (bb, 0, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, 2, n_cand), lambda bb: (bb, 0, 0),
-                               memory_space=pltpu.SMEM),
-        interpret=interpret,
-    )(fields)
-    keep = walk_out[:, 0, :].astype(bool)
-    attempted = walk_out[:, 1, :].astype(bool)
+    return SpecFields(cand=cand, fields=fields, overflow=overflow,
+                      nonconf=nonconf, bytes_m=bytes_m, dlen=dlen,
+                      ftype=ftype, seq=byts_i[..., 4], src=byts_i[..., 5],
+                      dst=dst, corr=corr)
 
-    # ---- compaction to max_frames slots ---------------------------------
+
+def _spec_compact(a: SpecFields, keep: jax.Array, max_frames: int):
+    """Compact kept candidates to the leading `max_frames` slots in
+    position order (phase C)."""
+    b = keep.shape[0]
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
     sel = keep[:, None, :] & (
         rank[:, None, :] == jnp.arange(max_frames)[None, :, None])
     any_k = jnp.any(sel, axis=-1)                        # (B, K)
     idx = jnp.argmax(sel, axis=-1)                       # (B, K)
 
-    def takec(a):
+    def takec(arr):
         g2 = jnp.take_along_axis(
-            a, idx.reshape(b, max_frames, *([1] * (a.ndim - 2))), axis=1)
+            arr, idx.reshape(b, max_frames, *([1] * (arr.ndim - 2))),
+            axis=1)
         return jnp.where(any_k.reshape(b, max_frames,
-                                       *([1] * (a.ndim - 2))), g2, 0)
+                                       *([1] * (arr.ndim - 2))), g2, 0)
 
-    out_bytes = takec(bytes_m.astype(jnp.uint8))
-    starts = takec(cand)
+    out_bytes = takec(a.bytes_m.astype(jnp.uint8))
+    starts = takec(a.cand)
     corr_v = jnp.take_along_axis(
-        corr, jnp.clip(starts, 0, corr.shape[-1] - 1), axis=1)
+        a.corr, jnp.clip(starts, 0, a.corr.shape[-1] - 1), axis=1)
 
     from trackmaker_tpu.phy.decoder import DecodedFrames
-    res = DecodedFrames(
+    return DecodedFrames(
         valid=any_k,
         frame_bytes=out_bytes,
-        length=takec(dlen),
-        frame_type=takec(ftype),
-        sequence=takec(byts_i[..., 4]),
-        src=takec(byts_i[..., 5]),
-        dst=takec(dst),
+        length=takec(a.dlen),
+        frame_type=takec(a.ftype),
+        sequence=takec(a.seq),
+        src=takec(a.src),
+        dst=takec(a.dst),
         start=jnp.where(any_k, starts, -1),
         corr=jnp.where(any_k, corr_v, 0.0),
     )
-    ok = ~(overflow | jnp.any(attempted & nonconf, axis=-1))
-    return res, ok
+
+
+def decode_capture_spec(
+    cfg: PhyConfig,
+    samples: jax.Array,          # f32[B, T]
+    local_addr,
+    max_frames: int = 64,
+    n_cand: int = 128,
+    valid_len=None,
+    interpret: bool = False,
+    start_cursor=None,
+    scan_limit=None,
+    with_cursor: bool = False,
+):
+    """Batched speculative decode.  Returns ``(DecodedFrames, ok[B])``;
+    rows with ``ok=False`` (candidate overflow, or — 4B5B — a near-zero
+    level average whose skip-carry the optimistic transition rule cannot
+    replay) must be re-decoded with the exact path —
+    :func:`trackmaker_tpu.phy.decoder.decode_capture_fast` does this
+    automatically.  Valid frames are compacted to the leading slots in
+    position order (the exact path instead leaves failed attempts as
+    invalid slots in between; the valid-masked content is identical).
+
+    `start_cursor`, `scan_limit` and `with_cursor` mirror
+    :func:`trackmaker_tpu.phy.decoder.decode_capture`'s blocked-decode
+    cursor semantics (per capture row here); with ``with_cursor=True``
+    the return is ``(frames, ok, searched_until[B], final_cursor[B])``.
+    Blocked callers that iterate the seam fixpoint should use
+    :func:`_spec_phase_a` + :func:`_spec_walk` directly so phase A runs
+    once (parallel/stream.py)."""
+    _check_cfg(cfg)
+    x = jnp.asarray(samples, jnp.float32)
+    assert x.ndim == 2
+    b, t = x.shape
+    local_addr = jnp.asarray(local_addr, jnp.int32)
+    vlens = jnp.broadcast_to(
+        jnp.asarray(t if valid_len is None else valid_len, jnp.int32), (b,))
+
+    a = _spec_phase_a(cfg, x, local_addr, n_cand, vlens, interpret)
+    cur0 = 0 if start_cursor is None else start_cursor
+    limit = int(_BIGI) if scan_limit is None else scan_limit
+    keep, attempted, cur_f, done, pending = _spec_walk(
+        a.fields, cur0, limit, max_frames, interpret)
+    res = _spec_compact(a, keep, max_frames)
+    ok = ~(a.overflow | jnp.any(attempted & a.nonconf, axis=-1))
+    if not with_cursor:
+        return res, ok
+    searched_until = jnp.clip(
+        jnp.where(pending < _BIGI, pending,
+                  jnp.where(done, vlens - (cfg.preamble_len - 1), cur_f)),
+        0, vlens)
+    return res, ok, searched_until, cur_f
 
 
 decode_capture_spec_jit = jax.jit(
     decode_capture_spec,
-    static_argnames=("cfg", "max_frames", "n_cand", "interpret"))
+    static_argnames=("cfg", "max_frames", "n_cand", "interpret",
+                     "with_cursor"))
