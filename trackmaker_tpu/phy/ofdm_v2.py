@@ -139,9 +139,16 @@ def _smooth_complex(h: jax.Array, win: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
-                     starts: jax.Array) -> jax.Array:
+                     starts: jax.Array,
+                     vsyms: jax.Array | None = None) -> jax.Array:
     """Demodulate v2 frames whose chirp starts at `starts` (int[B]) ->
-    uint8[B, n_bits]."""
+    uint8[B, n_bits].
+
+    `vsyms` (int[B], optional) marks how many leading data symbols of
+    each frame are real — the pad-and-mask form for variable-length
+    frames decoded at a fixed max size (OfdmStreamPhyV2): the CPE /
+    phase-slope trajectory fits weight only symbols < vsym, so the
+    noise-only tail cannot corrupt the per-frame linear fit."""
     n_sym = cfg.n_symbols(n_bits)
     total = (1 + n_sym) * cfg.sym_len
     body_off = cfg.preamble_len + cfg.guard_samples
@@ -155,7 +162,7 @@ def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
     dbins = jnp.asarray(cfg.data_bin_idx)
     sc_tx = jnp.asarray(_sc_pilot(cfg))
 
-    def one(start):
+    def one(start, vsym):
         # --- Schmidl-Cox fine timing on the repeated-halves pilot body
         if cfg.use_sc:
             pilot_body = start + body_off + cfg.cp_len
@@ -203,10 +210,14 @@ def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
         pt = eq[:, pbins] * jnp.conj(pilots)          # (n_sym, n_pilot)
         cpe = jnp.sum(pt, axis=-1)
         srange = jnp.arange(n_sym, dtype=jnp.float32)
+        w = (srange < vsym).astype(jnp.float32)       # valid-symbol mask
+        nw = jnp.maximum(jnp.sum(w), 1.0)
         if cfg.track_cpe and n_sym > 1:
-            # per-symbol increment from consecutive ratios (no unwrap)
-            binc = jnp.angle(jnp.sum(cpe[1:] * jnp.conj(cpe[:-1])))
-            a0 = jnp.angle(jnp.sum(cpe * jnp.exp(-1j * binc * srange)))
+            # per-symbol increment from consecutive ratios (no unwrap);
+            # only pairs fully inside the valid prefix contribute
+            wp = w[1:]
+            binc = jnp.angle(jnp.sum(wp * cpe[1:] * jnp.conj(cpe[:-1])))
+            a0 = jnp.angle(jnp.sum(w * cpe * jnp.exp(-1j * binc * srange)))
             theta = a0 + binc * srange
         elif cfg.track_cpe:
             theta = jnp.angle(cpe)
@@ -220,11 +231,12 @@ def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
                 - pbins[: npil // 2].mean())
         slope_raw = dphi / jnp.maximum(span, 1.0)
         if cfg.track_slope and n_sym > 1:
-            # least-squares line over symbols
-            sm = jnp.mean(srange)
-            den = jnp.sum((srange - sm) ** 2)
-            d1 = jnp.sum((srange - sm) * slope_raw) / jnp.maximum(den, 1.0)
-            c0 = jnp.mean(slope_raw) - d1 * sm
+            # weighted least-squares line over the valid symbols
+            sm = jnp.sum(w * srange) / nw
+            den = jnp.sum(w * (srange - sm) ** 2)
+            d1 = (jnp.sum(w * (srange - sm) * slope_raw)
+                  / jnp.maximum(den, 1.0))
+            c0 = jnp.sum(w * slope_raw) / nw - d1 * sm
             slope = c0 + d1 * srange
         elif cfg.track_slope:
             slope = slope_raw
@@ -239,7 +251,112 @@ def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
         bits = _qpsk_to_bits(eqc[:, dbins].reshape(-1))
         return bits[:n_bits]
 
-    return jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+    vs = (jnp.full(starts.shape, n_sym, jnp.int32) if vsyms is None
+          else jnp.asarray(vsyms, jnp.int32))
+    return jax.vmap(one)(jnp.asarray(starts, jnp.int32), vs)
+
+
+class OfdmStreamPhyV2:
+    """Variable-length v2 OFDM PHY with the line-coded PHY's duck type
+    (``encode_frames`` / ``process_samples`` / ``reset``) — the MAC
+    (CSMA/ARQ/GBN) and everything above it run unchanged over the v2
+    receiver, like :class:`trackmaker_tpu.phy.ofdm.OfdmStreamPhy` does
+    for v1.
+
+    Length handling is two fixed-shape passes per detection: a
+    header-only pass (1 data symbol >= the 56-bit frame header) parses
+    the length, then the full pass demodulates at the max frame size
+    with `vsyms` masking the pilot-trajectory fits to the real symbols
+    (pad-and-mask; no per-length recompilation)."""
+
+    def __init__(self, cfg: OfdmV2Config = OfdmV2Config(),
+                 max_frame_bytes: int = 263,
+                 local_addr: int | None = None):
+        assert cfg.bits_per_symbol >= 56, \
+            "first data symbol must cover the frame header"
+        self.cfg = cfg
+        self.local_addr = local_addr
+        self.max_frame_bytes = max_frame_bytes
+        self.max_syms = cfg.n_symbols(max_frame_bytes * 8)
+        self._buf = np.zeros(0, np.float32)
+        self.preamble_len = cfg.preamble_len
+
+    # -- encoder side --------------------------------------------------
+
+    def encode_frame(self, frame: Frame) -> np.ndarray:
+        from trackmaker_tpu.core import bitops
+        bits = bitops.bytes_to_bits_host(frame.to_bytes())
+        w = modulate_bits_v2(self.cfg, jnp.asarray(bits[None]),
+                             bits.shape[-1])
+        return np.asarray(w[0])
+
+    def encode_frames(self, frames: list[Frame],
+                      gap_samples: int = 256) -> np.ndarray:
+        parts = []
+        for i, f in enumerate(frames):
+            parts.append(self.encode_frame(f))
+            if i < len(frames) - 1:
+                parts.append(np.zeros(gap_samples, np.float32))
+        return np.concatenate(parts) if parts else np.zeros(0, np.float32)
+
+    # -- streaming decoder side -----------------------------------------
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, np.float32)
+
+    def frame_samples(self, n_payload: int) -> int:
+        return self.cfg.frame_samples((7 + n_payload) * 8)
+
+    def process_samples(self, samples: np.ndarray) -> list[Frame]:
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, np.float32)])
+        cfg = self.cfg
+        if len(self._buf) < cfg.preamble_len + 1:
+            return []
+        out: list[Frame] = []
+        consumed = 0
+        bucket = 4096
+        while bucket < len(self._buf):
+            bucket *= 2
+        padded = np.zeros(bucket, np.float32)
+        padded[: len(self._buf)] = self._buf
+        pj = jnp.asarray(padded)
+        starts = np.asarray(find_preambles(cfg, pj, 16))
+        for s in starts[starts >= 0]:
+            s = int(s)
+            if s < consumed:
+                continue
+            min_end = s + cfg.frame_samples(1)  # header needs 1st symbol
+            if min_end > len(self._buf):
+                break  # frame still arriving
+            hdr_bits = np.asarray(demodulate_at_v2(
+                cfg, pj, 56, jnp.asarray([s])))[0]
+            hdr = np.packbits(hdr_bits[:56])
+            data_len = (int(hdr[0]) << 8) | int(hdr[1])
+            if data_len > self.max_frame_bytes - 7:
+                consumed = s + cfg.preamble_len
+                continue
+            total_bits = (7 + data_len) * 8
+            frame_end = s + cfg.frame_samples(total_bits)
+            if frame_end > len(self._buf):
+                break  # wait for the rest of this frame
+            bits = np.asarray(demodulate_at_v2(
+                cfg, pj, self.max_syms * cfg.bits_per_symbol,
+                jnp.asarray([s]),
+                jnp.asarray([cfg.n_symbols(total_bits)])))[0]
+            f = Frame.from_bits(bits[:total_bits])
+            consumed = frame_end
+            if f is None:
+                continue
+            if self.local_addr is not None and f.dst != self.local_addr:
+                continue
+            out.append(f)
+        if consumed:
+            keep = max(consumed - (cfg.preamble_len - 1), 0)
+            self._buf = self._buf[keep:]
+        elif len(self._buf) > 10 * cfg.sample_rate:
+            self._buf = self._buf[-cfg.preamble_len:]
+        return out
 
 
 class OfdmModemV2:
