@@ -194,17 +194,26 @@ def demodulate(
     l_pre = cfg.preamble_len
     power_pad = jnp.concatenate([power, jnp.zeros(l_pre + 8, jnp.float32)])
 
+    # banded Toeplitz operator for the warmup correlations: the FIFO
+    # holds the newest p+1 samples at its TAIL, so
+    # out[p] = sum_{k<=p} slab[k] * pre[k + L-1-p]  <=>  slab @ W with
+    # W[k, p] = pre[k + L-1-p] for k <= p (one small MXU matmul instead
+    # of 440 vmapped dynamic slices)
+    pre_host = np.asarray(chirp_cached(
+        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
+        cfg.sample_rate))
+    w_np = np.zeros((l_pre, l_pre), np.float32)
+    for p in range(l_pre):
+        w_np[: p + 1, p] = pre_host[l_pre - 1 - p:]
+    w_band = jnp.asarray(w_np)
+
     def warmup_sync(cursor):
         """Exact partial correlations for the L positions after a decode:
         the reference zeroes its sync FIFO when a frame fires
         (ask.rs:718-719), so sync at cursor+p only sees the p+1 samples
-        received since.  fifo(cursor+p) = [0^(L-1-p), rx[cursor..cursor+p]]
-        == slab2[p : p+L] with slab2 = 0^(L-1) ‖ rx[cursor : cursor+L]."""
+        received since."""
         slab = jax.lax.dynamic_slice(rx_pad, (cursor,), (l_pre,))
-        slab2 = jnp.concatenate([jnp.zeros(l_pre - 1, jnp.float32), slab])
-        wins = jax.vmap(lambda p: jax.lax.dynamic_slice(
-            slab2, (p,), (l_pre,)))(jnp.arange(l_pre))
-        out = (wins @ pre) / cfg.sync_divisor              # [L]
+        out = (slab @ w_band) / cfg.sync_divisor           # [L]
         pw = jax.lax.dynamic_slice(power_pad, (cursor,), (l_pre,))
         okw = (out > cfg.sync_power_factor * pw) & (
             out > cfg.sync_abs_threshold)
@@ -260,38 +269,52 @@ def demodulate(
         peak, fired = run_chain(i0, cursor, sync_w, ok_w)
         ok_fire = has & fired
 
+        # frame complete only if the decode window fits in the capture:
+        # the reference's fifo fills at absolute index peak + frame_samples
+        complete = (peak + cfg.frame_samples) < t
+
+        # NOTE: the cursor advance depends only on (peak, fired,
+        # complete) — never on the demodulated bits (the reference
+        # advances past id-filtered frames identically, ask.rs:723-767)
+        # — so the expensive per-frame demod runs OUTSIDE the scan,
+        # vmapped over all slots at once.
+        new_cursor = jnp.where(
+            ok_fire & complete, peak + cfg.frame_samples + 1, cursor)
+        new_done = done | ~has | (ok_fire & ~complete) | ~fired
+        out = dict(
+            fire_ok=ok_fire & complete,
+            peak=peak,
+        )
+        return (new_cursor, new_done), out
+
+    (_, _), ys = jax.lax.scan(
+        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames,
+        # per-step work is tiny; unrolling amortizes the TPU while-loop
+        # dispatch overhead exactly as in phy/decoder.py
+        unroll=min(8, max_frames))
+
+    # ---- post-pass: demodulate all fired slots at once -----------------
+    def demod(peak, ok):
         win = jax.lax.dynamic_slice(
             rx_pad, (jnp.clip(peak + 1, 0),), (cfg.frame_samples,))
         prod = win * car
         smooth = box_smooth_truncated(prod, cfg.smooth_half)
         sums = jnp.sum(smooth[bit_idx], axis=-1)
         bits = (sums > 0.0)
-
         fid = jnp.sum(
             bits[:8].astype(jnp.int32) *
             (1 << jnp.arange(7, -1, -1)), axis=-1)
         id_ok = (fid >= cfg.id_min) & (fid <= cfg.id_max)
-
-        # frame complete only if the decode window fits in the capture:
-        # the reference's fifo fills at absolute index peak + frame_samples
-        complete = (peak + cfg.frame_samples) < t
-        valid = ok_fire & id_ok & complete
-
-        new_cursor = jnp.where(
-            ok_fire & complete, peak + cfg.frame_samples + 1,
-            jnp.where(ok_fire, cursor, cursor))
-        new_done = done | ~has | (ok_fire & ~complete) | ~fired
-        out = dict(
+        valid = ok & id_ok
+        return dict(
             valid=valid,
             frame_id=jnp.where(valid, fid, 0),
-            bits=jnp.where(valid, bits[8:cfg.frame_bits], 0).astype(jnp.uint8),
+            bits=jnp.where(valid, bits[8:cfg.frame_bits],
+                           0).astype(jnp.uint8),
             start=jnp.where(valid, peak, -1),
         )
-        return (new_cursor, new_done), out
 
-    (_, _), ys = jax.lax.scan(
-        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames)
-    return AskDecoded(**ys)
+    return AskDecoded(**jax.vmap(demod)(ys["peak"], ys["fire_ok"]))
 
 
 def assemble_text(decoded: AskDecoded) -> bytes:
