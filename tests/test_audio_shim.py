@@ -81,6 +81,27 @@ def test_alsa_backend_fails_cleanly_without_hardware():
         rt.AudioDuplex(backend=rt.BACKEND_ALSA)
 
 
+def test_jack_backend_roundtrip_or_clean_failure():
+    """With a JACK/PipeWire server: full duplex client comes up (and the
+    RT callback feeds the rings).  Without: clean RuntimeError, never a
+    crash or hang."""
+    rt = _runtime()
+    if not rt.jack_available():
+        assert isinstance(rt.jack_available(), bool)
+        with pytest.raises(RuntimeError):
+            rt.AudioDuplex(backend=rt.BACKEND_JACK)
+        return
+    try:
+        d = rt.AudioDuplex(backend=rt.BACKEND_JACK)
+    except RuntimeError:
+        return  # libjack present but no server running — clean failure
+    try:
+        import numpy as np
+        d.play(np.zeros(256, np.float32))
+    finally:
+        d.close()
+
+
 def test_record_example_end_to_end():
     env = dict(os.environ)
     out = subprocess.run(

@@ -79,16 +79,16 @@ def test_blocked_spec_chain_of_straddlers():
     cfg = PhyConfig()
     enc = OracleEncoder(cfg)
     w = enc.encode_frame(_evil_frame(cfg, 7, b"CHAIN"))
-    n_blocks = 8
+    n_blocks = 6
     block = halo_size(cfg) + 200
     total = n_blocks * block
     wave = np.zeros(total, np.float32)
     pos, k = block - 60, 0
-    while pos + len(w) < total - block and k < 6:
+    while pos + len(w) < total - block and k < 4:
         wave[pos: pos + len(w)] = w
         pos += len(w)
         k += 1
-    seq = decode_capture(cfg, jnp.asarray(wave), 2, max_frames=32)
+    seq = decode_capture(cfg, jnp.asarray(wave), 2, max_frames=16)
     blk, ok = _blocked_spec(cfg, wave, n_blocks, n_cand=64)
     assert ok
     assert _decoded_set(blk) == _decoded_set(seq)
@@ -99,8 +99,8 @@ def test_blocked_spec_block_smaller_than_halo():
     cfg = PhyConfig()
     enc = OracleEncoder(cfg)
     w = enc.encode_frame(_evil_frame(cfg, 1, b"WIDE"))
-    n_blocks = 10
-    block = halo_size(cfg) // 3
+    n_blocks = 6
+    block = halo_size(cfg) // 2
     total = n_blocks * block
     wave = np.zeros(total, np.float32)
     wave[block - 60: block - 60 + len(w)] = w
@@ -118,17 +118,17 @@ def test_blocked_spec_clean_capture_and_noise():
     enc = OracleEncoder(cfg)
     rng = np.random.default_rng(5)
     parts = []
-    for i in range(10):
-        parts.append(rng.normal(0, 0.02, 2000 + 321 * i).astype(np.float32))
+    for i in range(5):
+        parts.append(rng.normal(0, 0.02, 1200 + 321 * i).astype(np.float32))
         parts.append(enc.encode_frame(
             Frame.new_data(i, 1, 2, bytes([i]) * (4 + i))))
-    parts.append(np.zeros(30000, np.float32))
+    parts.append(np.zeros(8000, np.float32))
     wave = np.concatenate(parts)
-    seq = decode_capture(cfg, jnp.asarray(wave), 2, max_frames=32)
-    blk, ok = _blocked_spec(cfg, wave, 4, mfpb=16, n_cand=64)
+    seq = decode_capture(cfg, jnp.asarray(wave), 2, max_frames=16)
+    blk, ok = _blocked_spec(cfg, wave, 4, mfpb=8, n_cand=32)
     assert ok
     assert _decoded_set(blk) == _decoded_set(seq)
-    assert len(_decoded_set(seq)) == 10
+    assert len(_decoded_set(seq)) == 5
 
 
 def test_blocked_spec_4b5b_nonconf_flags_fallback():
@@ -154,14 +154,14 @@ def test_spec_cursor_semantics_match_exact():
     enc = OracleEncoder(cfg)
     rng = np.random.default_rng(3)
     parts = [rng.normal(0, 0.02, 900).astype(np.float32)]
-    for i in range(4):
+    for i in range(3):
         parts.append(enc.encode_frame(
             Frame.new_data(i, 1, 2, bytes([i + 65]) * (6 + i))))
-        parts.append(np.zeros(400 + 130 * i, np.float32))
+        parts.append(np.zeros(300 + 130 * i, np.float32))
     wave = np.concatenate(parts)
 
     for cur0, lim in [(0, None), (0, len(wave) // 2),
-                      (len(wave) // 3, None), (2500, 21000)]:
+                      (len(wave) // 3, None), (2500, 15000)]:
         exact, srch_e, cur_e = decode_capture(
             cfg, jnp.asarray(wave), 2, max_frames=8, with_cursor=True,
             start_cursor=cur0, scan_limit=lim)

@@ -618,9 +618,7 @@ class PhyDecoder:
         bucket = self._bucket(n)
         padded = np.zeros(bucket, np.float32)
         padded[:n] = self._buf
-        res, searched, _ = decode_capture(
-            self.cfg, jnp.asarray(padded), self.local_addr,
-            max_frames=self.max_frames, valid_len=n, with_cursor=True)
+        res, searched = self._decode_with_cursor(jnp.asarray(padded), n)
         frames = res.to_frames()
         # drain the searched prefix even when nothing decoded — the
         # reference does this every call, keeping a preamble-1 overlap
@@ -630,3 +628,21 @@ class PhyDecoder:
         if drop > 0:
             self._buf = self._buf[drop:]
         return frames
+
+    def _decode_with_cursor(self, padded, n):
+        """(frames, searched_until) — the speculative kernel when it
+        covers this config/backend (same cursor semantics, ~4x lower
+        latency), else the exact scan."""
+        if _spec_supported(self.cfg):
+            from trackmaker_tpu.phy.pallas_decode import (
+                decode_capture_spec_jit)
+            res, ok, searched, _cur = decode_capture_spec_jit(
+                self.cfg, padded[None], self.local_addr,
+                max_frames=self.max_frames, valid_len=n, with_cursor=True)
+            if bool(np.asarray(ok)[0]):
+                return (jax.tree_util.tree_map(lambda a: a[0], res),
+                        searched[0])
+        res, searched, _ = decode_capture(
+            self.cfg, padded, self.local_addr,
+            max_frames=self.max_frames, valid_len=n, with_cursor=True)
+        return res, searched

@@ -233,22 +233,25 @@ def active_regions(samples: np.ndarray, threshold: float = 0.05,
 
 
 # ---------------------------------------------------------------------------
-# Real-audio capture/playback (tm_audio.cc): ALSA via dlopen when the
-# host has libasound, else a loopback "virtual cable" between the
-# playback and capture rings — the hardware-facing side of the
-# reference's JACK recorder (src/audio/recorder.rs:35-153), with the
-# lock-free ring as the RT/batch cut point.
+# Real-audio capture/playback (tm_audio.cc): ALSA or JACK via dlopen
+# when the host has libasound/libjack, else a loopback "virtual cable"
+# between the playback and capture rings — the hardware-facing side of
+# the reference's JACK recorder (src/audio/recorder.rs:35-153,
+# src/device/jack.rs:17-64), with the lock-free ring as the RT/batch
+# cut point.
 # ---------------------------------------------------------------------------
 
 BACKEND_ALSA = 0
 BACKEND_LOOPBACK = 1          # paced at the sample rate
 BACKEND_LOOPBACK_FAST = 2     # unpaced (tests)
+BACKEND_JACK = 3              # JACK/PipeWire-JACK client + auto-connect
 
 
 def _audio_bind(lib):
     if getattr(lib, "_audio_bound", False):
         return
     lib.tm_audio_alsa_available.restype = ctypes.c_int
+    lib.tm_audio_jack_available.restype = ctypes.c_int
     lib.tm_audio_open.restype = ctypes.c_void_p
     lib.tm_audio_open.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_uint, ctypes.c_uint,
@@ -261,6 +264,13 @@ def alsa_available() -> bool:
     lib = _load()
     _audio_bind(lib)
     return bool(lib.tm_audio_alsa_available())
+
+
+def jack_available() -> bool:
+    """libjack is loadable (a running server is still needed to open)."""
+    lib = _load()
+    _audio_bind(lib)
+    return bool(lib.tm_audio_jack_available())
 
 
 class AudioDuplex:
@@ -277,6 +287,8 @@ class AudioDuplex:
         lib = _load()
         _audio_bind(lib)
         if backend is None:
+            # prefer real hardware when a backend library exists; the
+            # loopback cable is the headless/CI fallback
             backend = (BACKEND_ALSA if lib.tm_audio_alsa_available()
                        else BACKEND_LOOPBACK)
         self.backend = backend
@@ -291,7 +303,9 @@ class AudioDuplex:
         if not self._h:
             raise RuntimeError(
                 f"tm_audio_open failed (backend={backend}); "
-                "for ALSA check libasound.so.2 and the device name")
+                "for ALSA check libasound.so.2 and the device name; "
+                "for JACK check libjack.so.0 and that a JACK/PipeWire "
+                "server is running")
 
     def play(self, samples: np.ndarray) -> int:
         return self.playback_ring.push(samples)

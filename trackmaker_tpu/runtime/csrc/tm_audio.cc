@@ -69,6 +69,65 @@ struct AlsaApi {
 
 AlsaApi g_alsa;
 
+// ---- minimal JACK surface, resolved at runtime ------------------------
+// Reference equivalent: src/device/jack.rs:17-64 (connect_system_ports)
+// + the process callback registration in src/main.rs:368-378.
+typedef void jack_client_t;
+typedef void jack_port_t;
+typedef uint32_t jack_nframes_t;
+typedef int (*JackProcessCallback)(jack_nframes_t, void*);
+constexpr unsigned long kJackPortIsInput = 1;
+constexpr unsigned long kJackPortIsOutput = 2;
+constexpr unsigned long kJackPortIsPhysical = 4;
+constexpr const char* kJackAudioType = "32 bit float mono audio";
+
+struct JackApi {
+  void* lib = nullptr;
+  jack_client_t* (*client_open)(const char*, int, int*) = nullptr;
+  int (*client_close)(jack_client_t*) = nullptr;
+  int (*set_process_callback)(jack_client_t*, JackProcessCallback,
+                              void*) = nullptr;
+  int (*activate)(jack_client_t*) = nullptr;
+  int (*deactivate)(jack_client_t*) = nullptr;
+  jack_port_t* (*port_register)(jack_client_t*, const char*, const char*,
+                                unsigned long, unsigned long) = nullptr;
+  void* (*port_get_buffer)(jack_port_t*, jack_nframes_t) = nullptr;
+  const char** (*get_ports)(jack_client_t*, const char*, const char*,
+                            unsigned long) = nullptr;
+  const char* (*port_name)(const jack_port_t*) = nullptr;
+  int (*connect)(jack_client_t*, const char*, const char*) = nullptr;
+  void (*free_fn)(void*) = nullptr;
+  unsigned (*get_sample_rate)(jack_client_t*) = nullptr;
+
+  bool load() {
+    if (lib) return true;
+    lib = dlopen("libjack.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) lib = dlopen("libjack.so", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) return false;
+    client_open = (decltype(client_open))dlsym(lib, "jack_client_open");
+    client_close = (decltype(client_close))dlsym(lib, "jack_client_close");
+    set_process_callback = (decltype(set_process_callback))dlsym(
+        lib, "jack_set_process_callback");
+    activate = (decltype(activate))dlsym(lib, "jack_activate");
+    deactivate = (decltype(deactivate))dlsym(lib, "jack_deactivate");
+    port_register = (decltype(port_register))dlsym(lib,
+                                                   "jack_port_register");
+    port_get_buffer = (decltype(port_get_buffer))dlsym(
+        lib, "jack_port_get_buffer");
+    get_ports = (decltype(get_ports))dlsym(lib, "jack_get_ports");
+    port_name = (decltype(port_name))dlsym(lib, "jack_port_name");
+    connect = (decltype(connect))dlsym(lib, "jack_connect");
+    free_fn = (decltype(free_fn))dlsym(lib, "jack_free");
+    get_sample_rate = (decltype(get_sample_rate))dlsym(
+        lib, "jack_get_sample_rate");
+    return client_open && client_close && set_process_callback &&
+           activate && port_register && port_get_buffer && get_ports &&
+           port_name && connect && free_fn;
+  }
+};
+
+JackApi g_jack;
+
 struct AudioDuplex {
   void* cap_ring;      // device -> decoder
   void* play_ring;     // encoder -> device
@@ -81,7 +140,49 @@ struct AudioDuplex {
   snd_pcm_t* play_pcm = nullptr;
   bool loopback = false;
   bool paced = true;   // loopback: move data at real-time rate
+  // JACK backend state
+  jack_client_t* jack = nullptr;
+  jack_port_t* jack_in = nullptr;
+  jack_port_t* jack_out = nullptr;
 };
+
+// The JACK real-time callback — the direct counterpart of the
+// reference's process closure (src/audio/recorder.rs:35-153), with the
+// AppShared mutex buffers replaced by the lock-free SPSC rings: capture
+// port -> capture ring, playback ring -> output port (silence on
+// underrun, like recorder.rs's Idle arm).
+int jack_process(jack_nframes_t nframes, void* arg) {
+  auto* d = (AudioDuplex*)arg;
+  float* in = (float*)g_jack.port_get_buffer(d->jack_in, nframes);
+  float* out = (float*)g_jack.port_get_buffer(d->jack_out, nframes);
+  if (in) tm_ring_push(d->cap_ring, in, nframes);
+  if (out) {
+    size_t got = tm_ring_pop(d->play_ring, out, nframes);
+    if (got < nframes)
+      memset(out + got, 0, (nframes - got) * sizeof(float));
+  }
+  return 0;
+}
+
+// Auto-connect to the first physical ports, mirroring
+// connect_system_ports (src/device/jack.rs:17-64): physical capture
+// source -> our input; our output -> physical playback sink.
+void jack_autoconnect(AudioDuplex* d) {
+  const char** caps = g_jack.get_ports(
+      d->jack, nullptr, nullptr, kJackPortIsPhysical | kJackPortIsOutput);
+  if (caps) {
+    if (caps[0])
+      g_jack.connect(d->jack, caps[0], g_jack.port_name(d->jack_in));
+    g_jack.free_fn(caps);
+  }
+  const char** sinks = g_jack.get_ports(
+      d->jack, nullptr, nullptr, kJackPortIsPhysical | kJackPortIsInput);
+  if (sinks) {
+    if (sinks[0])
+      g_jack.connect(d->jack, g_jack.port_name(d->jack_out), sinks[0]);
+    g_jack.free_fn(sinks);
+  }
+}
 
 void* capture_main(void* arg) {
   auto* d = (AudioDuplex*)arg;
@@ -135,9 +236,15 @@ extern "C" {
 
 int tm_audio_alsa_available(void) { return g_alsa.load() ? 1 : 0; }
 
+// libjack is present (a server may still not be running; open fails
+// cleanly in that case).
+int tm_audio_jack_available(void) { return g_jack.load() ? 1 : 0; }
+
 // Open a duplex stream. backend: 0 = ALSA (device name, e.g.
 // "default"), 1 = loopback paced at `rate`, 2 = loopback unpaced
-// (tests). Returns an opaque handle or NULL.
+// (tests), 3 = JACK (device = client name; auto-connects to the first
+// physical ports like src/device/jack.rs:17-64). Returns an opaque
+// handle or NULL.
 void* tm_audio_open(const char* device, int backend, unsigned rate,
                     unsigned period, void* capture_ring,
                     void* playback_ring) {
@@ -167,6 +274,28 @@ void* tm_audio_open(const char* device, int backend, unsigned rate,
     return d;
   }
 
+  if (backend == 3) {
+    if (!g_jack.load()) { delete d; return nullptr; }
+    int status = 0;
+    d->jack = g_jack.client_open(device && *device ? device : "trackmaker",
+                                 0 /* JackNullOption */, &status);
+    if (!d->jack) { delete d; return nullptr; }
+    d->jack_in = g_jack.port_register(d->jack, "input", kJackAudioType,
+                                      kJackPortIsInput, 0);
+    d->jack_out = g_jack.port_register(d->jack, "output", kJackAudioType,
+                                       kJackPortIsOutput, 0);
+    if (!d->jack_in || !d->jack_out ||
+        g_jack.set_process_callback(d->jack, jack_process, d) != 0 ||
+        g_jack.activate(d->jack) != 0) {
+      g_jack.client_close(d->jack);
+      delete d;
+      return nullptr;
+    }
+    jack_autoconnect(d);
+    if (g_jack.get_sample_rate) d->rate = g_jack.get_sample_rate(d->jack);
+    return d;
+  }
+
   d->loopback = true;
   d->paced = (backend == 1);
   pthread_create(&d->cap_thread, nullptr, loopback_main, d);
@@ -176,6 +305,12 @@ void* tm_audio_open(const char* device, int backend, unsigned rate,
 void tm_audio_close(void* handle) {
   auto* d = (AudioDuplex*)handle;
   if (!d) return;
+  if (d->jack) {
+    if (g_jack.deactivate) g_jack.deactivate(d->jack);
+    g_jack.client_close(d->jack);
+    delete d;
+    return;
+  }
   d->stop.store(true, std::memory_order_relaxed);
   pthread_join(d->cap_thread, nullptr);
   if (!d->loopback) pthread_join(d->play_thread, nullptr);
