@@ -207,7 +207,12 @@ def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
         # averages the estimator noise over all symbols (raw
         # per-symbol correction measurably costs ~1 dB at the AWGN
         # cliff) while capturing drift ramps exactly.
-        pt = eq[:, pbins] * jnp.conj(pilots)          # (n_sym, n_pilot)
+        # MRC-weight the pilot tones by |H|^2: the one-tap EQ divides
+        # by H, so rolled-off bins' noise is amplified and an
+        # unweighted sum lets them dominate the phase estimates on a
+        # shaped channel (flat channels are unaffected).
+        wmrc = jnp.abs(h[pbins]) ** 2
+        pt = eq[:, pbins] * jnp.conj(pilots) * wmrc   # (n_sym, n_pilot)
         cpe = jnp.sum(pt, axis=-1)
         srange = jnp.arange(n_sym, dtype=jnp.float32)
         w = (srange < vsym).astype(jnp.float32)       # valid-symbol mask
