@@ -149,6 +149,12 @@ class RouterConfig:
     node1_ip: str = "192.168.1.2"
     node3_ip: str = "192.168.2.2"
 
+    # 5-tuple connection tracking for the NAT instead of the
+    # reference's port-keyed 1:1 maps (collision-safe, expiring) —
+    # opt-in so the default router stays quirk-for-quirk with
+    # router.rs; see net/conntrack.py
+    conntrack: bool = False
+
 
 # ---------------------------------------------------------------------------
 # Checksums
@@ -220,6 +226,11 @@ class Router:
         self.nat_icmp: dict[int, bytes] = {}       # icmp id -> original ip
         self.nat_sessions: dict[int, bytes] = {}   # l4 port -> original ip
         self.dnat_map: dict[int, bytes] = {}       # traversal id -> origin
+        self.ct = None                             # ConntrackTable | None
+        self._now = 0                              # sample-clock ticks
+        if self.cfg.conntrack:
+            from trackmaker_tpu.net.conntrack import ConntrackTable
+            self.ct = ConntrackTable()
         self.pending: dict[bytes, list[PendingPacket]] = {}
         self.ports: dict[InterfaceType, object] = {}
         self.dropped = 0
@@ -280,6 +291,9 @@ class Router:
         return n
 
     def on_tick(self, now: int) -> None:  # bus-compatible
+        self._now = now
+        if self.ct is not None:
+            self.ct.expire(now)
         self.poll()
 
     # -- ingress ----------------------------------------------------------
@@ -346,13 +360,19 @@ class Router:
             dport = int.from_bytes(l4[2:4], "big")
             if dport == 53:
                 self._serve_dns(packet, l4)
+            elif self.ct is not None:
+                if not self._dnat_conntrack(packet, proto, ihl):
+                    self.dropped += 1
             elif dport in self.nat_sessions:
                 self._dnat_l4(packet, dport)
             else:
                 self.dropped += 1
         elif proto == PROTO_TCP and len(l4) >= 20:
             dport = int.from_bytes(l4[2:4], "big")
-            if dport in self.nat_sessions:
+            if self.ct is not None:
+                if not self._dnat_conntrack(packet, proto, ihl):
+                    self.dropped += 1
+            elif dport in self.nat_sessions:
                 self._dnat_l4(packet, dport)
             else:
                 self.dropped += 1
@@ -393,7 +413,11 @@ class Router:
                 recompute_ip_checksum(packet)
                 self._route(packet, decrement=False)
                 return
-            if ident in self.nat_icmp:  # inbound NAT (router.rs:724-860)
+            if self.ct is not None:
+                ihl = (packet[0] & 0x0F) * 4
+                if self._dnat_conntrack(packet, PROTO_ICMP, ihl):
+                    return
+            elif ident in self.nat_icmp:  # inbound NAT (router.rs:724-860)
                 orig = self.nat_icmp[ident]
                 packet[16:20] = orig
                 recompute_l4_checksum(packet)
@@ -452,6 +476,59 @@ class Router:
         recompute_ip_checksum(packet)
         self._route(packet, decrement=False)
 
+    # -- conntrack NAT (opt-in; net/conntrack.py) -------------------------
+
+    def _snat_conntrack(self, packet: bytearray, proto: int, ihl: int,
+                        src: bytes) -> None:
+        """Egress rewrite via the 5-tuple table: unlike the reference's
+        maps this also rewrites the source port/ident when two inside
+        hosts collide, and tracks TCP FIN/RST for expiry."""
+        remote = bytes(packet[16:20])
+        if proto == PROTO_ICMP:
+            ident = int.from_bytes(packet[ihl + 4: ihl + 6], "big")
+            ext = self.ct.snat(proto, src, ident, remote, 0, self._now)
+            packet[ihl + 4: ihl + 6] = ext.to_bytes(2, "big")
+        elif proto in (PROTO_TCP, PROTO_UDP):
+            sport = int.from_bytes(packet[ihl: ihl + 2], "big")
+            dport = int.from_bytes(packet[ihl + 2: ihl + 4], "big")
+            ext = self.ct.snat(proto, src, sport, remote, dport,
+                               self._now)
+            packet[ihl: ihl + 2] = ext.to_bytes(2, "big")
+            if proto == PROTO_TCP and len(packet) >= ihl + 14:
+                self.ct.note_tcp_flags(proto, ext, remote, dport,
+                                       packet[ihl + 13])
+
+    def _dnat_conntrack(self, packet: bytearray, proto: int,
+                        ihl: int) -> bool:
+        """Inbound lookup; True when the packet matched a session and
+        was forwarded to the inside host."""
+        remote = bytes(packet[12:16])
+        if proto == PROTO_ICMP:
+            ident = int.from_bytes(packet[ihl + 4: ihl + 6], "big")
+            hit = self.ct.dnat(proto, ident, remote, 0, self._now)
+            if hit is None:
+                return False
+            inside_ip, inside_ident = hit
+            packet[ihl + 4: ihl + 6] = inside_ident.to_bytes(2, "big")
+        elif proto in (PROTO_TCP, PROTO_UDP):
+            sport = int.from_bytes(packet[ihl: ihl + 2], "big")
+            dport = int.from_bytes(packet[ihl + 2: ihl + 4], "big")
+            hit = self.ct.dnat(proto, dport, remote, sport, self._now)
+            if hit is None:
+                return False
+            inside_ip, inside_port = hit
+            packet[ihl + 2: ihl + 4] = inside_port.to_bytes(2, "big")
+            if proto == PROTO_TCP and len(packet) >= ihl + 14:
+                self.ct.note_tcp_flags(proto, dport, remote, sport,
+                                       packet[ihl + 13])
+        else:
+            return False
+        packet[16:20] = inside_ip
+        recompute_l4_checksum(packet)
+        recompute_ip_checksum(packet)
+        self._route(packet, decrement=False)
+        return True
+
     # -- routing + egress -----------------------------------------------
 
     def _route(self, packet: bytearray, decrement: bool = True) -> None:
@@ -475,7 +552,9 @@ class Router:
                     and src not in self._local_ips):
                 proto = packet[9]
                 ihl = (packet[0] & 0x0F) * 4
-                if proto == PROTO_ICMP:
+                if self.ct is not None:
+                    self._snat_conntrack(packet, proto, ihl, src)
+                elif proto == PROTO_ICMP:
                     ident = int.from_bytes(packet[ihl + 4: ihl + 6], "big")
                     self.nat_icmp[ident] = src
                 elif proto in (PROTO_TCP, PROTO_UDP):
