@@ -263,8 +263,23 @@ def cmd_tun(args):
     print(f"TUN {args.name} up at {args.ip}; echo host at {args.peer}.")
     print(f"Try: ping {args.peer}   (Ctrl-C to stop)")
     try:
+        # Event-driven idle wait (ROADMAP "epoll-driven variant"): when
+        # both MACs are idle and the medium has been silent for a
+        # while (well past the ARQ timeout, so no pending retransmit
+        # timer can be starved by frozen sim time), block on the TUN
+        # fd instead of spinning bus.step() at 100% CPU; any kernel
+        # packet (or the poll timeout) resumes the simulation clock.
+        import select as select_mod
+        silent_samples = 0
+        idle_after = bus.sample_rate  # 1 s of true quiet
         while True:
             bus.step()
+            quiet = (if_a.tx_idle and if_b.tx_idle
+                     and ep_a.playing_remaining == 0
+                     and ep_b.playing_remaining == 0)
+            silent_samples = silent_samples + bus.chunk if quiet else 0
+            if silent_samples >= idle_after:
+                select_mod.select([tun.fd], [], [], 0.05)
     except KeyboardInterrupt:
         print(f"\nbridged {bridge.tx_packets} out / "
               f"{bridge.rx_packets} in packets; "
