@@ -35,3 +35,25 @@ except Exception:
     pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+_mods_seen: set[str] = set()
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_module(request):
+    """Release compiled executables between test modules.
+
+    A single pytest session accumulates hundreds of live XLA:CPU
+    executables; observed (three separate runs on this host) late
+    -session SIGSEGVs inside `backend_compile_and_load` / the
+    compilation-cache zstandard path that never reproduce when the same
+    tests run in a fresh process.  Dropping executables at module
+    boundaries keeps the live-code footprint bounded; the persistent
+    on-disk cache makes the re-loads cheap."""
+    mod = request.node.nodeid.split("::", 1)[0]
+    if mod not in _mods_seen:
+        _mods_seen.add(mod)
+        jax.clear_caches()
+    yield

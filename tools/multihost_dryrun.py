@@ -65,6 +65,12 @@ def main() -> None:
         k = ks[0]
         got.append(fb[i, k, 7:7 + ln[i, k]].tobytes())
     assert got == want, (pid, got, want)
+    # sync before exit: without a final barrier the leader can tear
+    # down the coordination service while a slower worker still polls
+    # it, killing the worker with a fatal UNAVAILABLE (observed under
+    # loaded CI) — the standard all-hosts sync makes shutdown orderly
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("dryrun-done")
     print(f"MULTIHOST-OK pid={pid} devices={len(jax.devices())}")
     sys.stdout.flush()
     os._exit(0)
