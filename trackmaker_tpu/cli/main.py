@@ -105,10 +105,19 @@ def cmd_decode(args):
         res, ppm = decode_with_clock_search(
             cfg, samples, args.addr, max_frames=args.max_frames)
         print(f"clock search picked {ppm:+.0f} ppm")
+        frames = res.to_frames()
+    elif args.timing_gate:
+        from trackmaker_tpu.dsp.timing import decode_with_timing_gate
+        res, rec = decode_with_timing_gate(
+            cfg, samples, args.addr, max_frames=args.max_frames)
+        frames = res.to_frames() + rec.to_frames()
+        n_rec = len(rec.to_frames())
+        if n_rec:
+            print(f"timing gate recovered {n_rec} drifted frame(s)")
     else:
         res = decode_capture(cfg, jnp.asarray(samples), args.addr,
                              max_frames=args.max_frames)
-    frames = res.to_frames()
+        frames = res.to_frames()
     dt = time.time() - t0
     print(f"decoded {len(frames)} frames from {len(samples)} samples "
           f"in {dt:.2f}s ({len(samples) / sr / max(dt, 1e-9):.0f}x realtime)")
@@ -352,6 +361,9 @@ def main(argv=None):
     s.add_argument("--output")
     s.add_argument("--clock-search", action="store_true",
                    help="search a resample-ratio grid (clock skew)")
+    s.add_argument("--timing-gate", action="store_true",
+                   help="per-frame early-late retry of failed "
+                        "candidates (mixed-skew transmitters)")
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("encode", parents=[common], help="file -> modulated WAV")

@@ -77,16 +77,16 @@ def estimate_frame_ppm(cfg: PhyConfig, window, n_levels: int,
     x = jnp.asarray(window, jnp.float32)
     shifts = jnp.arange(-max_shift, max_shift + 1)
     n_s = 2 * max_shift + 1
-    jidx = jnp.arange(1, n_levels)                    # boundaries
-    base = jidx * spb
-    k = jnp.arange(spb)
+    # level means at shift s are a shifted contiguous view reshaped to
+    # (n_levels, spb) — no gathers (XLA gathers are catastrophically
+    # slow on TPU; see phy/pallas_decode.py)
+    xp = jnp.pad(x, (max_shift, max_shift + spb))
 
     def metric_at(s):
-        lo = x[jnp.clip(base[:, None] + s - spb + k[None, :], 0,
-                        x.shape[-1] - 1)]
-        hi = x[jnp.clip(base[:, None] + s + k[None, :], 0,
-                        x.shape[-1] - 1)]
-        return jnp.abs(jnp.mean(lo, -1) - jnp.mean(hi, -1))
+        xs = jax.lax.dynamic_slice(xp, (s + max_shift,),
+                                   (n_levels * spb,))
+        lm = jnp.mean(xs.reshape(n_levels, spb), axis=-1)
+        return jnp.abs(lm[:-1] - lm[1:])              # boundaries 1..n-1
 
     m = jax.vmap(metric_at)(shifts)                   # (S, n_levels-1)
     per_seg = -(-(n_levels - 1) // segments)
