@@ -44,3 +44,9 @@ def test_cli_tx(tmp_path, capsys):
     out = tmp_path / "OUTPUT1to2.bin"
     assert run_cli(["tx", "--input", str(inp), "--output", str(out)]) == 0
     assert out.read_bytes() == inp.read_bytes()
+
+
+def test_cli_ofdm_adapt(capsys):
+    assert run_cli(["ofdm-adapt"]) == 0
+    out = capsys.readouterr().out
+    assert "bits/sym" in out and "exact: True" in out
