@@ -2,7 +2,6 @@
 loading selection on a shaped channel, and loaded end-to-end decode."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -4,7 +4,6 @@ multiple transmitters with DIFFERENT skews in one capture, which the
 whole-capture resample search cannot fix with a single ratio."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 
