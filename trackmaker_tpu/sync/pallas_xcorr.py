@@ -103,7 +103,7 @@ def pallas_normalized_xcorr(
     samples: jax.Array,          # f32[T]
     pattern: np.ndarray,         # f32[L] (host constant)
     eps: float = 1e-6,
-    blk: int = 16384,
+    blk: int = 8192,
     interpret: bool = False,
     normalize: bool = True,
     scale: float = 1.0,
