@@ -6,8 +6,15 @@ CI runs 12 seeds (tests/test_fuzz_differential.py); this tool runs an
 arbitrary number for deeper soak testing:
 
     python tools/fuzz_campaign.py --seeds 100 [--coding manchester|4b5b]
+                                   [--path exact|fast]
+
+``--path fast`` exercises `decode_capture_fast` instead of the exact
+scan (on CPU: 4B5B optimistic two-pass + fallback merge; on TPU it
+would take the speculative kernels — see tools/tpu_spec_soak.py for
+the on-chip campaign).
 
 Round-1 campaign: 280 trials, 0 mismatches.
+Round-2: tools/tpu_spec_soak.py adds the speculative-path soak.
 """
 
 import argparse
@@ -32,7 +39,7 @@ from trackmaker_tpu.oracle.phy import OracleDecoder, OracleEncoder  # noqa: E402
 from trackmaker_tpu.phy.decoder import decode_capture  # noqa: E402
 
 
-def one_trial(coding: str, seed: int) -> bool:
+def one_trial(coding: str, seed: int, path: str = "exact") -> bool:
     rng = np.random.default_rng(seed)
     cfg = PhyConfig(line_coding=coding,
                     samples_per_level=int(rng.choice([2, 3, 4])))
@@ -68,8 +75,16 @@ def one_trial(coding: str, seed: int) -> bool:
         bucket *= 2
     padded = np.zeros(bucket, np.float32)
     padded[: len(wave)] = wave
-    got = decode_capture(cfg, jnp.asarray(padded), 2, max_frames=24,
-                         valid_len=len(wave)).to_frames()
+    if path == "fast":
+        from trackmaker_tpu.phy.decoder import decode_capture_fast
+        # the fast wrapper has no valid_len parameter: feed the exact
+        # (unpadded) wave; shapes vary, so compile counts grow — fine
+        # for a soak tool
+        got = decode_capture_fast(cfg, jnp.asarray(wave), 2,
+                                  max_frames=24).to_frames()
+    else:
+        got = decode_capture(cfg, jnp.asarray(padded), 2, max_frames=24,
+                             valid_len=len(wave)).to_frames()
     return ([f.sequence for f in got] == [f.sequence for f in want]
             and [f.data for f in got] == [f.data for f in want])
 
@@ -80,6 +95,7 @@ def main():
     ap.add_argument("--seed-base", type=int, default=50_000)
     ap.add_argument("--coding", choices=["manchester", "4b5b", "both"],
                     default="both")
+    ap.add_argument("--path", choices=["exact", "fast"], default="exact")
     args = ap.parse_args()
     codings = (["manchester", "4b5b"] if args.coding == "both"
                else [args.coding])
@@ -88,7 +104,7 @@ def main():
         for s in range(args.seeds):
             seed = args.seed_base + s
             trials += 1
-            if not one_trial(coding, seed):
+            if not one_trial(coding, seed, args.path):
                 fails.append((coding, seed))
                 print(f"MISMATCH {coding} seed={seed}", flush=True)
             if trials % 20 == 0:
