@@ -114,3 +114,24 @@ def test_gate_clean_capture_no_false_recoveries():
     exact, rec = decode_with_timing_gate(cfg, wave, 2)
     assert _payloads(exact) == sorted(f.data for f in frames)
     assert int(np.asarray(rec.valid).sum()) == 0
+
+
+def test_gate_recovers_4b5b_skewed_frame():
+    """The level-grating estimator is coding-agnostic: NRZI guarantees
+    transitions often enough for the phase fit."""
+    from trackmaker_tpu.core.config import FOUR_B_FIVE_B
+
+    cfg = PhyConfig(line_coding=FOUR_B_FIVE_B)
+    enc = OracleEncoder(cfg)
+    rng = np.random.default_rng(3)
+    bad = Frame.new_data(1, 1, 2, bytes(range(110)))
+    # NOTE: 4B5B's adaptive level-average tracking tolerates ~+-500 ppm
+    # natively (prev_level_avg carry, line_coding.rs:182-198) — the
+    # gate extends the range, it doesn't create it
+    wave = np.concatenate([
+        np.zeros(600, np.float32),
+        _skewed_frame(cfg, enc, bad, -600.0, rng),
+        np.zeros(1500, np.float32)])
+    exact, rec = decode_with_timing_gate(cfg, wave, 2)
+    assert _payloads(exact) == []
+    assert _payloads(rec) == [bad.data]
