@@ -197,6 +197,15 @@ def bench_ofdm(rng):
     return len(wave) / dt / 48_000.0, None
 
 
+# Wall-clock budget: the driver runs bench under `timeout 590`, and the
+# remote-TPU tunnel's speed varies a lot between windows (the same
+# binary has measured 4-9 minutes end-to-end).  Rows run headline-first
+# and later rows are SKIPPED (recorded as such) once the budget is
+# nearly spent, so a slow tunnel degrades the artifact instead of
+# truncating it to nothing.
+_BUDGET_S = float(os.environ.get("TM_BENCH_BUDGET_S", "560"))
+
+
 def main():
     import jax
 
@@ -208,55 +217,68 @@ def main():
     rng = np.random.default_rng(0)
     workloads = {}
     errors = {}
+    skipped = []
+    t0 = time.time()
 
-    man_x, err = bench_line_coded(PhyConfig(), rng)
-    workloads["manchester_b32"] = round(man_x, 1)
-    if err:
-        errors["manchester_b32"] = err
+    # `timeout` sends SIGTERM: emit whatever completed instead of dying
+    # silently (the tunnel can stall an in-flight device op for minutes;
+    # this cannot fire while blocked inside such an op, but covers every
+    # between-rows point)
+    import signal
 
-    fb_x, err = bench_line_coded(
-        PhyConfig(line_coding=FOUR_B_FIVE_B), rng)
-    workloads["fourb5b_b32"] = round(fb_x, 1)
-    if err:
-        errors["fourb5b_b32"] = err
+    def _emit_partial(_sig, _frm):
+        out = {
+            "metric": "demod_throughput_realtime_multiple_per_chip",
+            "value": workloads.get("manchester_b32", 0.0),
+            "unit": "x_realtime_48kHz",
+            "vs_baseline": workloads.get("manchester_b32", 0.0),
+            "workloads": workloads,
+            "errors": {**errors, "_timeout": "SIGTERM mid-row"},
+        }
+        print(json.dumps(out))
+        sys.stdout.flush()
+        os._exit(1)
 
-    try:
-        blk_x, err = bench_blocked_600s(PhyConfig(), rng)
-    except Exception as e:          # noqa: BLE001 - report, don't die
-        blk_x, err = 0.0, repr(e)[:120]
-    workloads["blocked_600s"] = round(blk_x, 1)
-    if err:
-        errors["blocked_600s"] = err
+    signal.signal(signal.SIGTERM, _emit_partial)
 
-    try:
-        ask_x, err = bench_ask(rng)
-    except Exception as e:
-        ask_x, err = 0.0, repr(e)[:120]
-    workloads["ask"] = round(ask_x, 1)
-    if err:
-        errors["ask"] = err
-
-    try:
-        ofdm_x, err = bench_ofdm(rng)
-    except Exception as e:
-        ofdm_x, err = 0.0, repr(e)[:120]
-    workloads["ofdm"] = round(ofdm_x, 1)
-    if err:
-        errors["ofdm"] = err
+    rows = [
+        ("manchester_b32", lambda: bench_line_coded(PhyConfig(), rng)),
+        ("fourb5b_b32", lambda: bench_line_coded(
+            PhyConfig(line_coding=FOUR_B_FIVE_B), rng)),
+        ("blocked_600s", lambda: bench_blocked_600s(PhyConfig(), rng)),
+        ("ask", lambda: bench_ask(rng)),
+        ("ofdm", lambda: bench_ofdm(rng)),
+    ]
+    # rough per-row cost floor; generous because compiles dominate cold
+    reserve = {"manchester_b32": 0, "fourb5b_b32": 60,
+               "blocked_600s": 90, "ask": 45, "ofdm": 45}
+    for name, fn in rows:
+        if name != "manchester_b32" and                 time.time() - t0 > _BUDGET_S - reserve[name]:
+            skipped.append(name)
+            continue
+        try:
+            x, err = fn()
+        except Exception as e:      # noqa: BLE001 - report, don't die
+            x, err = 0.0, repr(e)[:120]
+        workloads[name] = round(x, 1)
+        if err:
+            errors[name] = err
 
     out = {
         "metric": "demod_throughput_realtime_multiple_per_chip",
-        "value": workloads["manchester_b32"],
+        "value": workloads.get("manchester_b32", 0.0),
         "unit": "x_realtime_48kHz",
-        "vs_baseline": workloads["manchester_b32"],
+        "vs_baseline": workloads.get("manchester_b32", 0.0),
         "backend": jax.default_backend(),
         "workloads": workloads,
     }
+    if skipped:
+        out["skipped_budget"] = skipped
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
     sys.stdout.flush()
-    os._exit(1 if (errors or workloads["manchester_b32"] <= 0) else 0)
+    os._exit(1 if (errors or out["value"] <= 0) else 0)
 
 
 if __name__ == "__main__":
