@@ -1,7 +1,11 @@
 """TPU differential soak: speculative decoder vs exact scan on random
+(seed base / noise / amplitude ranges configurable via argv:
+  python tools/tpu_spec_soak.py [seed_base] [sigma])
 adversarial captures (noise, evil payloads, truncation, zero-gaps),
 both codings, plus blocked-spec vs flat decode."""
 import os, sys, time
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np
 os.makedirs(".jax_cache", exist_ok=True)
 import jax
@@ -30,6 +34,8 @@ def raw(data, seq=0, src=1, dst=2, ftype=1):
     return bytes([n >> 8, n & 0xFF, bitops.crc8_host(data), ftype, seq, src, dst]) + data
 
 T = 120_000
+SEED_BASE = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+SIGMA = float(sys.argv[2]) if len(sys.argv) > 2 else 0.04
 def build(rng, enc, cfg):
     wave = np.zeros(T, np.float32)
     pos = int(rng.integers(0, 2000))
@@ -43,6 +49,7 @@ def build(rng, enc, cfg):
         else:
             f = Frame.new_data(k, 1, 2, bytes(rng.integers(0,256,int(rng.integers(1,128)))))
         w = np.array(enc.encode_frame(f), np.float32)
+        w *= float(rng.uniform(0.4, 1.0))
         if kind == 2 and len(w) > 100:  # corrupt a bit
             j = int(rng.integers(cfg.preamble_len, len(w)-10))
             w[j:j+6] *= -1.0
@@ -50,7 +57,7 @@ def build(rng, enc, cfg):
         wave[pos:end] = w[:end-pos]
         pos = end + int(rng.integers(0, 900))
         k += 1
-    wave += rng.normal(0, 0.04, T).astype(np.float32)
+    wave += rng.normal(0, SIGMA, T).astype(np.float32)
     return wave
 
 mismatch = 0
@@ -62,7 +69,7 @@ for coding in (MANCHESTER, FOUR_B_FIVE_B):
     enc = OracleEncoder(cfg)
     exact_fn = _batched_fn(cfg, 24, False)
     for seed in range(60):
-        rng = np.random.default_rng(1000 + seed)
+        rng = np.random.default_rng(SEED_BASE + seed)
         batch = np.stack([build(rng, enc, cfg) for _ in range(4)])
         x = jnp.asarray(batch)
         spec, ok = decode_capture_spec_jit(cfg, x, 2, max_frames=24)
@@ -84,7 +91,7 @@ bl_mis = 0; bl_trials = 0
 cfg = PhyConfig()
 enc = OracleEncoder(cfg)
 for seed in range(25):
-    rng = np.random.default_rng(7000 + seed)
+    rng = np.random.default_rng(SEED_BASE + 6000 + seed)
     wave = build(rng, enc, cfg)
     seq = decode_capture(cfg, jnp.asarray(wave), 2, max_frames=24)
     res, ok = _decode_blocked_spec_jit(cfg, jnp.asarray(wave), 2, 6, 8, T, 64)
