@@ -228,6 +228,7 @@ class Router:
         self.dnat_map: dict[int, bytes] = {}       # traversal id -> origin
         self.ct = None                             # ConntrackTable | None
         self._now = 0                              # sample-clock ticks
+        self._ct_last_expire = 0
         if self.cfg.conntrack:
             from trackmaker_tpu.net.conntrack import ConntrackTable
             self.ct = ConntrackTable()
@@ -292,7 +293,10 @@ class Router:
 
     def on_tick(self, now: int) -> None:  # bus-compatible
         self._now = now
-        if self.ct is not None:
+        # expire at most ~once per second of sim time: the table scan is
+        # O(sessions) and on_tick fires every bus chunk (128 samples)
+        if self.ct is not None and now - self._ct_last_expire >= 48_000:
+            self._ct_last_expire = now
             self.ct.expire(now)
         self.poll()
 
