@@ -170,31 +170,45 @@ def bench_ask(rng):
 
 
 def bench_ofdm(rng):
+    """Batched OFDM receiver throughput: 8 captures x 32 frames (a
+    single 1.4 s capture measures launch latency, not throughput)."""
     import jax
     import jax.numpy as jnp
     from trackmaker_tpu.core.framing import Frame
     from trackmaker_tpu.phy import ofdm
 
-    n_frames = 16
+    n_frames, batch = 32, 8
     payloads = [rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
                 for _ in range(n_frames)]
     frames = [Frame.new_data(i, 1, 2, p) for i, p in enumerate(payloads)]
     modem = ofdm.OfdmModem()
     wave = modem.encode_frames(frames, gap_samples=400)
-    noisy = (wave + rng.normal(0, 0.01, len(wave))).astype(np.float32)
+    t = len(wave)
+    caps = np.stack([
+        (wave + rng.normal(0, 0.01, t)).astype(np.float32)
+        for _ in range(batch)
+    ])
 
-    got = [f.data for f in modem.decode(noisy, 7 + 64,
+    got = [f.data for f in modem.decode(caps[0], 7 + 64,
                                         max_frames=n_frames)]
     if got != payloads:
         return 0.0, f"ofdm gate failed: {len(got)}/{n_frames}"
 
     cfg = modem.cfg
     n_bits = (7 + 64) * 8
-    fn = jax.jit(lambda rx: ofdm.demodulate_at(
-        cfg, rx, n_bits, ofdm.find_preambles(cfg, rx, n_frames)))
-    x = jnp.asarray(noisy)
+    fn = jax.jit(jax.vmap(lambda rx: ofdm.demodulate_at(
+        cfg, rx, n_bits, ofdm.find_preambles(cfg, rx, n_frames))))
+    x = jnp.asarray(caps)
+    # payload-gate the batched path itself: every row's demodulated
+    # bits must reassemble into the exact transmitted frames
+    bits = np.asarray(fn(x))
+    for b in range(batch):
+        for k in range(n_frames):
+            f = Frame.from_bits(bits[b, k])
+            if f is None or f.data != payloads[k]:
+                return 0.0, f"ofdm batch gate failed at b={b} k={k}"
     dt = _timeit(fn, x)
-    return len(wave) / dt / 48_000.0, None
+    return batch * t / dt / 48_000.0, None
 
 
 # Wall-clock budget: the driver runs bench under `timeout 590`, and the
