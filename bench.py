@@ -3,7 +3,7 @@ workloads.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "workloads": {...}}
+   "workloads": {...}, "stats": {...}}
 
 Headline metric: demodulated-samples/sec on the flagship workload
 (batched Manchester correlation-sync frame decode of noisy multi-frame
@@ -17,10 +17,17 @@ production use; see BASELINE.md).  The BASELINE.json target gate is
 `workloads` adds the other first-class rows (each payload/decision
 gated — a regression in any of them shows up here, not just prose):
   manchester_b32   flagship (also the headline)
-  fourb5b_b32      4B5B+NRZI batch decode (optimistic two-pass)
+  fourb5b_b32      4B5B+NRZI batch decode (speculative kernel)
   blocked_600s     one 600 s capture, blockwise single-chip decode
+                   (upload is ~3 s and warm compiles ~5 s — measured,
+                   so the full-size row fits the budget; the adaptive
+                   iteration counts absorb a degraded tunnel window)
   ask              ASK/chirp modem demod (BASELINE config 1)
   ofdm             OFDM (DMT) round-trip decode
+
+`stats` carries per-row {median, n, spread} over n quick repeats
+(spread = (max-min)/median): the tunnel's health swings ~±20% between
+windows (docs/BENCHMARKS.md), so a single reading is not evidence.
 """
 
 import json
@@ -30,6 +37,20 @@ import time
 
 import numpy as np
 
+# Wall-clock budget: the driver runs bench under `timeout 590`, and the
+# remote-TPU tunnel's speed varies a lot between windows (the same
+# binary has measured 4-9 minutes end-to-end).  Rows run headline-first;
+# each row adapts its iteration count to the remaining budget, and later
+# rows are SKIPPED (recorded as such) only once the floor cost of a row
+# no longer fits, so a slow tunnel degrades the artifact instead of
+# truncating it to one row (BENCH_r02 lost 4 of 5 rows that way).
+_BUDGET_S = float(os.environ.get("TM_BENCH_BUDGET_S", "560"))
+_T0 = time.time()
+
+
+def _remaining():
+    return _BUDGET_S - (time.time() - _T0)
+
 
 def _sync1(r):
     import jax
@@ -37,21 +58,49 @@ def _sync1(r):
     np.asarray(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[0])
 
 
-def _timeit(fn, *a, iters=10):
-    # NOTE: on the axon tunnel block_until_ready alone under-reports
-    # until the process has done a device->host transfer; _sync1 forces
-    # a readback (see CLAUDE.md).
-    r = fn(*a)
-    _sync1(r)
-    t0 = time.time()
-    for _ in range(iters):
-        r = fn(*a)
-    _sync1(r)
-    return (time.time() - t0) / iters
+def _measure(fn, x, iters, repeats=3):
+    """Median-of-`repeats` timing of `fn(x)` averaged over `iters` calls.
+
+    NOTE: on the axon tunnel block_until_ready alone under-reports
+    until the process has done a device->host transfer, so every repeat
+    ends with a forced readback (see CLAUDE.md).  Returns the list of
+    per-repeat mean iteration times (sorted ascending)."""
+    r = fn(x)
+    _sync1(r)                       # warm: compile + first upload
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            r = fn(x)
+        _sync1(r)
+        ts.append((time.time() - t0) / iters)
+        if _remaining() < 10 and ts:
+            break                   # salvage what we have
+    return sorted(ts)
+
+
+def _row(ts, samples_per_iter):
+    """(median realtime multiple, stats dict) from repeat timings."""
+    med = ts[len(ts) // 2]
+    xs = [samples_per_iter / dt / 48_000.0 for dt in ts]
+    xmed = samples_per_iter / med / 48_000.0
+    spread = (max(xs) - min(xs)) / xmed if xmed > 0 else 0.0
+    return xmed, {"median": round(xmed, 1), "n": len(ts),
+                  "spread": round(spread, 3)}
+
+
+def _iters_for(base):
+    """Adapt per-repeat iteration count to the remaining budget."""
+    rem = _remaining()
+    if rem > 180:
+        return base
+    if rem > 90:
+        return max(3, base // 2)
+    return 2
 
 
 def bench_line_coded(cfg, rng):
-    """Batched line-coded decode; returns (realtime_x, err|None)."""
+    """Batched line-coded decode; returns (realtime_x, stats, err|None)."""
     import jax.numpy as jnp
     from trackmaker_tpu.core.framing import Frame
     from trackmaker_tpu.phy.decoder import decode_capture_fast
@@ -78,14 +127,14 @@ def bench_line_coded(cfg, rng):
     res = decode_capture_fast(cfg, x, 2, max_frames=n_frames + 8)
     counts = np.asarray(res.count)
     if not (counts == n_frames).all():
-        return 0.0, f"count gate failed: {sorted(set(counts.tolist()))}"
+        return 0.0, None, f"count gate failed: {sorted(set(counts.tolist()))}"
     fb = np.asarray(res.frame_bytes)
     valid = np.asarray(res.valid)
     for b in range(batch):
         ks = np.nonzero(valid[b])[0]
         for k, f in zip(ks, frames):
             if fb[b, k, 7:7 + 128].tobytes() != f.data:
-                return 0.0, f"payload gate failed at b={b} k={k}"
+                return 0.0, None, f"payload gate failed at b={b} k={k}"
 
     from trackmaker_tpu.core.config import MANCHESTER
     from trackmaker_tpu.phy.decoder import _batched_fn, _spec_supported
@@ -96,11 +145,15 @@ def bench_line_coded(cfg, rng):
     else:
         fn = (lambda x: _batched_fn(
             cfg, n_frames + 8, cfg.line_coding != MANCHESTER)(x, 2))
-    dt = _timeit(fn, x)
-    return batch * t / dt / 48_000.0, None
+    ts = _measure(fn, x, iters=_iters_for(10))
+    xmed, stats = _row(ts, batch * t)
+    return xmed, stats, None
 
 
-def bench_blocked_600s(cfg, rng):
+def bench_blocked(cfg, rng, seconds=600):
+    """Sustained blockwise decode of one long capture (64 blocks at
+    600 s; smaller captures underutilize the chip — 120 s/13 blocks
+    measured 11k x vs 25k x here, and upload+datagen costs only ~4 s)."""
     import jax.numpy as jnp
     from trackmaker_tpu.core.framing import Frame
     from trackmaker_tpu.oracle.phy import OracleEncoder
@@ -109,22 +162,22 @@ def bench_blocked_600s(cfg, rng):
         decode_blocked_single_chip)
     from trackmaker_tpu.phy.decoder import _spec_supported
 
-    t = 600 * 48_000                       # 28.8 Msamples
-    n_frames = 48
+    t = seconds * 48_000
+    n_blocks = max(2, (64 * seconds) // 600)       # ~450k samples/block
+    n_frames = max(2, (48 * seconds) // 600)       # same frame density
+    iters = _iters_for(4)
     enc = OracleEncoder(cfg)
     wave = np.zeros(t, np.float32)
-    poss, seqs = [], []
+    seqs = []
     step = t // (n_frames + 1)
     for i in range(n_frames):
         w = enc.encode_frame(Frame.new_data(i, 1, 2, bytes([i]) * 64))
         p = (i + 1) * step
         wave[p:p + len(w)] = w
-        poss.append(p)
         seqs.append(i)
     wave += rng.normal(0, 0.05, t).astype(np.float32)
     x = jnp.asarray(wave)
 
-    n_blocks = 64
     # gate through the dispatching wrapper (spec path + ok-fallback
     # on TPU), then time the jitted computation it used
     res = decode_blocked_single_chip(
@@ -132,7 +185,7 @@ def bench_blocked_600s(cfg, rng):
     valid = np.asarray(res.valid)
     got = sorted(np.asarray(res.sequence)[valid].tolist())
     if got != seqs:
-        return 0.0, f"blocked gate failed: {len(got)}/{n_frames} frames"
+        return 0.0, None, f"blocked gate failed: {len(got)}/{n_frames} frames"
     if _spec_supported(cfg):
         spec_res, spec_ok = _decode_blocked_spec_jit(
             cfg, x, 2, n_blocks, 8, t, 128)
@@ -143,8 +196,9 @@ def bench_blocked_600s(cfg, rng):
             fn = (lambda x: _decode_blocked_jit(cfg, x, 2, n_blocks, 8, t))
     else:
         fn = (lambda x: _decode_blocked_jit(cfg, x, 2, n_blocks, 8, t))
-    dt = _timeit(fn, x, iters=3)
-    return t / dt / 48_000.0, None
+    ts = _measure(fn, x, iters=iters)
+    xmed, stats = _row(ts, t)
+    return xmed, stats, None
 
 
 def bench_ask(rng):
@@ -161,12 +215,13 @@ def bench_ask(rng):
     res = fn(x)
     ok = np.asarray(res.valid)
     if int(ok.sum()) != n_frames:
-        return 0.0, f"ask gate failed: {int(ok.sum())}/{n_frames}"
+        return 0.0, None, f"ask gate failed: {int(ok.sum())}/{n_frames}"
     got = np.asarray(res.bits)[ok]
     if not np.array_equal(got, frames[:, 8:]):
-        return 0.0, "ask payload gate failed"
-    dt = _timeit(fn, x)
-    return len(wave) / dt / 48_000.0, None
+        return 0.0, None, "ask payload gate failed"
+    ts = _measure(fn, x, iters=_iters_for(10))
+    xmed, stats = _row(ts, len(wave))
+    return xmed, stats, None
 
 
 def bench_ofdm(rng):
@@ -192,7 +247,7 @@ def bench_ofdm(rng):
     got = [f.data for f in modem.decode(caps[0], 7 + 64,
                                         max_frames=n_frames)]
     if got != payloads:
-        return 0.0, f"ofdm gate failed: {len(got)}/{n_frames}"
+        return 0.0, None, f"ofdm gate failed: {len(got)}/{n_frames}"
 
     cfg = modem.cfg
     n_bits = (7 + 64) * 8
@@ -206,18 +261,10 @@ def bench_ofdm(rng):
         for k in range(n_frames):
             f = Frame.from_bits(bits[b, k])
             if f is None or f.data != payloads[k]:
-                return 0.0, f"ofdm batch gate failed at b={b} k={k}"
-    dt = _timeit(fn, x)
-    return batch * t / dt / 48_000.0, None
-
-
-# Wall-clock budget: the driver runs bench under `timeout 590`, and the
-# remote-TPU tunnel's speed varies a lot between windows (the same
-# binary has measured 4-9 minutes end-to-end).  Rows run headline-first
-# and later rows are SKIPPED (recorded as such) once the budget is
-# nearly spent, so a slow tunnel degrades the artifact instead of
-# truncating it to nothing.
-_BUDGET_S = float(os.environ.get("TM_BENCH_BUDGET_S", "560"))
+                return 0.0, None, f"ofdm batch gate failed at b={b} k={k}"
+    ts = _measure(fn, x, iters=_iters_for(8))
+    xmed, stats = _row(ts, batch * t)
+    return xmed, stats, None
 
 
 def main():
@@ -230,9 +277,9 @@ def main():
 
     rng = np.random.default_rng(0)
     workloads = {}
+    stats = {}
     errors = {}
     skipped = []
-    t0 = time.time()
 
     # `timeout` sends SIGTERM: emit whatever completed instead of dying
     # silently (the tunnel can stall an in-flight device op for minutes;
@@ -247,6 +294,7 @@ def main():
             "unit": "x_realtime_48kHz",
             "vs_baseline": workloads.get("manchester_b32", 0.0),
             "workloads": workloads,
+            "stats": stats,
             "errors": {**errors, "_timeout": "SIGTERM mid-row"},
         }
         print(json.dumps(out))
@@ -259,22 +307,26 @@ def main():
         ("manchester_b32", lambda: bench_line_coded(PhyConfig(), rng)),
         ("fourb5b_b32", lambda: bench_line_coded(
             PhyConfig(line_coding=FOUR_B_FIVE_B), rng)),
-        ("blocked_600s", lambda: bench_blocked_600s(PhyConfig(), rng)),
+        ("blocked_600s", lambda: bench_blocked(PhyConfig(), rng)),
         ("ask", lambda: bench_ask(rng)),
         ("ofdm", lambda: bench_ofdm(rng)),
     ]
-    # rough per-row cost floor; generous because compiles dominate cold
-    reserve = {"manchester_b32": 0, "fourb5b_b32": 60,
-               "blocked_600s": 90, "ask": 45, "ofdm": 45}
+    # rough warm-cache per-row floor (gate + 2-iter minimum timing);
+    # with a cold .jax_cache add compile time, which _iters_for absorbs
+    # by shrinking the timing loops
+    reserve = {"manchester_b32": 0, "fourb5b_b32": 35,
+               "blocked_600s": 45, "ask": 30, "ofdm": 30}
     for name, fn in rows:
-        if name != "manchester_b32" and                 time.time() - t0 > _BUDGET_S - reserve[name]:
+        if name != "manchester_b32" and _remaining() < reserve[name]:
             skipped.append(name)
             continue
         try:
-            x, err = fn()
+            x, st, err = fn()
         except Exception as e:      # noqa: BLE001 - report, don't die
-            x, err = 0.0, repr(e)[:120]
+            x, st, err = 0.0, None, repr(e)[:120]
         workloads[name] = round(x, 1)
+        if st:
+            stats[name] = st
         if err:
             errors[name] = err
 
@@ -285,6 +337,7 @@ def main():
         "vs_baseline": workloads.get("manchester_b32", 0.0),
         "backend": jax.default_backend(),
         "workloads": workloads,
+        "stats": stats,
     }
     if skipped:
         out["skipped_budget"] = skipped
