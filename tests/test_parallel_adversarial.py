@@ -115,7 +115,8 @@ def test_single_chip_blocked_chain_of_straddlers():
     assert len(_decoded_set(seq)) == k  # all outer frames decoded
 
 
-def test_sharded_equals_sequential_evil_seam():
+@pytest.mark.parametrize("use_spec", [False, True])
+def test_sharded_equals_sequential_evil_seam(use_spec):
     cfg = PhyConfig()
     mesh = make_mesh(dp=2, sp=4)
     n_shards = 8
@@ -131,9 +132,36 @@ def test_sharded_equals_sequential_evil_seam():
     wave = _build_capture(cfg, scenarios, total)
     seq = decode_capture(cfg, wave, 2, max_frames=32)
     shd = decode_blocked_sharded(cfg, wave, 2, mesh,
-                                 max_frames_per_block=8)
+                                 max_frames_per_block=8,
+                                 use_spec=use_spec)
     assert _decoded_set(shd) == _decoded_set(seq)
     assert all(sq != 99 for _, sq, _ in _decoded_set(shd))
+
+
+def test_sharded_spec_chain_of_straddlers():
+    """The spec sharded path under the multi-seam chain attack: the
+    walk-only fixpoint must propagate consumption through several
+    shards (each iteration only advances one ring hop)."""
+    cfg = PhyConfig()
+    enc = OracleEncoder(cfg)
+    f = _evil_frame(cfg, 7, b"CHAIN")
+    w = enc.encode_frame(f)
+    n_shards = 8
+    block = halo_size(cfg) + 200
+    total = n_shards * block
+    wave = np.zeros(total, np.float32)
+    pos = block - 60
+    k = 0
+    while pos + len(w) < total - block and k < 6:
+        wave[pos: pos + len(w)] = w
+        pos += len(w)
+        k += 1
+    mesh = make_mesh(dp=1, sp=8)
+    seq = decode_capture(cfg, wave, 2, max_frames=32)
+    shd = decode_blocked_sharded(cfg, wave, 2, mesh,
+                                 max_frames_per_block=8, use_spec=True)
+    assert _decoded_set(shd) == _decoded_set(seq)
+    assert len(_decoded_set(seq)) == k
 
 
 def test_blocked_block_smaller_than_halo_still_exact():

@@ -69,18 +69,108 @@ def _mask_mine(res: DecodedFrames, block: int, gstart_base) -> DecodedFrames:
     )
 
 
+def _sharded_spec_run(cfg, blocks, local_addr, flat_mesh, t, block,
+                      max_frames_per_block, n_cand, interpret):
+    """shard_map body for the speculative sharded decode: phase A
+    (correlation + attempt kernel + epilogue, phy/pallas_decode.py) runs
+    ONCE per shard; the consumed-until seam fixpoint re-runs only the
+    SMEM walk kernel, passing consumption endpoints around the `sp` ring
+    with ppermute — the multi-chip analogue of `_decode_blocked_spec`.
+
+    Returns ``(frames[n_shards, K], ok[n_shards])``; any False in `ok`
+    (candidate overflow / 4B5B conformance flag on an attempted
+    candidate) means the caller must fall back to the exact scan path.
+    Correctness argument: identical to `_decode_blocked_spec` — the walk
+    over exact per-candidate fields converges left-to-right to the
+    sequential cursor walk (module docstring)."""
+    from trackmaker_tpu.phy.pallas_decode import (
+        _spec_compact, _spec_phase_a, _spec_walk)
+
+    halo = halo_size(cfg)
+    spec = P("sp", None)
+    out_struct = jax.tree_util.tree_map(lambda _: spec, _out_struct())
+
+    @jax.jit
+    @functools.partial(
+        # check_vma=False: pallas_call's out ShapeDtypeStructs carry no
+        # `vma` annotation, which the varying-axes checker rejects
+        jax.shard_map, mesh=flat_mesh, in_specs=spec,
+        out_specs=(out_struct, P("sp")), check_vma=False)
+    def run(xb):                       # xb: [1, block] per shard
+        nsp = jax.lax.axis_size("sp")
+        idx = jax.lax.axis_index("sp")
+        edge = xb[:, :halo]
+        right_halo = jax.lax.ppermute(
+            edge, "sp", [((i + 1) % nsp, i) for i in range(nsp)])
+        right_halo = jnp.where(idx < nsp - 1, right_halo, 0.0)
+        ext = jnp.concatenate([xb, right_halo], axis=1)  # [1, block+halo]
+        vlen = jnp.where(idx < nsp - 1, block + halo, t - idx * block)
+        vlens = jnp.reshape(vlen, (1,)).astype(jnp.int32)
+
+        a = _spec_phase_a(cfg, ext, jnp.asarray(local_addr, jnp.int32),
+                          n_cand, vlens, interpret)
+        limit = (vlens * 0 + block).astype(jnp.int32)
+
+        def walk(cur):
+            keep, att, fcur, _done, _pend = _spec_walk(
+                a.fields, cur, limit, max_frames_per_block, interpret)
+            return keep, att, fcur
+
+        cur0 = (vlens * 0).astype(jnp.int32)
+        keep0, att0, fcur0 = walk(cur0)
+
+        def propose(fcur):
+            e = jnp.reshape(idx * block, (1,)) + fcur  # global endpoint
+            e_left = jax.lax.ppermute(
+                e, "sp", [(i, (i + 1) % nsp) for i in range(nsp)])
+            nc = jnp.where(idx == 0, 0,
+                           jnp.maximum(e_left - idx * block, 0))
+            return nc.astype(jnp.int32)
+
+        def cond(state):
+            return state[4]
+
+        def body(state):
+            cur, keep, att, fcur, _go = state
+            nc = propose(fcur)
+            go = jax.lax.psum(
+                jnp.sum((nc != cur).astype(jnp.int32)), "sp") > 0
+            keep2, att2, fcur2 = jax.lax.cond(
+                go, lambda: walk(nc), lambda: (keep, att, fcur))
+            return (jnp.where(go, nc, cur), keep2, att2, fcur2, go)
+
+        _cur, keep, att, _fcur, _ = jax.lax.while_loop(
+            cond, body, (cur0, keep0, att0, fcur0, jnp.asarray(True)))
+
+        res = _spec_compact(a, keep, max_frames_per_block)
+        res = _mask_mine(res, block, idx * block)
+        ok = ~(a.overflow | jnp.any(att & a.nonconf, axis=-1))  # [1]
+        return res, ok
+
+    return run(blocks)
+
+
 def decode_blocked_sharded(
     cfg: PhyConfig,
     capture,                    # f32[T] single long capture
     local_addr: int,
     mesh: Mesh,
     max_frames_per_block: int = 32,
+    n_cand: int = 128,
+    use_spec: bool | None = None,
 ) -> DecodedFrames:
     """Decode one long capture sharded over the mesh's `sp` axis (and the
     `dp` axis too — blocks fold over both, dp*sp shards total).
 
     Returns DecodedFrames with [n_blocks * K] slots and *global* start
     indices.
+
+    On TPU with a kernel-supported config the per-shard decode routes
+    through the speculative Pallas decoder (`_sharded_spec_run`),
+    falling back to the exact scan path when any shard overflows its
+    candidate table or trips a 4B5B conformance flag.  `use_spec=True`
+    forces the speculative path (Pallas interpret mode off-TPU — used
+    by the CPU-mesh dry run and tests); ``False`` forces the exact path.
     """
     x = jnp.asarray(capture, jnp.float32)
     t = x.shape[-1]
@@ -93,6 +183,19 @@ def decode_blocked_sharded(
 
     flat_mesh = Mesh(mesh.devices.reshape(-1), axis_names=("sp",))
     spec = P("sp", None)
+
+    from trackmaker_tpu.phy.decoder import _spec_supported
+    from trackmaker_tpu.phy.pallas_decode import spec_supported_cfg
+    if use_spec is None:
+        use_spec = _spec_supported(cfg)
+    if use_spec and spec_supported_cfg(cfg):
+        interpret = jax.default_backend() != "tpu"
+        out, ok = _sharded_spec_run(
+            cfg, blocks, local_addr, flat_mesh, t, block,
+            max_frames_per_block, n_cand, interpret)
+        if bool(np.asarray(ok).all()):
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), out)
 
     @jax.jit
     @functools.partial(
