@@ -1,0 +1,143 @@
+"""Speculative ASK receiver (phy/ask_spec.py) differentials: the spec
+path must equal the exact scan receiver slot-for-slot on conformant
+captures, and conformance flags must route the rest to the exact path.
+
+Runs in Pallas interpret mode on CPU (the walk kernel); the on-chip
+soak lives in tools/tpu_spec_soak.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trackmaker_tpu.phy import ask, ask_spec
+
+CFG = ask.AskConfig()
+
+
+def _spec(wave, max_frames=16, **kw):
+    res, ok = ask_spec.demodulate_spec(
+        CFG, jnp.asarray(np.asarray(wave, np.float32))[None],
+        max_frames=max_frames, interpret=True, **kw)
+    return res, bool(np.asarray(ok)[0])
+
+
+def _assert_equal(wave, max_frames=16):
+    wave = np.asarray(wave, np.float32)
+    exact = ask.demodulate(CFG, jnp.asarray(wave), max_frames=max_frames)
+    spec, ok = _spec(wave, max_frames)
+    if not ok:
+        return False        # conformance fallback — exactness via ask.demodulate_fast
+    for name, a, b in zip(exact._fields, exact, spec):
+        assert np.array_equal(np.asarray(a), np.asarray(b)[0]), name
+    return True
+
+
+def test_clean_multiframe_roundtrip():
+    frames = ask.build_frames(b"spec path hello", CFG, num_frames=8)
+    wave = ask.build_track(CFG, frames, seed=5)
+    assert _assert_equal(wave, max_frames=12)
+    res, ok = _spec(wave, max_frames=12)
+    assert ok
+    v = np.asarray(res.valid)[0]
+    assert v.sum() == 8
+    assert np.array_equal(np.asarray(res.bits)[0][v], frames[:, 8:])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_noisy_matches_scan(seed):
+    rng = np.random.default_rng(seed)
+    frames = ask.build_frames(b"noise differential", CFG, num_frames=6)
+    wave = ask.build_track(CFG, frames, seed=seed)
+    wave = wave + rng.normal(0, 0.05, len(wave)).astype(np.float32)
+    assert _assert_equal(wave)
+
+
+def test_zero_gaps():
+    frames = ask.build_frames(b"zero gap", CFG, num_frames=5)
+    gaps = np.zeros((5, 2), np.int64)
+    assert _assert_equal(ask.build_track(CFG, frames, gaps=gaps))
+
+
+def test_truncations_match():
+    frames = ask.build_frames(b"truncate me", CFG, num_frames=4)
+    wave = ask.build_track(CFG, frames, seed=3)
+    for cut in (1000, 3000, 4700, 5200):
+        _assert_equal(wave[: len(wave) - cut])
+
+
+def test_degenerate_captures():
+    _assert_equal(np.zeros(20000, np.float32))
+    rng = np.random.default_rng(9)
+    _assert_equal(rng.normal(0, 0.2, 30000).astype(np.float32))
+    pre = np.asarray(ask._chirp_np(CFG))
+    _assert_equal(np.concatenate(
+        [np.zeros(500, np.float32), pre, np.zeros(7000, np.float32)]))
+
+
+def test_overflow_flags_not_silently_wrong():
+    """A capture overflowing the candidate table must flag ok=False
+    (never silently return a wrong decode)."""
+    frames = ask.build_frames(b"x", CFG, num_frames=4)
+    wave = ask.build_track(CFG, frames, seed=1)
+    res, ok = _spec(wave, max_frames=8, n_cand=2)
+    assert not ok
+
+
+def test_demodulate_fast_merges_fallback_rows(monkeypatch):
+    """demodulate_fast must merge spec rows with exact re-decodes of
+    flagged rows (forced here via a tiny candidate table)."""
+    monkeypatch.setattr(ask_spec, "spec_supported", lambda: True)
+    orig = ask_spec.demodulate_spec_jit
+
+    def tiny(cfg, xb, max_frames=128):
+        return orig(cfg, xb, max_frames=max_frames, n_cand=2,
+                    interpret=True)
+
+    monkeypatch.setattr(ask_spec, "demodulate_spec_jit", tiny)
+    frames = ask.build_frames(b"merge", CFG, num_frames=4)
+    wave = ask.build_track(CFG, frames, seed=2)
+    got = ask.demodulate_fast(CFG, wave, max_frames=8)
+    want = ask.demodulate(CFG, jnp.asarray(wave), max_frames=8)
+    for name, a, b in zip(want._fields, want, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_batched_rows_independent():
+    """Each batch row decodes as if alone."""
+    frames = ask.build_frames(b"batch", CFG, num_frames=3)
+    w0 = ask.build_track(CFG, frames, seed=0)
+    w1 = ask.build_track(CFG, frames, seed=4)
+    t = max(len(w0), len(w1))
+    caps = np.zeros((2, t), np.float32)
+    caps[0, :len(w0)] = w0
+    caps[1, :len(w1)] = w1
+    res, ok = ask_spec.demodulate_spec(
+        CFG, jnp.asarray(caps), max_frames=6, interpret=True)
+    assert np.asarray(ok).all()
+    for b, w in enumerate((w0, w1)):
+        pad = np.zeros(t, np.float32)
+        pad[:len(w)] = w
+        solo = ask.demodulate(CFG, jnp.asarray(pad), max_frames=6)
+        for name, a, sv in zip(solo._fields, solo, res):
+            assert np.array_equal(np.asarray(a), np.asarray(sv)[b]), \
+                (b, name)
+
+
+def test_spec_vs_oracle():
+    """End-to-end: spec path decisions equal the NumPy oracle's."""
+    from trackmaker_tpu.oracle import ask as oracle_ask
+    frames = ask.build_frames(b"oracle check", CFG, num_frames=5)
+    gaps = np.random.default_rng(8).integers(0, 100, size=(5, 2))
+    wave = ask.build_track(CFG, frames, gaps=gaps)
+    want = oracle_ask.demodulate(wave)
+    res, ok = _spec(wave, max_frames=8)
+    assert ok
+    v = np.asarray(res.valid)[0]
+    got = list(zip(np.asarray(res.frame_id)[0][v].tolist(),
+                   np.asarray(res.bits)[0][v]))
+    assert len(got) == len(want) == 5
+    for (gid, gbits), (wid, wbits) in zip(got, want):
+        assert gid == wid
+        assert np.array_equal(gbits, wbits)

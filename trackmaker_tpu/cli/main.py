@@ -272,8 +272,18 @@ def cmd_sweep(args):
 
 
 def cmd_viz(args):
-    from trackmaker_tpu.bench.viz import plot_dashboard
-    out = plot_dashboard(args.capture, args.out)
+    if args.html:
+        from trackmaker_tpu.bench.viz import _load
+        from trackmaker_tpu.bench.viz_html import (correlation_debug,
+                                                   render_dashboard)
+        debug = None
+        if args.corr:
+            samples, sr = _load(args.capture)
+            debug = correlation_debug(samples, sr, mode=args.corr)
+        out = render_dashboard(args.capture, args.html, debug=debug)
+    else:
+        from trackmaker_tpu.bench.viz import plot_dashboard
+        out = plot_dashboard(args.capture, args.out)
     print("wrote", out)
     return 0
 
@@ -456,9 +466,14 @@ def main(argv=None):
     s.set_defaults(fn=cmd_sweep)
 
     s = sub.add_parser("viz", parents=[common],
-                       help="waveform/FFT/spectrogram dashboard -> PNG")
+                       help="waveform/FFT/spectrogram dashboard -> PNG, or "
+                            "interactive HTML with --html")
     s.add_argument("capture")
     s.add_argument("--out", default="tmp/dashboard.png")
+    s.add_argument("--html", help="write a self-contained interactive "
+                   "dashboard (zoom/hover/3-D) to this path instead")
+    s.add_argument("--corr", choices=["line", "ask"],
+                   help="include the decoder correlation-debug trace")
     s.set_defaults(fn=cmd_viz)
 
     s = sub.add_parser("router", parents=[common],

@@ -50,19 +50,42 @@ def box_smooth_truncated(x: jax.Array, half: int = 5) -> jax.Array:
     return sums / counts.astype(x.dtype)
 
 
-def ema_power(x: jax.Array, alpha: float = 1.0 / 64.0) -> jax.Array:
-    """p[i] = (1-alpha) p[i-1] + alpha x[i]² with p[-1]=0, as an
-    associative scan over the affine recurrence (a,b)·(c,d)=(ac, bc+d)."""
-    a = jnp.full(x.shape, 1.0 - alpha, dtype=jnp.float32)
-    b = (x.astype(jnp.float32) ** 2) * alpha
+def ema_power(x: jax.Array, alpha: float = 1.0 / 64.0,
+              block: int = 512) -> jax.Array:
+    """p[i] = (1-alpha) p[i-1] + alpha x[i]² with p[-1]=0.
+
+    Blocked formulation: within each `block`, the recurrence is one
+    matmul against a lower-triangular decay matrix (MXU); across
+    blocks, only the block-end values chain — a tiny associative scan
+    over T/block elements.  A flat ``associative_scan`` over the full
+    axis computes the same thing but its XLA graph grows superlinearly
+    with batch x length (measured 365 s compile for 8 x 339k on the
+    remote-compile tunnel vs ~2 s for this form).  The decay floor
+    within a block is (1-alpha)^block ~= 3e-4 at the defaults — far
+    above f32 denormals."""
+    t = x.shape[-1]
+    nb = -(-t // block)
+    y = (x.astype(jnp.float32) ** 2)
+    yp = jnp.pad(y, [(0, 0)] * (x.ndim - 1) + [(0, nb * block - t)])
+    yp = yp.reshape(*x.shape[:-1], nb, block)
+    j = jnp.arange(block, dtype=jnp.float32)[:, None]
+    i = jnp.arange(block, dtype=jnp.float32)[None, :]
+    m = jnp.where(j <= i, alpha * (1.0 - alpha) ** (i - j), 0.0)
+    p_local = yp @ m                                    # (..., nb, block)
+    e = p_local[..., -1]                                # (..., nb)
+    decay = jnp.full(e.shape, (1.0 - alpha) ** block, jnp.float32)
 
     def combine(l, r):
         al, bl = l
         ar, br = r
         return al * ar, bl * ar + br
 
-    _, p = jax.lax.associative_scan(combine, (a, b), axis=-1)
-    return p
+    _, c = jax.lax.associative_scan(combine, (decay, e), axis=-1)
+    c_prev = jnp.concatenate(
+        [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+    tail = (1.0 - alpha) ** (jnp.arange(block, dtype=jnp.float32) + 1.0)
+    p = p_local + c_prev[..., None] * tail
+    return p.reshape(*x.shape[:-1], nb * block)[..., :t]
 
 
 def sinc_lowpass_taps(num_taps: int, cutoff_hz: float,

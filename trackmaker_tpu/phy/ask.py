@@ -17,6 +17,12 @@ TPU design — same two-phase shape as the frame decoder:
   a running-(max, first-index) associative scan over a bounded window,
   then demodulates a fixed 4752-sample window per detection (vectorized
   multiply/smooth/integrate).
+
+The building blocks (dense arrays, warmup correlation, record chain,
+first-update query, demod window) are module-level functions shared with
+the speculative batched receiver in :mod:`trackmaker_tpu.phy.ask_spec`,
+which replaces the sequential scan with a per-candidate successor table
+plus an SMEM walk — op-for-op the same decisions, ~10x the throughput.
 """
 
 from __future__ import annotations
@@ -129,6 +135,166 @@ def build_track(cfg: AskConfig, frames: np.ndarray,
     return np.concatenate(parts)
 
 
+# ---------------------------------------------------------------------------
+# Receiver building blocks — shared by the sequential scan receiver below
+# and the speculative batched receiver (phy/ask_spec.py).  Any change to
+# the decision ops here changes BOTH paths identically.
+# ---------------------------------------------------------------------------
+
+
+def _chirp_np(cfg: AskConfig) -> np.ndarray:
+    return np.asarray(chirp_cached(
+        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
+        cfg.sample_rate))
+
+
+def dense_arrays(cfg: AskConfig, rx: jax.Array):
+    """(power, sync, upd_ok) over the capture — the dense phase.
+
+    `sync` is FIFO-aligned: lag i is the dot of the newest 440 samples
+    ending AT sample i against the chirp, /200 (zero history at the
+    start, matching the reference's zero-initialized FIFO)."""
+    from trackmaker_tpu import sync as sync_mod
+    power = ema_power(rx, cfg.power_alpha)
+    sync = sync_mod.auto_sliding_dot_scaled(
+        rx, _chirp_np(cfg), 1.0 / cfg.sync_divisor)
+    upd_ok = (sync > cfg.sync_power_factor * power) & (
+        sync > cfg.sync_abs_threshold)
+    return power, sync, upd_ok
+
+
+@functools.lru_cache(maxsize=4)
+def _warmup_band_np(cfg: AskConfig) -> np.ndarray:
+    """Banded Toeplitz operator for the warmup correlations: the FIFO
+    holds the newest p+1 samples at its TAIL, so
+    out[p] = sum_{k<=p} slab[k] * pre[k + L-1-p]  <=>  slab @ W with
+    W[k, p] = pre[k + L-1-p] for k <= p (one small MXU matmul instead
+    of 440 vmapped dynamic slices)."""
+    pre_host = _chirp_np(cfg)
+    l_pre = cfg.preamble_len
+    w_np = np.zeros((l_pre, l_pre), np.float32)
+    for p in range(l_pre):
+        w_np[: p + 1, p] = pre_host[l_pre - 1 - p:]
+    return w_np
+
+
+def warmup_sync_at(cfg: AskConfig, rx_pad, power_pad, w_band, cursor, t):
+    """Exact partial correlations for the L positions after a decode:
+    the reference zeroes its sync FIFO when a frame fires
+    (ask.rs:718-719), so sync at cursor+p only sees the p+1 samples
+    received since.  Returns (sync_w[L], ok_w[L])."""
+    l_pre = cfg.preamble_len
+    slab = jax.lax.dynamic_slice(rx_pad, (cursor,), (l_pre,))
+    out = (slab @ w_band) / cfg.sync_divisor           # [L]
+    pw = jax.lax.dynamic_slice(power_pad, (cursor,), (l_pre,))
+    okw = (out > cfg.sync_power_factor * pw) & (
+        out > cfg.sync_abs_threshold)
+    pos_valid = cursor + jnp.arange(l_pre) < t
+    return out, okw & pos_valid
+
+
+def run_chain(cfg: AskConfig, sync_pad, upd_pad, chain_window,
+              i0, cursor, sync_w, ok_w):
+    """Local-max record chain + 200-sample fire guard, exactly
+    (ask.rs:711-722), over a bounded window starting at i0.  Values in
+    the 440-sample post-decode warmup region [cursor, cursor+L) are
+    substituted from (sync_w, ok_w).  Returns (peak, fired)."""
+    l_pre = cfg.preamble_len
+    idx = i0 + jnp.arange(chain_window, dtype=jnp.int32)
+    sp = jax.lax.dynamic_slice(sync_pad, (i0,), (chain_window,))
+    ok = jax.lax.dynamic_slice(upd_pad, (i0,), (chain_window,))
+    woff = idx - cursor
+    in_warm = (woff >= 0) & (woff < l_pre)
+    woff_c = jnp.clip(woff, 0, l_pre - 1)
+    sp = jnp.where(in_warm, sync_w[woff_c], sp)
+    ok = jnp.where(in_warm, ok_w[woff_c], ok)
+    vals = jnp.where(ok, sp, -jnp.inf)
+
+    def combine(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv > av        # strict: earlier index wins ties
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+    m_incl, rec_incl = jax.lax.associative_scan(
+        combine, (vals, idx), axis=-1)
+    m_excl = jnp.concatenate([jnp.asarray([-jnp.inf]), m_incl[:-1]])
+    rec_excl = jnp.concatenate([idx[:1], rec_incl[:-1]])
+    upd_now = ok & (sp > m_excl)
+    fire = (~upd_now) & (idx > rec_excl + cfg.peak_guard) & (
+        m_excl > -jnp.inf)
+    j = jnp.argmax(fire)            # first fire
+    fired = fire[j]
+    peak = jnp.where(fired, rec_excl[j], rec_incl[-1])
+    return peak, fired
+
+
+def upd_block_tables(upd_ok, blk: int = 512):
+    """Two-level block index over the update bitmap for "first update
+    >= cursor" queries (a global nonzero compaction measured
+    ~4ms/capture on TPU)."""
+    t = upd_ok.shape[-1]
+    hb = -(-t // blk)
+    upd_blocks = jnp.pad(upd_ok, (0, hb * blk - t)).reshape(hb, blk)
+    block_any = jnp.any(upd_blocks, axis=1)
+    return upd_blocks, block_any
+
+
+def first_upd_from(tables, cursor, blk: int = 512):
+    """(first update index >= cursor, exists) via the block tables."""
+    upd_blocks, block_any = tables
+    hb = upd_blocks.shape[0]
+    lane = jnp.arange(blk, dtype=jnp.int32)
+    brange = jnp.arange(hb, dtype=jnp.int32)
+    c = jnp.clip(cursor, 0, hb * blk - 1)
+    jb = c // blk
+    off = c % blk
+    row = upd_blocks[jb]
+    m1 = row & (lane >= off)
+    has1 = jnp.any(m1)
+    i1 = jb * blk + jnp.argmax(m1)
+    m2 = block_any & (brange > jb)
+    has2 = jnp.any(m2)
+    b2 = jnp.argmax(m2)
+    i2 = b2 * blk + jnp.argmax(upd_blocks[b2])
+    first = jnp.where(has1, i1, jnp.where(has2, i2, 2**30))
+    return first.astype(jnp.int32), has1 | has2
+
+
+def demod_tables(cfg: AskConfig):
+    """(carrier, bit sample-index grid) for the coherent demod window."""
+    car = jnp.asarray(
+        carrier_np(cfg.frame_samples, cfg.carrier_hz, cfg.sample_rate))
+    nbits = cfg.coded_bits
+    bit_starts = cfg.bit_lo + jnp.arange(nbits) * cfg.samples_per_bit
+    bit_idx = bit_starts[:, None] + jnp.arange(cfg.bit_hi - cfg.bit_lo)
+    return car, bit_idx
+
+
+def demod_slot(cfg: AskConfig, rx_pad, car, bit_idx, peak, ok):
+    """Coherent demod of the 4752-sample window after a fired peak
+    (ask.rs:723-767): multiply-by-carrier + 11-tap truncated box smooth
+    + per-bit integration, then the 1..100 frame-id filter."""
+    win = jax.lax.dynamic_slice(
+        rx_pad, (jnp.clip(peak + 1, 0),), (cfg.frame_samples,))
+    prod = win * car
+    smooth = box_smooth_truncated(prod, cfg.smooth_half)
+    sums = jnp.sum(smooth[bit_idx], axis=-1)
+    bits = (sums > 0.0)
+    fid = jnp.sum(
+        bits[:8].astype(jnp.int32) *
+        (1 << jnp.arange(7, -1, -1)), axis=-1)
+    id_ok = (fid >= cfg.id_min) & (fid <= cfg.id_max)
+    valid = ok & id_ok
+    return dict(
+        valid=valid,
+        frame_id=jnp.where(valid, fid, 0),
+        bits=jnp.where(valid, bits[8:cfg.frame_bits],
+                       0).astype(jnp.uint8),
+        start=jnp.where(valid, peak, -1),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_frames", "chain_window"))
 def demodulate(
@@ -140,133 +306,38 @@ def demodulate(
     """Batched receiver replaying ask.rs:693-796 decision-for-decision."""
     rx = rx.astype(jnp.float32)
     t = rx.shape[-1]
-    pre = jnp.asarray(chirp_cached(
-        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz, cfg.sample_rate))
 
     # dense phase ------------------------------------------------------
-    from trackmaker_tpu import sync as sync_mod
-    power = ema_power(rx, cfg.power_alpha)
-    # length T, fifo-aligned (lag i ends at sample i, zero history)
-    sync = sync_mod.auto_sliding_dot_scaled(
-        rx, np.asarray(chirp_cached(
-            cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
-            cfg.sample_rate)), 1.0 / cfg.sync_divisor)
+    power, sync, upd_ok = dense_arrays(cfg, rx)
+    upd_tables = upd_block_tables(upd_ok)
 
-    upd_ok = (sync > cfg.sync_power_factor * power) & (
-        sync > cfg.sync_abs_threshold)
-    # two-level block index for "first update >= cursor" queries (a
-    # global nonzero compaction measured ~4ms/capture on TPU)
-    blk = 512
-    hb = -(-t // blk)
-    upd_blocks = jnp.pad(upd_ok, (0, hb * blk - t)).reshape(hb, blk)
-    block_any = jnp.any(upd_blocks, axis=1)
-    lane = jnp.arange(blk, dtype=jnp.int32)
-    brange = jnp.arange(hb, dtype=jnp.int32)
-
-    def first_upd_from(cursor):
-        c = jnp.clip(cursor, 0, hb * blk - 1)
-        jb = c // blk
-        off = c % blk
-        row = upd_blocks[jb]
-        m1 = row & (lane >= off)
-        has1 = jnp.any(m1)
-        i1 = jb * blk + jnp.argmax(m1)
-        m2 = block_any & (brange > jb)
-        has2 = jnp.any(m2)
-        b2 = jnp.argmax(m2)
-        i2 = b2 * blk + jnp.argmax(upd_blocks[b2])
-        first = jnp.where(has1, i1, jnp.where(has2, i2, 2**30))
-        return first.astype(jnp.int32), has1 | has2
-
+    l_pre = cfg.preamble_len
     pad = cfg.frame_samples + chain_window + 8
     rx_pad = jnp.concatenate([rx, jnp.zeros(pad, jnp.float32)])
     sync_pad = jnp.concatenate(
         [sync, jnp.full(chain_window + 8, -jnp.inf, jnp.float32)])
     upd_pad = jnp.concatenate(
         [upd_ok, jnp.zeros(chain_window + 8, bool)])
-
-    car = jnp.asarray(
-        carrier_np(cfg.frame_samples, cfg.carrier_hz, cfg.sample_rate))
-    nbits = cfg.coded_bits
-    bit_starts = cfg.bit_lo + jnp.arange(nbits) * cfg.samples_per_bit
-    bit_idx = bit_starts[:, None] + jnp.arange(cfg.bit_hi - cfg.bit_lo)
-
-    l_pre = cfg.preamble_len
     power_pad = jnp.concatenate([power, jnp.zeros(l_pre + 8, jnp.float32)])
-
-    # banded Toeplitz operator for the warmup correlations: the FIFO
-    # holds the newest p+1 samples at its TAIL, so
-    # out[p] = sum_{k<=p} slab[k] * pre[k + L-1-p]  <=>  slab @ W with
-    # W[k, p] = pre[k + L-1-p] for k <= p (one small MXU matmul instead
-    # of 440 vmapped dynamic slices)
-    pre_host = np.asarray(chirp_cached(
-        cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
-        cfg.sample_rate))
-    w_np = np.zeros((l_pre, l_pre), np.float32)
-    for p in range(l_pre):
-        w_np[: p + 1, p] = pre_host[l_pre - 1 - p:]
-    w_band = jnp.asarray(w_np)
-
-    def warmup_sync(cursor):
-        """Exact partial correlations for the L positions after a decode:
-        the reference zeroes its sync FIFO when a frame fires
-        (ask.rs:718-719), so sync at cursor+p only sees the p+1 samples
-        received since."""
-        slab = jax.lax.dynamic_slice(rx_pad, (cursor,), (l_pre,))
-        out = (slab @ w_band) / cfg.sync_divisor           # [L]
-        pw = jax.lax.dynamic_slice(power_pad, (cursor,), (l_pre,))
-        okw = (out > cfg.sync_power_factor * pw) & (
-            out > cfg.sync_abs_threshold)
-        pos_valid = cursor + jnp.arange(l_pre) < t
-        return out, okw & pos_valid
-
-    def run_chain(i0, cursor, sync_w, ok_w):
-        """Local-max record chain + 200-sample fire guard, exactly
-        (ask.rs:711-722), over a bounded window starting at i0."""
-        idx = i0 + jnp.arange(chain_window, dtype=jnp.int32)
-        sp = jax.lax.dynamic_slice(sync_pad, (i0,), (chain_window,))
-        ok = jax.lax.dynamic_slice(upd_pad, (i0,), (chain_window,))
-        # substitute exact warmup values where the window overlaps the
-        # 440-sample post-decode region
-        woff = idx - cursor
-        in_warm = (woff >= 0) & (woff < l_pre)
-        woff_c = jnp.clip(woff, 0, l_pre - 1)
-        sp = jnp.where(in_warm, sync_w[woff_c], sp)
-        ok = jnp.where(in_warm, ok_w[woff_c], ok)
-        vals = jnp.where(ok, sp, -jnp.inf)
-
-        def combine(a, b):
-            av, ai = a
-            bv, bi = b
-            take_b = bv > av        # strict: earlier index wins ties
-            return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
-
-        m_incl, rec_incl = jax.lax.associative_scan(
-            combine, (vals, idx), axis=-1)
-        m_excl = jnp.concatenate([jnp.asarray([-jnp.inf]), m_incl[:-1]])
-        rec_excl = jnp.concatenate([idx[:1], rec_incl[:-1]])
-        upd_now = ok & (sp > m_excl)
-        fire = (~upd_now) & (idx > rec_excl + cfg.peak_guard) & (
-            m_excl > -jnp.inf)
-        j = jnp.argmax(fire)            # first fire
-        fired = fire[j]
-        peak = jnp.where(fired, rec_excl[j], rec_incl[-1])
-        return peak, fired
+    w_band = jnp.asarray(_warmup_band_np(cfg))
+    car, bit_idx = demod_tables(cfg)
 
     def step(carry, _):
         cursor, done = carry
         # first update position: exact warmup sync inside
         # [cursor, cursor+L), dense sync beyond
-        sync_w, ok_w = warmup_sync(cursor)
+        sync_w, ok_w = warmup_sync_at(
+            cfg, rx_pad, power_pad, w_band, cursor, t)
         warm_idx = cursor + jnp.arange(l_pre, dtype=jnp.int32)
         first_warm = jnp.min(jnp.where(ok_w, warm_idx, 2**30))
-        first_dense, has_dense = first_upd_from(cursor + l_pre)
+        first_dense, has_dense = first_upd_from(upd_tables, cursor + l_pre)
         first_dense = jnp.where(has_dense, first_dense, 2**30)
         first = jnp.minimum(first_warm, first_dense)
         has = (first < 2**30) & ~done
         i0 = jnp.clip(first, 0, t - 1)
 
-        peak, fired = run_chain(i0, cursor, sync_w, ok_w)
+        peak, fired = run_chain(cfg, sync_pad, upd_pad, chain_window,
+                                i0, cursor, sync_w, ok_w)
         ok_fire = has & fired
 
         # frame complete only if the decode window fits in the capture:
@@ -294,27 +365,44 @@ def demodulate(
         unroll=min(8, max_frames))
 
     # ---- post-pass: demodulate all fired slots at once -----------------
-    def demod(peak, ok):
-        win = jax.lax.dynamic_slice(
-            rx_pad, (jnp.clip(peak + 1, 0),), (cfg.frame_samples,))
-        prod = win * car
-        smooth = box_smooth_truncated(prod, cfg.smooth_half)
-        sums = jnp.sum(smooth[bit_idx], axis=-1)
-        bits = (sums > 0.0)
-        fid = jnp.sum(
-            bits[:8].astype(jnp.int32) *
-            (1 << jnp.arange(7, -1, -1)), axis=-1)
-        id_ok = (fid >= cfg.id_min) & (fid <= cfg.id_max)
-        valid = ok & id_ok
-        return dict(
-            valid=valid,
-            frame_id=jnp.where(valid, fid, 0),
-            bits=jnp.where(valid, bits[8:cfg.frame_bits],
-                           0).astype(jnp.uint8),
-            start=jnp.where(valid, peak, -1),
-        )
+    return AskDecoded(**jax.vmap(
+        lambda pk, ok: demod_slot(cfg, rx_pad, car, bit_idx, pk, ok))(
+            ys["peak"], ys["fire_ok"]))
 
-    return AskDecoded(**jax.vmap(demod)(ys["peak"], ys["fire_ok"]))
+
+def demodulate_fast(cfg: AskConfig, rx, max_frames: int = 128):
+    """Host-level dispatch to the fastest sound ASK receiver.
+
+    On TPU, routes through the speculative batched receiver
+    (phy/ask_spec.py) and re-decodes any capture whose conformance
+    flags fired (fired peak outside the dense candidate table, chain
+    not resolved inside the bounded window, or candidate overflow)
+    with the exact scan receiver.  Accepts f32[T] or f32[B, T]."""
+    from trackmaker_tpu.phy import ask_spec
+    x = jnp.asarray(rx, jnp.float32)
+    batched = x.ndim == 2
+    xb = x if batched else x[None]
+    if ask_spec.spec_supported():
+        res, ok = ask_spec.demodulate_spec_jit(
+            cfg, xb, max_frames=max_frames)
+        ok = np.asarray(ok)
+        if not ok.all():
+            # re-decode only the flagged rows, one scan each (vmapping
+            # the scan receiver lowers its dynamic slices to pathological
+            # gathers — see CLAUDE.md)
+            res = AskDecoded(*[np.array(a) for a in res])
+            for b in np.nonzero(~ok)[0]:
+                exact = demodulate(cfg, xb[b], max_frames=max_frames)
+                for dst, src in zip(res, exact):
+                    dst[b] = np.asarray(src)
+        return res if batched else jax.tree_util.tree_map(
+            lambda a: a[0], res)
+    if batched:
+        rows = [demodulate(cfg, x[b], max_frames=max_frames)
+                for b in range(x.shape[0])]
+        return jax.tree_util.tree_map(
+            lambda *a: jnp.stack(a), *rows)
+    return demodulate(cfg, x, max_frames=max_frames)
 
 
 def assemble_text(decoded: AskDecoded) -> bytes:

@@ -1,0 +1,242 @@
+"""Speculative batched ASK receiver: dense fire-candidates + successor
+table + SMEM walk.
+
+The exact scan receiver (phy/ask.py:demodulate) replays the reference's
+record-chain state machine (examples/ask.rs:693-796) one frame slot per
+`lax.scan` step; each step costs ~100 tiny dispatch-bound ops, which
+caps it at ~550x real time.  This module restructures it the same way
+phy/pallas_decode.py restructured the frame decoder:
+
+1. *Dense candidates*: position r can be a fired peak iff ``upd_ok[r]``
+   and no strictly-better update exists in ``(r, r+guard+1]``.  This
+   exactly characterizes the record-chain fire rule: a record r is
+   displaced only by an update with sync strictly above it arriving
+   before the fire check at r+guard+1 (ask.rs:711-722 — the `elif`
+   orders update before fire, so the displacement window is guard+1
+   wide).  Computed densely with a two-pass sliding-window max and
+   extracted via the same block-peel used by the frame decoder.
+
+2. *Successor table* (phase B): for every candidate c — treated as "a
+   frame just decoded with peak c" — replay the exact per-step logic
+   (warmup-corrected FIFO restart at cursor c + frame + 1, first-update
+   query, bounded record chain) vmapped over ALL candidates at once,
+   yielding (has, fired, complete, next_peak).  `next_peak` is mapped
+   back to a candidate index: in the dense region a fired peak is
+   always a dense candidate (its displacement window is past the
+   440-sample warmup region, so the dense rule applies verbatim); a
+   peak inside the warmup region is not in the table and conformance-
+   flags the capture for exact re-decode.
+
+3. *Walk* (SMEM Pallas kernel): the sequential frame loop becomes
+   pointer-chasing over the successor table — one scalar kernel launch
+   instead of max_frames dispatch-bound scan steps.  Slot k of the walk
+   corresponds exactly to scan step k, so results are equal
+   slot-for-slot.
+
+The demod post-pass (multiply/smooth/integrate per fired window) is
+shared with the scan receiver and already vmapped.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trackmaker_tpu.phy import ask
+from trackmaker_tpu.phy.ask import AskConfig, AskDecoded
+
+_BIGI = np.int32(2**30)
+
+
+def spec_supported() -> bool:
+    """The spec path needs real Pallas (or interpret mode, used by
+    tests); dispatch it on TPU only."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def dense_fire_candidates(cfg: AskConfig, sync: jax.Array,
+                          upd_ok: jax.Array):
+    """bool[T] mask of positions that fire if they become the chain
+    record: upd_ok[r] with no strictly-greater masked sync in
+    (r, r+guard+1] (window arithmetic per the module docstring)."""
+    t = sync.shape[-1]
+    w = cfg.peak_guard + 1                      # 201
+    masked = jnp.where(upd_ok, sync, -jnp.inf)
+    # sliding max over [i, i+w-1] via block prefix/suffix maxima
+    nb = -(-(t + w) // w) + 1
+    pad = nb * w - t
+    mp = jnp.pad(masked, (0, pad), constant_values=-jnp.inf)
+    blocks = mp.reshape(nb, w)
+    pre = jax.lax.cummax(blocks, axis=1).reshape(-1)
+    suf = jnp.flip(jax.lax.cummax(jnp.flip(blocks, 1), axis=1),
+                   1).reshape(-1)
+    swin = jnp.maximum(suf[:t + 1], pre[w - 1: t + w])  # max[i..i+w-1]
+    fwd_max = swin[1: t + 1]                            # max(r, r+w]
+    return upd_ok & (masked[:t] >= fwd_max)
+
+
+def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
+             chain_window: int):
+    """Per-candidate successor fields for one capture.
+
+    cand_full: i32[C+1], ascending; slot 0 is the virtual stream-start
+    candidate at -(frame_samples+1) so its cursor is exactly 0 (the
+    reference's initial zeroed-FIFO state).  Returns i32[5, C+1] rows
+    has/fired/complete/next_peak/succ_idx."""
+    t = rx.shape[-1]
+    l_pre = cfg.preamble_len
+    upd_tables = ask.upd_block_tables(upd_ok)
+
+    pad = cfg.frame_samples + chain_window + 8
+    rx_pad = jnp.concatenate([rx, jnp.zeros(pad, jnp.float32)])
+    sync_pad = jnp.concatenate(
+        [sync, jnp.full(chain_window + 8, -jnp.inf, jnp.float32)])
+    upd_pad = jnp.concatenate(
+        [upd_ok, jnp.zeros(chain_window + 8, bool)])
+    power_pad = jnp.concatenate([power, jnp.zeros(l_pre + 8, jnp.float32)])
+    w_band = jnp.asarray(ask._warmup_band_np(cfg))
+
+    def one(pos):
+        cursor = jnp.minimum(pos + cfg.frame_samples + 1, _BIGI)
+        sync_w, ok_w = ask.warmup_sync_at(
+            cfg, rx_pad, power_pad, w_band, cursor, t)
+        warm_idx = cursor + jnp.arange(l_pre, dtype=jnp.int32)
+        first_warm = jnp.min(jnp.where(ok_w, warm_idx, _BIGI))
+        first_dense, has_dense = ask.first_upd_from(
+            upd_tables, cursor + l_pre)
+        first_dense = jnp.where(has_dense, first_dense, _BIGI)
+        first = jnp.minimum(first_warm, first_dense)
+        has = first < _BIGI
+        i0 = jnp.clip(first, 0, t - 1)
+        peak, fired = ask.run_chain(
+            cfg, sync_pad, upd_pad, chain_window, i0, cursor,
+            sync_w, ok_w)
+        complete = (peak + cfg.frame_samples) < t
+        return has, fired, complete, peak
+
+    has, fired, complete, peak = jax.vmap(one)(cand_full)
+
+    # next_peak -> candidate index (the successor); -1 when the fired
+    # peak is not a dense candidate (warmup-region fire) — conformance
+    succ = jnp.searchsorted(cand_full, peak).astype(jnp.int32)
+    c1 = cand_full.shape[0]
+    found = (succ < c1) & (cand_full[jnp.clip(succ, 0, c1 - 1)] == peak)
+    succ = jnp.where(found, succ, -1)
+    # has & ~fired can mean EITHER stream-end-without-fire (scan: done)
+    # OR a chain truncated by the bounded window (the 4096-window scan
+    # might still fire) — conformance-flag it so visited occurrences
+    # fall back to the exact receiver instead of silently stopping
+    nc = has & ~fired
+    return jnp.stack([has.astype(jnp.int32), fired.astype(jnp.int32),
+                      complete.astype(jnp.int32), peak, succ,
+                      nc.astype(jnp.int32)]), rx_pad
+
+
+def _ask_walk_kernel(fields_ref, out_ref, *, max_frames: int):
+    """Pointer-chase over the successor table, one capture per grid
+    step.  fields rows: 0=has, 1=fired, 2=complete, 3=next_peak,
+    4=succ_idx, 5=nonconf.  out rows: 0=peak per slot,
+    1=fire_ok&complete per slot, 2 lane 0 = bad (walk visited a
+    candidate the table cannot represent exactly)."""
+    def body(k, carry):
+        i, done, bad = carry
+        has = fields_ref[0, 0, i]
+        fired = fields_ref[0, 1, i]
+        complete = fields_ref[0, 2, i]
+        peak = fields_ref[0, 3, i]
+        succ = fields_ref[0, 4, i]
+        nc = fields_ref[0, 5, i]
+        active = done == 0
+        ok_fire = active & (has > 0) & (fired > 0)
+        emit = ok_fire & (complete > 0)
+        out_ref[0, 0, k] = peak
+        out_ref[0, 1, k] = emit.astype(jnp.int32)
+        miss = (emit & (succ < 0)) | (active & (nc > 0))
+        ndone = jnp.where(
+            active & ((has == 0) | (fired == 0)
+                      | (ok_fire & (complete == 0)) | miss),
+            1, done)
+        advance = emit & (succ >= 0)
+        return (jnp.where(advance, succ, i), ndone,
+                jnp.where(miss, 1, bad))
+
+    _i, _done, bad = jax.lax.fori_loop(
+        0, max_frames, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    out_ref[0, 2, 0] = bad
+
+
+def _walk(fields, max_frames: int, interpret: bool):
+    b, _, c1 = fields.shape
+    out = pl.pallas_call(
+        functools.partial(_ask_walk_kernel, max_frames=max_frames),
+        out_shape=jax.ShapeDtypeStruct((b, 3, max(max_frames, 4)),
+                                       jnp.int32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 6, c1), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 3, max(max_frames, 4)),
+                               lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.SMEM),
+        interpret=interpret,
+    )(fields)
+    peaks = out[:, 0, :max_frames]
+    fire_ok = out[:, 1, :max_frames].astype(bool)
+    bad = out[:, 2, 0] > 0
+    return peaks, fire_ok, bad
+
+
+def demodulate_spec(
+    cfg: AskConfig,
+    rx: jax.Array,                 # f32[B, T]
+    max_frames: int = 128,
+    n_cand: int = 96,
+    chain_window: int = 1024,
+    interpret: bool = False,
+):
+    """Batched speculative ASK demod.  Returns ``(AskDecoded[B, K],
+    ok[B])``; rows with ``ok=False`` (candidate-table overflow, a
+    warmup-region fire the successor table cannot represent, or a chain
+    unresolved inside `chain_window`) must be re-decoded with the exact
+    scan receiver — :func:`trackmaker_tpu.phy.ask.demodulate_fast` does
+    this automatically.  On conformant rows results equal the scan
+    receiver slot-for-slot (a chain that fires inside the smaller
+    window fires identically in the scan's 4096 window: the window
+    values are a prefix)."""
+    from trackmaker_tpu.phy.pallas_decode import _extract_candidates
+    rx = jnp.asarray(rx, jnp.float32)
+    assert rx.ndim == 2
+    b, t = rx.shape
+
+    def analyze(row):
+        power, sync, upd_ok = ask.dense_arrays(cfg, row)
+        hits = dense_fire_candidates(cfg, sync, upd_ok)
+        cand, _nv, overflow = _extract_candidates(
+            hits, n_cand, rpb=8)
+        virt = jnp.full((1,), -(cfg.frame_samples + 1), jnp.int32)
+        cand_full = jnp.concatenate([virt, cand])
+        fields, rx_pad = _phase_b(cfg, row, power, sync, upd_ok,
+                                  cand_full, chain_window)
+        return fields, rx_pad, overflow
+
+    fields, rx_pads, overflow = jax.vmap(analyze)(rx)
+    peaks, fire_ok, bad = _walk(fields, max_frames, interpret)
+
+    car, bit_idx = ask.demod_tables(cfg)
+    res = jax.vmap(lambda rp, pk, ok: jax.vmap(
+        lambda p, o: ask.demod_slot(cfg, rp, car, bit_idx, p, o)
+    )(pk, ok))(rx_pads, peaks, fire_ok)
+    return AskDecoded(**res), ~(overflow | bad)
+
+
+demodulate_spec_jit = jax.jit(
+    demodulate_spec,
+    static_argnames=("cfg", "max_frames", "n_cand", "chain_window",
+                     "interpret"))

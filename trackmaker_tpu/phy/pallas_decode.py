@@ -505,27 +505,30 @@ def _spec_walk(fields, start_cursor, scan_limit, max_frames: int,
     return keep, attempted, cur_f, done, pending
 
 
-def _extract_candidates(hits: jax.Array, n_cand: int):
+def _extract_candidates(hits: jax.Array, n_cand: int,
+                        rpb: int = RPB, blk: int = BLK):
     """All hit positions, ascending, padded with 2^30 — via per-block
     argmax peel + rank compaction (dense ops only; `nonzero` measured
-    ~5 ms/batch on-chip)."""
+    ~5 ms/batch on-chip).  `rpb` caps hits per `blk`-lag block before
+    the overflow flag fires (the ASK receiver's fire-candidates are
+    denser than preamble hits and use a higher cap)."""
     n = hits.shape[-1]
-    hb = -(-n // BLK)
+    hb = -(-n // blk)
     rows = jnp.pad(hits, [(0, 0)] * (hits.ndim - 1)
-                   + [(0, hb * BLK - n)]).reshape(*hits.shape[:-1], hb, BLK)
-    lane = jnp.arange(BLK, dtype=jnp.int32)
-    base = jnp.arange(hb, dtype=jnp.int32) * BLK
+                   + [(0, hb * blk - n)]).reshape(*hits.shape[:-1], hb, blk)
+    lane = jnp.arange(blk, dtype=jnp.int32)
+    base = jnp.arange(hb, dtype=jnp.int32) * blk
     starts = []
     r = rows
-    for _ in range(RPB):
+    for _ in range(rpb):
         has = jnp.any(r, axis=-1)
         p = jnp.argmax(r, axis=-1).astype(jnp.int32)
         starts.append(jnp.where(has, base + p, _BIGI))
         r = r & (lane > p[..., None])
     per_block = jnp.sum(rows.astype(jnp.int32), axis=-1)
-    overflow = jnp.any(per_block > RPB, axis=-1) | (
+    overflow = jnp.any(per_block > rpb, axis=-1) | (
         jnp.sum(per_block, axis=-1) > n_cand)
-    flat = jnp.stack(starts, axis=-1).reshape(*hits.shape[:-1], hb * RPB)
+    flat = jnp.stack(starts, axis=-1).reshape(*hits.shape[:-1], hb * rpb)
     valid = flat < _BIGI
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
     onehot = (valid[..., None]
