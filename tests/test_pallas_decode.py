@@ -219,6 +219,21 @@ def test_spec_4b5b_zero_levels_trip_conformance():
     _res, ok = decode_capture_spec(cfg, x, 2, max_frames=8, n_cand=32,
                                    interpret=True)
     assert not bool(np.asarray(ok)[0])
+    # ... and the exact path the fallback re-decodes with must equal the
+    # NumPy oracle frame-for-frame on this zero-level capture
+    from trackmaker_tpu.oracle.phy import OracleDecoder
+    from trackmaker_tpu.phy.decoder import decode_capture
+    exact = decode_capture(cfg, jnp.asarray(wave), 2, max_frames=8)
+    vmask = np.asarray(exact.valid)
+    got = sorted(
+        (int(s), bytes(fb[:7 + int(ln)]))
+        for s, ln, fb, v in zip(np.asarray(exact.sequence),
+                                np.asarray(exact.length),
+                                np.asarray(exact.frame_bytes), vmask) if v)
+    dec = OracleDecoder(cfg, local_addr=2)
+    want = sorted((int(f.seq), bytes(f.to_bytes()[:7 + len(f.data)]))
+                  for f in dec.process_samples(wave))
+    assert got == want
     # skipped-candidate zeros must NOT trip (gap zeros are everywhere)
     clean = np.concatenate([
         enc.encode_frame(Frame.new_data(2, 1, 2, b"clean")),

@@ -86,6 +86,82 @@ for coding in (MANCHESTER, FOUR_B_FIVE_B):
         if time.time() - t0 > 380: break
 print(f"spec-vs-exact: {trials} captures, {fallbacks} conformance fallbacks, {mismatch} mismatches")
 
+# forced-fallback campaign: zero out one body level per frame so the
+# 4B5B conformance flag MUST fire on-chip (near-zero level average ->
+# the optimistic transition rule cannot replay the reference's
+# skip-carry, line_coding.rs:265-269) and the exact fallback result
+# must equal the NumPy oracle decoder frame-for-frame.
+from trackmaker_tpu.oracle.phy import OracleDecoder
+ff_trials = ff_fired = ff_mis = 0
+cfg4 = PhyConfig(line_coding=FOUR_B_FIVE_B)
+enc4 = OracleEncoder(cfg4)
+exact4 = _batched_fn(cfg4, 8, False)
+for seed in range(10):
+    rng = np.random.default_rng(SEED_BASE + 9000 + seed)
+    payload = bytes(rng.integers(0, 256, int(rng.integers(8, 64))))
+    w = np.array(enc4.encode_frame(Frame.new_data(seed, 1, 2, payload)),
+                 np.float32)
+    # zero one random level inside the body (symbol 14+ is past the
+    # header); levels are 3 samples at spl=3
+    sym = int(rng.integers(14, 30))
+    lvl = int(rng.integers(0, 5))
+    p = cfg4.preamble_len + sym * 15 + lvl * 3
+    w[p:p + 3] = 0.0
+    wave = np.concatenate([np.zeros(int(rng.integers(0, 400)), np.float32),
+                           w, np.zeros(600, np.float32)])
+    x = jnp.asarray(wave[None])
+    _spec, ok = decode_capture_spec_jit(cfg4, x, 2, max_frames=8)
+    ff_trials += 1
+    if not bool(np.asarray(ok)[0]):
+        ff_fired += 1
+    exact = exact4(x, 2)
+    got = masked(exact, 0)
+    dec = OracleDecoder(cfg4, local_addr=2)
+    want = sorted((-1, int(f.seq), bytes(f.to_bytes()[:7 + len(f.data)]))
+                  for f in dec.process_samples(wave))
+    got_cmp = sorted((-1, s, fb) for _p, s, fb in got)
+    if got_cmp != want:
+        ff_mis += 1
+        print("FORCED-FALLBACK ORACLE MISMATCH", seed)
+print(f"forced-fallback: {ff_trials} captures, {ff_fired} conformance "
+      f"fires, {ff_mis} oracle mismatches")
+
+# ASK: speculative receiver vs exact scan, adversarial tracks
+from trackmaker_tpu.phy import ask as ask_mod
+from trackmaker_tpu.phy import ask_spec
+ask_trials = ask_fb = ask_mis = 0
+acfg = ask_mod.AskConfig()
+for seed in range(12):
+    rng = np.random.default_rng(SEED_BASE + 12000 + seed)
+    nf = int(rng.integers(4, 24))
+    fr = ask_mod.build_frames(bytes(rng.integers(32, 127, 40)), acfg,
+                              num_frames=nf)
+    trk = ask_mod.build_track(acfg, fr, seed=int(seed + 1))
+    kind = seed % 4
+    if kind == 1:
+        trk = trk + rng.normal(0, 0.12, len(trk)).astype(np.float32)
+    elif kind == 2:
+        trk = trk[: int(len(trk) * 0.8)]          # truncated mid-frame
+    elif kind == 3:
+        trk = np.concatenate([trk, 0.5 * trk])    # quieter replay
+    xb = jnp.asarray(np.stack([trk, trk * 0.7]))
+    spec, oks = ask_spec.demodulate_spec_jit(acfg, xb, max_frames=64)
+    okh = np.asarray(oks)
+    for b in range(2):
+        ask_trials += 1
+        if not okh[b]:
+            ask_fb += 1
+            continue
+        scan = ask_mod.demodulate(acfg, xb[b], max_frames=64)
+        for name in ("valid", "frame_id", "bits", "start"):
+            if not np.array_equal(np.asarray(getattr(scan, name)),
+                                  np.asarray(getattr(spec, name))[b]):
+                ask_mis += 1
+                print("ASK MISMATCH", seed, b, name)
+                break
+print(f"ask spec-vs-scan: {ask_trials} captures, {ask_fb} fallbacks, "
+      f"{ask_mis} mismatches")
+
 # blocked-spec vs flat
 bl_mis = 0; bl_trials = 0
 cfg = PhyConfig()
@@ -103,4 +179,8 @@ for seed in range(25):
         print("BLOCKED MISMATCH", seed)
     if time.time() - t0 > 520: break
 print(f"blocked-spec-vs-flat: {bl_trials} captures, {bl_mis} mismatches")
-sys.stdout.flush(); os._exit(1 if (mismatch or bl_mis) else 0)
+fail = (mismatch or bl_mis or ff_mis or ask_mis or ff_fired == 0)
+if ff_fired == 0:
+    print("FORCED-FALLBACK CAMPAIGN NEVER FIRED — soak is not exercising "
+          "the exact-path fallback")
+sys.stdout.flush(); os._exit(1 if fail else 0)
