@@ -117,7 +117,8 @@ for seed in range(10):
     exact = exact4(x, 2)
     got = masked(exact, 0)
     dec = OracleDecoder(cfg4, local_addr=2)
-    want = sorted((-1, int(f.seq), bytes(f.to_bytes()[:7 + len(f.data)]))
+    want = sorted((-1, int(f.sequence),
+                   bytes(f.to_bytes()[:7 + len(f.data)]))
                   for f in dec.process_samples(wave))
     got_cmp = sorted((-1, s, fb) for _p, s, fb in got)
     if got_cmp != want:

@@ -201,6 +201,62 @@ def _equalized_symbols(cfg, rx_pad, start, n_sym):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
+def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
+                                n_bits: int, starts: jax.Array
+                                ) -> jax.Array:
+    """Per-bit soft decisions (max-log, positive = "bit is 1") for the
+    Viterbi decoder — f32[B, n_bits], same bit layout as
+    :func:`demodulate_at_adaptive`.
+
+    BPSK: re(s).  QPSK (Gray, b0 = im<0, b1 = re<0): (-im, -re).
+    Gray 16-QAM per axis (00,01,11,10 -> -3,-1,1,3 levels): the sign
+    bit's LLR is the axis value, the inner/outer bit's is
+    (2/sqrt(10) - |v|) — the max-log distance difference up to a
+    constant factor.
+
+    Every bin's values are weighted by |H|^2: the one-tap EQ divides by
+    H, so post-EQ noise variance is sigma^2/|H|^2 per bin and the true
+    LLR carries an |H|^2 factor.  Without it a -10 dB roll-off bin
+    votes as loudly as a clean one and single Viterbi error events
+    corrupt the block start (measured: shifted length fields on the
+    shaped-channel corpus).  Monotone COMMON scalings don't change
+    Viterbi decisions; per-bin RELATIVE weights do.
+    """
+    b1, b2, b4 = _class_idx(cfg)
+    bps = cfg.bits_per_symbol
+    n_sym = -(-n_bits // bps)
+    pad_n = (1 + n_sym) * cfg.sym_len + cfg.preamble_len \
+        + cfg.guard_samples + cfg.n_fft + 8
+    rx_pad = jnp.concatenate(
+        [rx.astype(jnp.float32), jnp.zeros(pad_n, jnp.float32)])
+    thr = 2.0 * _QAM16_SCALE
+
+    def one(start):
+        eqc, h = _equalized_symbols(cfg, rx_pad, start, n_sym)
+        w = jnp.abs(h) ** 2
+        w = w / jnp.maximum(jnp.max(w), 1e-12)        # common scale only
+        parts = []
+        if b1:
+            parts.append((eqc[:, jnp.asarray(b1)].real
+                          * w[jnp.asarray(b1)])[..., None])
+        if b2:
+            s2 = eqc[:, jnp.asarray(b2)]
+            parts.append(jnp.stack([-s2.imag, -s2.real], axis=-1)
+                         * w[jnp.asarray(b2)][None, :, None])
+        if b4:
+            s4 = eqc[:, jnp.asarray(b4)]
+            parts.append(jnp.stack(
+                [s4.real, thr - jnp.abs(s4.real),
+                 s4.imag, thr - jnp.abs(s4.imag)], axis=-1)
+                * w[jnp.asarray(b4)][None, :, None])
+        soft = jnp.concatenate(
+            [p.reshape(p.shape[0], -1) for p in parts], axis=-1)
+        return soft.reshape(-1)[:n_bits]
+
+    return jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
                            n_bits: int, starts: jax.Array) -> jax.Array:
     """Demodulate loaded frames at `starts` -> uint8[B, n_bits]."""
@@ -309,6 +365,212 @@ def choose_loading(snr_linear: np.ndarray,
     lv[snr_db >= t2] = 2
     lv[snr_db >= t4] = 4
     return tuple(lv.tolist())
+
+
+def pack_loading(loading: tuple) -> bytes:
+    """Loading -> compact bytes for the handshake frame: 2-bit code per
+    data bin (0,1,2,4 bits -> codes 0..3), 4 bins/byte, MSB-first."""
+    code = {0: 0, 1: 1, 2: 2, 4: 3}
+    lv = [code[int(v)] for v in loading]
+    while len(lv) % 4:
+        lv.append(0)
+    out = bytearray()
+    for i in range(0, len(lv), 4):
+        out.append((lv[i] << 6) | (lv[i + 1] << 4)
+                   | (lv[i + 2] << 2) | lv[i + 3])
+    return bytes(out)
+
+
+def unpack_loading(data: bytes, n_bins: int) -> tuple:
+    bits = {0: 0, 1: 1, 2: 2, 3: 4}
+    lv = []
+    for byte in data:
+        for sh in (6, 4, 2, 0):
+            lv.append(bits[(byte >> sh) & 3])
+    return tuple(lv[:n_bins])
+
+
+class OfdmAdaptiveStreamPhy:
+    """MAC-capable adaptive-loading coded PHY — the duck type of
+    :class:`trackmaker_tpu.phy.ofdm_v2.OfdmStreamPhyV2`
+    (``encode_frames`` / ``process_samples`` / ``reset`` /
+    ``frame_samples``), so CSMA/ARQ/GBN run unchanged over it.
+
+    Loading handshake (fixed-loading, ADSL-style): both ends construct
+    with the same loading tuple.  In a live link the receiver probes
+    (:func:`probe_waveform` -> :func:`estimate_bin_snr` ->
+    :func:`choose_loading`), packs the result with
+    :func:`pack_loading` into a regular data frame sent back over the
+    robust uniform-QPSK default (``loading=()``), and both sides then
+    switch — see ``tests/test_ofdm_adaptive_mac.py::test_handshake``.
+
+    FEC: every frame is rate-1/2 K=7 conv-coded (core/convcode.py) as
+    two independently flushed blocks — header (56 bits -> 124 coded)
+    then payload (8L -> 16L+12 coded) — so the frame length Viterbi-
+    decodes from a short prefix before the payload block's symbols are
+    touched.  Decoding is soft-decision: max-log per-bit values from
+    :func:`soft_demodulate_at_adaptive` weight the Viterbi branch
+    metrics by subcarrier reliability, which is what makes coded
+    16-QAM on shaped channels beat uncoded QPSK at equal net
+    throughput (the Viterbi path discounts the weak bins the loading
+    kept at 1-2 bits)."""
+
+    HDR_BITS = 56
+    HDR_CODED = 2 * (56 + 6)          # 124
+
+    @staticmethod
+    @functools.lru_cache(maxsize=64)
+    def _perm(m: int) -> np.ndarray:
+        """Deterministic coded-bit interleaver for a block of m bits.
+
+        Weak subcarriers are CONTIGUOUS on acoustic channels (roll-off
+        bands), so without interleaving a shaped channel hands the
+        Viterbi decoder bursts of ~4x(weak-bin count) unreliable coded
+        bits in a row — beyond its ~K-bit memory.  A fixed pseudorandom
+        permutation (derived from the block length alone, so both ends
+        agree without negotiation) spreads each burst across the whole
+        block."""
+        return np.random.default_rng(0x1EAF ^ m).permutation(m)
+
+    def __init__(self, cfg: OfdmAdaptiveConfig = OfdmAdaptiveConfig(),
+                 loading: tuple | None = None,
+                 max_frame_bytes: int = 263,
+                 local_addr: int | None = None):
+        if loading is not None:
+            cfg = dataclasses.replace(cfg, loading=tuple(loading))
+        assert cfg.bits_per_symbol >= 1, "loading disables every bin"
+        self.cfg = cfg
+        self.local_addr = local_addr
+        self.max_frame_bytes = max_frame_bytes
+        self.max_syms = cfg.n_symbols(
+            self._coded_bits(max_frame_bytes - 7))
+        self._buf = np.zeros(0, np.float32)
+        self.preamble_len = cfg.preamble_len
+
+    @staticmethod
+    def _coded_bits(n_payload_bytes: int) -> int:
+        return (OfdmAdaptiveStreamPhy.HDR_CODED
+                + 2 * (8 * n_payload_bytes + 6))
+
+    @property
+    def net_bits_per_symbol(self) -> float:
+        """Information bits per OFDM symbol after the rate-1/2 code —
+        the number to compare against an uncoded PHY's
+        ``bits_per_symbol`` for equal-throughput comparisons."""
+        return self.cfg.bits_per_symbol / 2.0
+
+    @classmethod
+    def handshake_mode(cls, cfg: OfdmAdaptiveConfig = OfdmAdaptiveConfig(),
+                       local_addr: int | None = None
+                       ) -> "OfdmAdaptiveStreamPhy":
+        """The a-priori negotiation mode: coded BPSK on the lowest
+        quarter of the data bins only.  Like ADSL's C-MSGS channel, the
+        handshake must survive a channel NOBODY has probed yet, so it
+        runs on the sub-band acoustic channels rarely kill (speaker/mic
+        roll-off hits the top of the band) at the most robust
+        constellation.  Both ends construct this mode by convention,
+        exchange the probe-chosen loading inside an ordinary data frame
+        (:func:`pack_loading`), then switch to the loaded mode."""
+        n = len(cfg.data_bin_idx)
+        lv = tuple([1] * (n // 4) + [0] * (n - n // 4))
+        return cls(cfg, loading=lv, local_addr=local_addr)
+
+    # -- encoder side --------------------------------------------------
+
+    def encode_frame(self, frame: Frame) -> np.ndarray:
+        from trackmaker_tpu.core import bitops
+        from trackmaker_tpu.core.convcode import conv_encode
+        fb = frame.to_bytes()
+        hdr = bitops.bytes_to_bits_host(fb[:7])
+        pay = bitops.bytes_to_bits_host(fb[7:]) if len(fb) > 7 \
+            else np.zeros(0, np.uint8)
+        ch = np.asarray(conv_encode(jnp.asarray(hdr)))
+        cp = np.asarray(conv_encode(jnp.asarray(pay)))
+        coded = np.concatenate(
+            [ch[self._perm(len(ch))], cp[self._perm(len(cp))]])
+        w = modulate_bits_adaptive(self.cfg, jnp.asarray(coded[None]),
+                                   int(coded.shape[-1]))
+        return np.asarray(w[0])
+
+    def encode_frames(self, frames: list[Frame],
+                      gap_samples: int = 256) -> np.ndarray:
+        parts = []
+        for i, f in enumerate(frames):
+            parts.append(self.encode_frame(f))
+            if i < len(frames) - 1:
+                parts.append(np.zeros(gap_samples, np.float32))
+        return np.concatenate(parts) if parts else np.zeros(0, np.float32)
+
+    # -- streaming decoder side ----------------------------------------
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, np.float32)
+
+    def frame_samples(self, n_payload: int) -> int:
+        return self.cfg.frame_samples(self._coded_bits(n_payload))
+
+    def process_samples(self, samples: np.ndarray) -> list[Frame]:
+        from trackmaker_tpu.core.convcode import viterbi_decode
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, np.float32)])
+        cfg = self.cfg
+        if len(self._buf) < cfg.preamble_len + 1:
+            return []
+        out: list[Frame] = []
+        consumed = 0
+        bucket = 4096
+        while bucket < len(self._buf):
+            bucket *= 2
+        padded = np.zeros(bucket, np.float32)
+        padded[: len(self._buf)] = self._buf
+        pj = jnp.asarray(padded)
+        starts = np.asarray(find_preambles(cfg, pj, 16))
+        for s in starts[starts >= 0]:
+            s = int(s)
+            if s < consumed:
+                continue
+            if s + cfg.frame_samples(self.HDR_CODED) > len(self._buf):
+                break  # header symbols still arriving
+            soft_h = np.asarray(soft_demodulate_at_adaptive(
+                cfg, pj, self.HDR_CODED, jnp.asarray([s])))[0]
+            # TX sent wire[i] = coded[perm[i]]; restore coded order
+            deint = np.empty_like(soft_h)
+            deint[self._perm(self.HDR_CODED)] = soft_h
+            hdr_bits = np.asarray(viterbi_decode(
+                jnp.asarray(deint), self.HDR_BITS, soft=True))
+            hdr = np.packbits(hdr_bits)
+            data_len = (int(hdr[0]) << 8) | int(hdr[1])
+            if data_len > self.max_frame_bytes - 7:
+                consumed = s + cfg.preamble_len
+                continue
+            total_coded = self._coded_bits(data_len)
+            frame_end = s + cfg.frame_samples(total_coded)
+            if frame_end > len(self._buf):
+                break  # wait for the rest of this frame
+            soft = np.asarray(soft_demodulate_at_adaptive(
+                cfg, pj, self.max_syms * cfg.bits_per_symbol,
+                jnp.asarray([s])))[0]
+            pay_coded = soft[self.HDR_CODED: total_coded]
+            if data_len:
+                pdeint = np.empty_like(pay_coded)
+                pdeint[self._perm(len(pay_coded))] = pay_coded
+                pay_bits = np.asarray(viterbi_decode(
+                    jnp.asarray(pdeint), 8 * data_len, soft=True))
+            else:
+                pay_bits = np.zeros(0, np.uint8)
+            f = Frame.from_bits(np.concatenate([hdr_bits, pay_bits]))
+            consumed = frame_end
+            if f is None:
+                continue
+            if self.local_addr is not None and f.dst != self.local_addr:
+                continue
+            out.append(f)
+        if consumed:
+            keep = max(consumed - (cfg.preamble_len - 1), 0)
+            self._buf = self._buf[keep:]
+        elif len(self._buf) > 10 * cfg.sample_rate:
+            self._buf = self._buf[-cfg.preamble_len:]
+        return out
 
 
 class OfdmAdaptiveModem:
