@@ -79,6 +79,55 @@ def ber_sweep(cfg: PhyConfig | None = None,
     return results
 
 
+def coded_ber_sweep(snr_dbs=(-8, -6, -4, -2, 0, 2, 4, 6),
+                    n_frames: int = 16, payload_len: int = 64,
+                    seed: int = 0) -> list[dict]:
+    """Frame loss vs SNR for the Viterbi-coded Manchester PHY
+    (phy/coded.py) against the uncoded decoder at the SAME detection
+    threshold — the coded cliff sits >=4 dB left (tests/test_coded_phy
+    pins it).  Detection threshold is lowered identically for both so
+    the sweep measures coding, not the correlator (normalized preamble
+    correlation decays as 1/sqrt(1+sigma^2))."""
+    from trackmaker_tpu.phy.coded import CodedManchesterPhy
+
+    cfg = PhyConfig(correlation_threshold=0.45)
+    rng = np.random.default_rng(seed)
+    payloads = rng.integers(0, 256, (n_frames, payload_len),
+                            dtype=np.uint8)
+    frames = [Frame.new_data(i & 0xFF, 1, 2, payloads[i].tobytes())
+              for i in range(n_frames)]
+    wave_u = PhyEncoder(cfg).encode_frames(frames, gap_samples=240)
+    phy = CodedManchesterPhy(cfg, local_addr=2)
+    wave_c = phy.encode_frames(frames, gap_samples=240)
+    sig_pow = float(np.mean(np.square(wave_u[np.abs(wave_u) > 0])))
+    results = []
+    for i, snr in enumerate(snr_dbs):
+        sigma = float(np.sqrt(sig_pow / (10.0 ** (snr / 10.0))))
+        r = np.random.default_rng(seed * 1000 + i)
+        noisy_u = wave_u + r.normal(0, sigma, len(wave_u)).astype(
+            np.float32)
+        res = decode_capture(cfg, jnp.asarray(noisy_u), 2,
+                             max_frames=n_frames + 8)
+        _be, dec_u, _b = _score(res, payloads)
+        phy.reset()
+        noisy_c = np.concatenate(
+            [wave_c, np.zeros(4000, np.float32)])
+        noisy_c = noisy_c + r.normal(0, sigma, len(noisy_c)).astype(
+            np.float32)
+        got = phy.process_samples(noisy_c)
+        dec_c = sum(
+            1 for f in got
+            if f.sequence < n_frames
+            and f.data == payloads[f.sequence].tobytes())
+        results.append({
+            "snr_db": float(snr),
+            "frames_sent": n_frames,
+            "uncoded_loss_pct": 100.0 * (n_frames - dec_u) / n_frames,
+            "coded_loss_pct": 100.0 * (n_frames - dec_c) / n_frames,
+        })
+    return results
+
+
 def clock_offset_sweep(cfg: PhyConfig | None = None,
                        ppms=(0, 50, 100, 200, 500, 1000, 2000, 5000),
                        n_frames: int = 32, payload_len: int = 64,

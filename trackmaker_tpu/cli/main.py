@@ -243,6 +243,13 @@ def cmd_ofdm_adapt(args):
 def cmd_ber(args):
     from trackmaker_tpu.bench import ber_sweep, clock_offset_sweep
     cfg = _cfg_from_args(args)
+    if args.coded:
+        from trackmaker_tpu.bench.ber import coded_ber_sweep
+        for r in coded_ber_sweep(n_frames=args.frames):
+            print(f"SNR {r['snr_db']:6.1f} dB: uncoded loss "
+                  f"{r['uncoded_loss_pct']:5.1f}%  coded loss "
+                  f"{r['coded_loss_pct']:5.1f}%")
+        return 0
     res = ber_sweep(cfg, n_frames=args.frames)
     for r in res:
         print(f"SNR {r['snr_db']:6.1f} dB: loss {r['frame_loss_pct']:5.1f}%"
@@ -455,6 +462,9 @@ def main(argv=None):
                        help="AWGN + clock-offset robustness sweep")
     s.add_argument("--frames", type=int, default=16)
     s.add_argument("--plot")
+    s.add_argument("--coded", action="store_true",
+                   help="compare the Viterbi-coded Manchester PHY "
+                        "against the uncoded decoder")
     s.set_defaults(fn=cmd_ber)
 
     s = sub.add_parser("sweep", parents=[common],

@@ -51,6 +51,18 @@ for _b in range(2):
         _POUT[ns, idx, 1] = _OUT1[_b, _s]
 
 
+@functools.lru_cache(maxsize=128)
+def block_interleaver(m: int) -> np.ndarray:
+    """Deterministic pseudorandom interleaver for an m-bit coded block.
+
+    Both ends derive it from the block length alone (no negotiation).
+    Channel impairments are bursty in wire position (contiguous weak
+    subcarriers, impulse noise spanning several line-code levels); the
+    permutation spreads each burst across the block so it lands within
+    the Viterbi decoder's ~K-bit correction span."""
+    return np.random.default_rng(0x1EAF ^ m).permutation(m)
+
+
 def conv_encode(bits: jax.Array) -> jax.Array:
     """uint8[N] -> uint8[2*(N+K-1)] (zero-terminated / flushed)."""
     bits = jnp.concatenate(

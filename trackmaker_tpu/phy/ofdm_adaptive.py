@@ -419,18 +419,12 @@ class OfdmAdaptiveStreamPhy:
     HDR_CODED = 2 * (56 + 6)          # 124
 
     @staticmethod
-    @functools.lru_cache(maxsize=64)
     def _perm(m: int) -> np.ndarray:
-        """Deterministic coded-bit interleaver for a block of m bits.
-
-        Weak subcarriers are CONTIGUOUS on acoustic channels (roll-off
-        bands), so without interleaving a shaped channel hands the
-        Viterbi decoder bursts of ~4x(weak-bin count) unreliable coded
-        bits in a row — beyond its ~K-bit memory.  A fixed pseudorandom
-        permutation (derived from the block length alone, so both ends
-        agree without negotiation) spreads each burst across the whole
-        block."""
-        return np.random.default_rng(0x1EAF ^ m).permutation(m)
+        """Coded-bit interleaver (core/convcode.py:block_interleaver):
+        contiguous roll-off bins would otherwise hand the Viterbi
+        decoder bursts beyond its ~K-bit memory."""
+        from trackmaker_tpu.core.convcode import block_interleaver
+        return block_interleaver(m)
 
     def __init__(self, cfg: OfdmAdaptiveConfig = OfdmAdaptiveConfig(),
                  loading: tuple | None = None,
