@@ -202,25 +202,39 @@ def bench_blocked(cfg, rng, seconds=600):
 
 
 def bench_ask(rng):
+    """Batched speculative ASK receiver (phy/ask_spec.py) on 8 distinct
+    tracks; payload-gated per row, and every row's conformance flag
+    must be clean (a fallback would re-decode with the scan path —
+    that's the wrapper's job, not the measured kernel's)."""
     import jax.numpy as jnp
-    from trackmaker_tpu.phy import ask
+    from trackmaker_tpu.phy import ask, ask_spec
 
     cfg = ask.AskConfig()
-    n_frames = 64
+    n_frames, batch = 64, 8
     frames = ask.build_frames(b"the quick brown fox", cfg,
                               num_frames=n_frames)
-    wave = ask.build_track(cfg, frames, seed=7)
-    x = jnp.asarray(wave)
-    fn = (lambda x: ask.demodulate(cfg, x, max_frames=n_frames + 8))
-    res = fn(x)
+    waves = [ask.build_track(cfg, frames, seed=7 + b)
+             for b in range(batch)]
+    t = max(len(w) for w in waves)
+    caps = np.zeros((batch, t), np.float32)
+    for b, w in enumerate(waves):
+        caps[b, :len(w)] = w
+    x = jnp.asarray(caps)
+    fn = (lambda x: ask_spec.demodulate_spec_jit(
+        cfg, x, max_frames=n_frames + 8))
+    res, okflags = fn(x)
+    if not np.asarray(okflags).all():
+        return 0.0, None, "ask conformance gate failed"
     ok = np.asarray(res.valid)
-    if int(ok.sum()) != n_frames:
-        return 0.0, None, f"ask gate failed: {int(ok.sum())}/{n_frames}"
-    got = np.asarray(res.bits)[ok]
-    if not np.array_equal(got, frames[:, 8:]):
-        return 0.0, None, "ask payload gate failed"
+    if int(ok.sum()) != batch * n_frames:
+        return 0.0, None, \
+            f"ask gate failed: {int(ok.sum())}/{batch * n_frames}"
+    bits = np.asarray(res.bits)
+    for b in range(batch):
+        if not np.array_equal(bits[b][ok[b]], frames[:, 8:]):
+            return 0.0, None, f"ask payload gate failed at b={b}"
     ts = _measure(fn, x, iters=_iters_for(10))
-    xmed, stats = _row(ts, len(wave))
+    xmed, stats = _row(ts, batch * t)
     return xmed, stats, None
 
 

@@ -198,16 +198,30 @@ def run_chain(cfg: AskConfig, sync_pad, upd_pad, chain_window,
     """Local-max record chain + 200-sample fire guard, exactly
     (ask.rs:711-722), over a bounded window starting at i0.  Values in
     the 440-sample post-decode warmup region [cursor, cursor+L) are
-    substituted from (sync_w, ok_w).  Returns (peak, fired)."""
+    substituted from (sync_w, ok_w).  Returns (peak, fired).
+
+    The warmup overlap is a contiguous PREFIX of the window (i0 >=
+    cursor always), so the substitution is a dynamic_slice of the
+    padded warmup arrays + an elementwise select.  The previous
+    index-math formulation (``sync_w[woff_c]`` with per-candidate
+    indices) lowered under the double vmap to a pathological
+    per-element gather — measured ~22 ms of a 25 ms phase B at
+    B=8 x C=97; this form is ~10x cheaper."""
     l_pre = cfg.preamble_len
     idx = i0 + jnp.arange(chain_window, dtype=jnp.int32)
     sp = jax.lax.dynamic_slice(sync_pad, (i0,), (chain_window,))
     ok = jax.lax.dynamic_slice(upd_pad, (i0,), (chain_window,))
-    woff = idx - cursor
-    in_warm = (woff >= 0) & (woff < l_pre)
-    woff_c = jnp.clip(woff, 0, l_pre - 1)
-    sp = jnp.where(in_warm, sync_w[woff_c], sp)
-    ok = jnp.where(in_warm, ok_w[woff_c], ok)
+    off = jnp.arange(chain_window, dtype=jnp.int32)
+    woff0 = jnp.clip(i0 - cursor, 0, l_pre)       # window offset 0 -> woff0
+    sw_pad = jnp.concatenate(
+        [sync_w, jnp.full(chain_window + 8, -jnp.inf, sync_w.dtype)])
+    okw_pad = jnp.concatenate(
+        [ok_w, jnp.zeros(chain_window + 8, bool)])
+    sw = jax.lax.dynamic_slice(sw_pad, (woff0,), (chain_window,))
+    okw = jax.lax.dynamic_slice(okw_pad, (woff0,), (chain_window,))
+    in_warm = off < (l_pre - woff0)               # prefix of the window
+    sp = jnp.where(in_warm, sw, sp)
+    ok = jnp.where(in_warm, okw, ok)
     vals = jnp.where(ok, sp, -jnp.inf)
 
     def combine(a, b):
