@@ -210,7 +210,7 @@ def bench_ask(rng):
     from trackmaker_tpu.phy import ask, ask_spec
 
     cfg = ask.AskConfig()
-    n_frames, batch = 64, 8
+    n_frames, batch = 64, 16
     frames = ask.build_frames(b"the quick brown fox", cfg,
                               num_frames=n_frames)
     waves = [ask.build_track(cfg, frames, seed=7 + b)

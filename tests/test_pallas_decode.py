@@ -141,16 +141,30 @@ def test_spec_max_frames_cap():
     assert len(_masked(res, 0)) == 3
 
 
-def test_spec_overflow_flags_dense_hits():
-    """>RPB hits inside one 512-lag block (back-to-back preambles) must
-    trip the overflow flag, not silently truncate."""
+def test_spec_dense_hits_complete_or_flagged():
+    """Back-to-back preambles: with the fused per-128-lag-row hit
+    extraction either every hit is captured (and decisions equal the
+    exact path) or the overflow flag trips — never silent truncation.
+    The 96-sample preamble spacing gives <= 2 hits per row, so this
+    capture now decodes WITHOUT a fallback (the old 512-lag-block
+    extractor had to flag it)."""
     cfg = _cfg()
     enc = OracleEncoder(cfg)
     wave = np.concatenate([enc.preamble] * 8 + [np.zeros(3000, np.float32)])
-    x = wave.astype(np.float32)[None]
-    _res, ok = decode_capture_spec(cfg, x, 2, max_frames=8, n_cand=64,
-                                   interpret=True)
-    assert not bool(np.asarray(ok)[0])
+    res, exact = _spec_vs_exact(cfg, wave, max_frames=8)
+    assert _masked(res, 0) == _masked(exact)
+
+    # the per-row cap itself: counts > rpb must trip overflow
+    from trackmaker_tpu.phy.pallas_decode import _compact_hit_rows
+    rows = np.full((1, 4, 8), 2**30, np.int32)
+    rows[..., 4] = 0
+    rows[0, 1, :4] = [128, 130, 140, 150]
+    rows[0, 1, 4] = 5                       # truth: 5 hits in this row
+    _c, _nv, overflow = _compact_hit_rows(jnp.asarray(rows), 16)
+    assert bool(np.asarray(overflow)[0])
+    rows[0, 1, 4] = 4
+    _c, _nv, overflow = _compact_hit_rows(jnp.asarray(rows), 16)
+    assert not bool(np.asarray(overflow)[0])
 
 
 def test_spec_promiscuous_local_addr():

@@ -505,6 +505,33 @@ def _spec_walk(fields, start_cursor, scan_limit, max_frames: int,
     return keep, attempted, cur_f, done, pending
 
 
+def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB):
+    """(cand, n_valid, overflow) from the xcorr kernel's fused
+    per-128-lag-row hit extraction (sync/pallas_xcorr.py:
+    pallas_xcorr_hits) — the same contract as
+    :func:`_extract_candidates`, but the rank compaction runs on
+    T/32 elements instead of the full dense bitmap.  Overflow
+    granularity changes from >RPB hits per 512-lag block to >rpb per
+    128-lag row — both directions conservative (flagged rows re-decode
+    exactly)."""
+    starts = rows[..., :rpb].reshape(*rows.shape[:-2], -1)
+    counts = rows[..., rpb]
+    valid = starts < _BIGI
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
+    onehot = (valid[..., None]
+              & (rank[..., None] == jnp.arange(n_cand, dtype=jnp.int32))
+              ).astype(jnp.float32)
+    cand = jnp.einsum("...i,...ic->...c",
+                      jnp.where(valid, starts, 0).astype(jnp.float32),
+                      onehot)
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    overflow = jnp.any(counts > rpb, axis=-1) | (
+        jnp.sum(counts, axis=-1) > n_cand)
+    cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
+                     cand.astype(jnp.int32), _BIGI)
+    return cand, n_valid, overflow
+
+
 def _extract_candidates(hits: jax.Array, n_cand: int,
                         rpb: int = RPB, blk: int = BLK):
     """All hit positions, ascending, padded with 2^30 — via per-block
@@ -584,10 +611,11 @@ def _spec_phase_a(
                                  2 * cfg.sync_margin + 1)
 
     from trackmaker_tpu import sync as sync_mod
-    corr = jax.vmap(
-        lambda s: sync_mod.auto_xcorr(s, pre_np, pre_energy))(x)
-    hits = corr >= cfg.correlation_threshold
-    cand, n_valid, overflow = _extract_candidates(hits, n_cand)
+    from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits
+    corr, rows = jax.vmap(lambda s: pallas_xcorr_hits(
+        s, pre_np, cfg.correlation_threshold,
+        interpret=interpret, use_bf16=sync_mod.bf16_enabled()))(x)
+    cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
 
     # row-shaped view for the kernel's slab DMAs; padded so any clipped
     # candidate's slab stays in bounds

@@ -99,6 +99,133 @@ def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
     out_ref[0, :] = corr.reshape(1, blk)[0, :]
 
 
+_BIGI = np.int32(2**30)
+
+
+def _xcorr_hits_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
+                       hits_ref, *, blk: int, seg: int, inv_pe: float,
+                       eps: float, threshold: float, n_lags: int,
+                       rpb: int, use_bf16: bool):
+    nb = blk // 128
+    nch = seg // 128
+    slab = jnp.concatenate([x0_ref[0:1, :], x1_ref[0:1, :seg]], axis=1)
+    r = slab.reshape(nb + nch, 128)
+    sq = r * r
+    dot = jnp.zeros((nb, 128), jnp.float32)
+    energy = jnp.zeros((nb, 128), jnp.float32)
+    for k in range(nch):
+        rk = r[k:k + nb]
+        if use_bf16:
+            dot = dot + jnp.dot(
+                rk.astype(jnp.bfloat16),
+                pmat_ref[128 * k:128 * (k + 1), :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            energy = energy + jnp.dot(
+                sq[k:k + nb].astype(jnp.bfloat16),
+                emat_ref[128 * k:128 * (k + 1), :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            dot = dot + jnp.dot(
+                rk, pmat_ref[128 * k:128 * (k + 1), :],
+                preferred_element_type=jnp.float32)
+            energy = energy + jnp.dot(
+                sq[k:k + nb], emat_ref[128 * k:128 * (k + 1), :],
+                preferred_element_type=jnp.float32)
+    denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
+    corr = jnp.where(energy < eps, 0.0, dot * denom)
+    out_ref[0, :] = corr.reshape(1, blk)[0, :]
+
+    # ---- fused hit extraction: up to `rpb` ascending hit positions
+    # per 128-lag row + the row's true hit count (the host-side
+    # rank-compaction then runs on T/32 elements instead of T).
+    base = pl.program_id(0) * blk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+    pos = base + rowi * 128 + lane
+    hit = (corr >= threshold) & (pos < n_lags)
+    idxm = jnp.where(hit, lane, _BIGI)
+    row_base = base + jax.lax.broadcasted_iota(
+        jnp.int32, (nb, 1), 0) * 128
+    for k in range(rpb):
+        m = jnp.min(idxm, axis=1, keepdims=True)          # (nb, 1)
+        hits_ref[:, k:k + 1] = jnp.where(m < _BIGI, row_base + m, _BIGI)
+        idxm = jnp.where(lane > m, idxm, _BIGI)
+    hits_ref[:, rpb:rpb + 1] = jnp.sum(
+        hit.astype(jnp.int32), axis=1, keepdims=True)
+    for k in range(rpb + 1, 8):
+        hits_ref[:, k:k + 1] = jnp.zeros((nb, 1), jnp.int32)
+
+
+def pallas_xcorr_hits(
+    samples: jax.Array,          # f32[T]
+    pattern: np.ndarray,         # f32[L] (host constant)
+    threshold: float,
+    eps: float = 1e-6,
+    blk: int = 8192,
+    rpb: int = 4,
+    interpret: bool = False,
+    use_bf16: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Normalized xcorr + fused threshold-hit extraction.
+
+    Returns ``(corr[T-L+1], rows[ceil(T'/128), 8])`` where row r's
+    columns 0..rpb-1 are the ascending absolute lag positions with
+    ``corr >= threshold`` inside lag block [128r, 128r+128) (padded
+    with 2^30) and column rpb is the row's TRUE hit count (callers
+    flag overflow when it exceeds rpb).  This replaces the dense
+    ``corr >= thr`` bitmap + block-peel extraction that re-read the
+    full correlation from HBM (VERDICT round-2 item 4; see
+    phy/pallas_decode.py:_compact_hit_rows for the host-side
+    compaction).  Reference kernel anchor: src/phy/decoder.rs:381-417.
+    """
+    assert rpb <= 4
+    pattern = np.asarray(pattern, np.float32)
+    l = len(pattern)
+    t = samples.shape[-1]
+    seg = 128 + _round_up(max(l - 1, 1), 128)
+    pmat, emat = _banded_mats(tuple(pattern.tolist()), seg)
+    pe = float(np.sqrt(np.sum(pattern.astype(np.float64) ** 2)))
+
+    t_pad = _round_up(max(t, blk), blk)
+    grid = t_pad // blk
+    nb = blk // 128
+    x = jnp.pad(samples.astype(jnp.float32),
+                (0, t_pad + blk - t)).reshape(1, -1)
+
+    corr, rows = pl.pallas_call(
+        functools.partial(_xcorr_hits_kernel, blk=blk, seg=seg,
+                          inv_pe=1.0 / pe, eps=eps,
+                          threshold=threshold, n_lags=t - l + 1,
+                          rpb=rpb, use_bf16=use_bf16),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad // 128, 8), jnp.int32),
+        ],
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * t_pad * seg, transcendentals=0,
+            bytes_accessed=4 * (2 * t_pad + 2 * seg * 128)),
+        interpret=interpret,
+    )(x, x, jnp.asarray(pmat), jnp.asarray(emat))
+    return corr[0, : t - l + 1], rows
+
+
 def pallas_normalized_xcorr(
     samples: jax.Array,          # f32[T]
     pattern: np.ndarray,         # f32[L] (host constant)
