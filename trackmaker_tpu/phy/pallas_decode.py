@@ -612,8 +612,13 @@ def _spec_phase_a(
 
     from trackmaker_tpu import sync as sync_mod
     from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits
+    # 16k lag tile when the capture amortizes it: same kernel measured
+    # 5.5 / 4.7 / 4.5-4.9 ms at blk 8k/16k/32k on the b=32 flagship
+    # (the kernel is grid-step-overhead bound, not MXU bound — bf16
+    # multiplicands measured neutral in the same A/B, tools/xcorr_ab.py)
+    xc_blk = 16384 if t >= 131072 else 8192
     corr, rows = jax.vmap(lambda s: pallas_xcorr_hits(
-        s, pre_np, cfg.correlation_threshold,
+        s, pre_np, cfg.correlation_threshold, blk=xc_blk,
         interpret=interpret, use_bf16=sync_mod.bf16_enabled()))(x)
     cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
 

@@ -60,10 +60,11 @@ def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
     # Row b of X is the slab x[128b : 128b+seg]; rather than nb
     # slice+stack ops (which dominate the kernel at large blk), split
     # the contraction over the seg axis: X @ P = sum_k R[k:k+nb] @
-    # P[128k:128k+128] where R = slab.reshape(-1, 128) — each term is a
-    # shifted view of the same 128-lane reshape, no gather/stack.
-    slab = jnp.concatenate([x0_ref[0:1, :], x1_ref[0:1, :seg]], axis=1)
-    r = slab.reshape(nb + nch, 128)
+    # P[128k:128k+128] where R is the row-major (rows, 128) view of x —
+    # delivered directly by the block specs as a sublane concat (an
+    # in-kernel (1, blk+seg) -> (rows, 128) reshape is a full
+    # cross-lane relayout per grid step and dominated the kernel).
+    r = jnp.concatenate([x0_ref[:, :], x1_ref[:nch, :]], axis=0)
     sq = r * r if normalize else None
     dot = jnp.zeros((nb, 128), jnp.float32)
     energy = jnp.zeros((nb, 128), jnp.float32)
@@ -96,7 +97,7 @@ def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
         corr = jnp.where(energy < eps, 0.0, dot * denom)
     else:
         corr = dot * scale
-    out_ref[0, :] = corr.reshape(1, blk)[0, :]
+    out_ref[:, :] = corr                                  # (nb, 128)
 
 
 _BIGI = np.int32(2**30)
@@ -106,10 +107,14 @@ def _xcorr_hits_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
                        hits_ref, *, blk: int, seg: int, inv_pe: float,
                        eps: float, threshold: float, n_lags: int,
                        rpb: int, use_bf16: bool):
+    """Row-major formulation: inputs arrive as (rows, 128) blocks, so
+    building the shifted-view operand is a sublane CONCAT instead of
+    the (1, blk+seg) -> (rows, 128) reshape — that reshape is a full
+    cross-lane relayout of the block per grid step and dominated the
+    kernel (measured ~10 us/step vs ~0.2 us of MXU work)."""
     nb = blk // 128
     nch = seg // 128
-    slab = jnp.concatenate([x0_ref[0:1, :], x1_ref[0:1, :seg]], axis=1)
-    r = slab.reshape(nb + nch, 128)
+    r = jnp.concatenate([x0_ref[:, :], x1_ref[:nch, :]], axis=0)
     sq = r * r
     dot = jnp.zeros((nb, 128), jnp.float32)
     energy = jnp.zeros((nb, 128), jnp.float32)
@@ -133,7 +138,7 @@ def _xcorr_hits_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
                 preferred_element_type=jnp.float32)
     denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
     corr = jnp.where(energy < eps, 0.0, dot * denom)
-    out_ref[0, :] = corr.reshape(1, blk)[0, :]
+    out_ref[:, :] = corr                                  # (nb, 128)
 
     # ---- fused hit extraction: up to `rpb` ascending hit positions
     # per 128-lag row + the row's true hit count (the host-side
@@ -189,8 +194,11 @@ def pallas_xcorr_hits(
     t_pad = _round_up(max(t, blk), blk)
     grid = t_pad // blk
     nb = blk // 128
-    x = jnp.pad(samples.astype(jnp.float32),
-                (0, t_pad + blk - t)).reshape(1, -1)
+    nch = seg // 128
+    # row-major view: (rows, 128); the tail pad covers the last
+    # block's shifted x1 stream
+    x_rows = jnp.pad(samples.astype(jnp.float32),
+                     (0, t_pad + blk - t)).reshape(-1, 128)
 
     corr, rows = pl.pallas_call(
         functools.partial(_xcorr_hits_kernel, blk=blk, seg=seg,
@@ -198,14 +206,14 @@ def pallas_xcorr_hits(
                           threshold=threshold, n_lags=t - l + 1,
                           rpb=rpb, use_bf16=use_bf16),
         out_shape=[
-            jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((t_pad // 128, 8), jnp.int32),
         ],
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, blk), lambda i: (0, i),
+            pl.BlockSpec((nb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda i: (0, i + 1),
+            pl.BlockSpec((nb, 128), lambda i: (i + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((seg, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -213,7 +221,7 @@ def pallas_xcorr_hits(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, blk), lambda i: (0, i),
+            pl.BlockSpec((nb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -222,8 +230,8 @@ def pallas_xcorr_hits(
             flops=4 * t_pad * seg, transcendentals=0,
             bytes_accessed=4 * (2 * t_pad + 2 * seg * 128)),
         interpret=interpret,
-    )(x, x, jnp.asarray(pmat), jnp.asarray(emat))
-    return corr[0, : t - l + 1], rows
+    )(x_rows, x_rows, jnp.asarray(pmat), jnp.asarray(emat))
+    return corr.reshape(-1)[: t - l + 1], rows
 
 
 def pallas_normalized_xcorr(
@@ -254,32 +262,36 @@ def pallas_normalized_xcorr(
 
     t_pad = _round_up(max(t, blk), blk)
     grid = t_pad // blk
-    # x0 stream: block i; x1 stream: block i+1 (for window overlap)
-    x = jnp.pad(samples.astype(jnp.float32),
-                (0, t_pad + blk - t)).reshape(1, -1)
+    nb = blk // 128
+    nch = seg // 128
+    # row-major view (see _xcorr_kernel); x0 stream: rows of block i;
+    # x1 stream: the next whole block (the kernel reads its first nch
+    # rows — same input traffic as the pre-row-major design)
+    x_rows = jnp.pad(samples.astype(jnp.float32),
+                     (0, t_pad + blk - t)).reshape(-1, 128)
 
     out = pl.pallas_call(
         functools.partial(_xcorr_kernel, blk=blk, seg=seg,
                           inv_pe=1.0 / pe, eps=eps,
                           normalize=normalize, scale=scale,
                           use_bf16=use_bf16),
-        out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad // 128, 128), jnp.float32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, blk), lambda i: (0, i),
+            pl.BlockSpec((nb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda i: (0, i + 1),
+            pl.BlockSpec((nb, 128), lambda i: (i + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((seg, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((seg, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i),
+        out_specs=pl.BlockSpec((nb, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * t_pad * seg, transcendentals=0,
             bytes_accessed=4 * (2 * t_pad + 2 * seg * 128)),
         interpret=interpret,
-    )(x, x, jnp.asarray(pmat), jnp.asarray(emat))
-    return out[0, : t if full_length else t - l + 1]
+    )(x_rows, x_rows, jnp.asarray(pmat), jnp.asarray(emat))
+    return out.reshape(-1)[: t if full_length else t - l + 1]
