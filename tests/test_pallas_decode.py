@@ -156,15 +156,20 @@ def test_spec_dense_hits_complete_or_flagged():
 
     # the per-row cap itself: counts > rpb must trip overflow
     from trackmaker_tpu.phy.pallas_decode import _compact_hit_rows
-    rows = np.full((1, 4, 8), 2**30, np.int32)
-    rows[..., 4] = 0
+    rows = np.full((1, 4, 16), 2**30, np.int32)
+    rows[..., 4:] = 0
     rows[0, 1, :4] = [128, 130, 140, 150]
+    rows[0, 1, 5:9] = np.asarray([0.91, 0.92, 0.93, 0.94],
+                                 np.float32).view(np.int32)
     rows[0, 1, 4] = 5                       # truth: 5 hits in this row
-    _c, _nv, overflow = _compact_hit_rows(jnp.asarray(rows), 16)
+    _c, _cv, _nv, overflow = _compact_hit_rows(jnp.asarray(rows), 16)
     assert bool(np.asarray(overflow)[0])
     rows[0, 1, 4] = 4
-    _c, _nv, overflow = _compact_hit_rows(jnp.asarray(rows), 16)
+    cand, cv, _nv, overflow = _compact_hit_rows(jnp.asarray(rows), 16)
     assert not bool(np.asarray(overflow)[0])
+    assert np.asarray(cand)[0, :4].tolist() == [128, 130, 140, 150]
+    np.testing.assert_allclose(np.asarray(cv)[0, :4],
+                               [0.91, 0.92, 0.93, 0.94], rtol=1e-6)
 
 
 def test_spec_promiscuous_local_addr():

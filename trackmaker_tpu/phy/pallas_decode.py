@@ -506,15 +506,20 @@ def _spec_walk(fields, start_cursor, scan_limit, max_frames: int,
 
 
 def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB):
-    """(cand, n_valid, overflow) from the xcorr kernel's fused
-    per-128-lag-row hit extraction (sync/pallas_xcorr.py:
-    pallas_xcorr_hits) — the same contract as
+    """(cand, corr_at_cand, n_valid, overflow) from the xcorr kernel's
+    fused per-128-lag-row hit extraction (sync/pallas_xcorr.py:
+    pallas_xcorr_hits) — the same candidate contract as
     :func:`_extract_candidates`, but the rank compaction runs on
-    T/32 elements instead of the full dense bitmap.  Overflow
-    granularity changes from >RPB hits per 512-lag block to >rpb per
-    128-lag row — both directions conservative (flagged rows re-decode
-    exactly)."""
+    T/32 elements instead of the full dense bitmap, and the per-hit
+    correlation values (bitcast in columns rpb+1..2*rpb) compact
+    alongside so the dense correlation array never needs to exist.
+    Overflow granularity changes from >RPB hits per 512-lag block to
+    >rpb per 128-lag row — both directions conservative (flagged rows
+    re-decode exactly)."""
     starts = rows[..., :rpb].reshape(*rows.shape[:-2], -1)
+    cvals = jax.lax.bitcast_convert_type(
+        rows[..., rpb + 1:2 * rpb + 1], jnp.float32
+    ).reshape(*rows.shape[:-2], -1)
     counts = rows[..., rpb]
     valid = starts < _BIGI
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
@@ -524,12 +529,14 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB):
     cand = jnp.einsum("...i,...ic->...c",
                       jnp.where(valid, starts, 0).astype(jnp.float32),
                       onehot)
+    corr_c = jnp.einsum("...i,...ic->...c",
+                        jnp.where(valid, cvals, 0.0), onehot)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
     overflow = jnp.any(counts > rpb, axis=-1) | (
         jnp.sum(counts, axis=-1) > n_cand)
     cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
                      cand.astype(jnp.int32), _BIGI)
-    return cand, n_valid, overflow
+    return cand, corr_c, n_valid, overflow
 
 
 def _extract_candidates(hits: jax.Array, n_cand: int,
@@ -586,7 +593,7 @@ class SpecFields(NamedTuple):
     seq: jax.Array        # i32[B, C]
     src: jax.Array        # i32[B, C]
     dst: jax.Array        # i32[B, C]
-    corr: jax.Array       # f32[B, T] dense correlation (for reporting)
+    corr: jax.Array       # f32[B, C] correlation at each candidate
 
 
 def _spec_phase_a(
@@ -617,10 +624,11 @@ def _spec_phase_a(
     # (the kernel is grid-step-overhead bound, not MXU bound — bf16
     # multiplicands measured neutral in the same A/B, tools/xcorr_ab.py)
     xc_blk = 16384 if t >= 131072 else 8192
-    corr, rows = jax.vmap(lambda s: pallas_xcorr_hits(
+    _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
         s, pre_np, cfg.correlation_threshold, blk=xc_blk,
-        interpret=interpret, use_bf16=sync_mod.bf16_enabled()))(x)
-    cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
+        interpret=interpret, use_bf16=sync_mod.bf16_enabled(),
+        emit_corr=False))(x)
+    cand, corr_cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
 
     # row-shaped view for the kernel's slab DMAs; padded so any clipped
     # candidate's slab stays in bounds
@@ -770,7 +778,7 @@ def _spec_phase_a(
     return SpecFields(cand=cand, fields=fields, overflow=overflow,
                       nonconf=nonconf, bytes_m=bytes_m, dlen=dlen,
                       ftype=ftype, seq=byts_i[..., 4], src=byts_i[..., 5],
-                      dst=dst, corr=corr)
+                      dst=dst, corr=corr_cand)
 
 
 def _spec_compact(a: SpecFields, keep: jax.Array, max_frames: int):
@@ -792,8 +800,7 @@ def _spec_compact(a: SpecFields, keep: jax.Array, max_frames: int):
 
     out_bytes = takec(a.bytes_m.astype(jnp.uint8))
     starts = takec(a.cand)
-    corr_v = jnp.take_along_axis(
-        a.corr, jnp.clip(starts, 0, a.corr.shape[-1] - 1), axis=1)
+    corr_v = takec(a.corr)
 
     from trackmaker_tpu.phy.decoder import DecodedFrames
     return DecodedFrames(

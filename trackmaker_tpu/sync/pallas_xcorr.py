@@ -103,10 +103,10 @@ def _xcorr_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
 _BIGI = np.int32(2**30)
 
 
-def _xcorr_hits_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
-                       hits_ref, *, blk: int, seg: int, inv_pe: float,
+def _xcorr_hits_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, *out_refs,
+                       blk: int, seg: int, inv_pe: float,
                        eps: float, threshold: float, n_lags: int,
-                       rpb: int, use_bf16: bool):
+                       rpb: int, use_bf16: bool, emit_corr: bool):
     """Row-major formulation: inputs arrive as (rows, 128) blocks, so
     building the shifted-view operand is a sublane CONCAT instead of
     the (1, blk+seg) -> (rows, 128) reshape — that reshape is a full
@@ -138,11 +138,17 @@ def _xcorr_hits_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
                 preferred_element_type=jnp.float32)
     denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
     corr = jnp.where(energy < eps, 0.0, dot * denom)
-    out_ref[:, :] = corr                                  # (nb, 128)
+    if emit_corr:
+        out_ref, hits_ref = out_refs
+        out_ref[:, :] = corr                              # (nb, 128)
+    else:
+        (hits_ref,) = out_refs
 
     # ---- fused hit extraction: up to `rpb` ascending hit positions
-    # per 128-lag row + the row's true hit count (the host-side
-    # rank-compaction then runs on T/32 elements instead of T).
+    # per 128-lag row + the row's true hit count + the correlation
+    # VALUE at each hit (bitcast f32->i32; per-frame corr reporting
+    # needs only these, so the dense corr array never has to be
+    # written to HBM — set emit_corr=False).
     base = pl.program_id(0) * blk
     lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
@@ -154,10 +160,14 @@ def _xcorr_hits_kernel(x0_ref, x1_ref, pmat_ref, emat_ref, out_ref,
     for k in range(rpb):
         m = jnp.min(idxm, axis=1, keepdims=True)          # (nb, 1)
         hits_ref[:, k:k + 1] = jnp.where(m < _BIGI, row_base + m, _BIGI)
+        v = jnp.sum(jnp.where(lane == m, corr, 0.0), axis=1,
+                    keepdims=True)
+        hits_ref[:, rpb + 1 + k:rpb + 2 + k] = \
+            jax.lax.bitcast_convert_type(v, jnp.int32)
         idxm = jnp.where(lane > m, idxm, _BIGI)
     hits_ref[:, rpb:rpb + 1] = jnp.sum(
         hit.astype(jnp.int32), axis=1, keepdims=True)
-    for k in range(rpb + 1, 8):
+    for k in range(2 * rpb + 1, 16):
         hits_ref[:, k:k + 1] = jnp.zeros((nb, 1), jnp.int32)
 
 
@@ -170,16 +180,21 @@ def pallas_xcorr_hits(
     rpb: int = 4,
     interpret: bool = False,
     use_bf16: bool = False,
+    emit_corr: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Normalized xcorr + fused threshold-hit extraction.
 
-    Returns ``(corr[T-L+1], rows[ceil(T'/128), 8])`` where row r's
+    Returns ``(corr[T-L+1], rows[ceil(T'/128), 16])`` where row r's
     columns 0..rpb-1 are the ascending absolute lag positions with
     ``corr >= threshold`` inside lag block [128r, 128r+128) (padded
-    with 2^30) and column rpb is the row's TRUE hit count (callers
-    flag overflow when it exceeds rpb).  This replaces the dense
-    ``corr >= thr`` bitmap + block-peel extraction that re-read the
-    full correlation from HBM (VERDICT round-2 item 4; see
+    with 2^30), column rpb is the row's TRUE hit count (callers flag
+    overflow when it exceeds rpb), and columns rpb+1..2*rpb are the
+    f32 correlation values at those hits, bitcast to i32.  With
+    ``emit_corr=False`` the dense correlation is never written to HBM
+    (per-frame reporting only needs the per-hit values) and the first
+    return is None.  This replaces the dense ``corr >= thr`` bitmap +
+    block-peel extraction that re-read the full correlation from HBM
+    (VERDICT round-2 item 4; see
     phy/pallas_decode.py:_compact_hit_rows for the host-side
     compaction).  Reference kernel anchor: src/phy/decoder.rs:381-417.
     """
@@ -200,15 +215,21 @@ def pallas_xcorr_hits(
     x_rows = jnp.pad(samples.astype(jnp.float32),
                      (0, t_pad + blk - t)).reshape(-1, 128)
 
-    corr, rows = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((t_pad // 128, 16), jnp.int32)]
+    out_specs = [pl.BlockSpec((nb, 16), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_corr:
+        out_shape.insert(0, jax.ShapeDtypeStruct((t_pad // 128, 128),
+                                                 jnp.float32))
+        out_specs.insert(0, pl.BlockSpec((nb, 128), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         functools.partial(_xcorr_hits_kernel, blk=blk, seg=seg,
                           inv_pe=1.0 / pe, eps=eps,
                           threshold=threshold, n_lags=t - l + 1,
-                          rpb=rpb, use_bf16=use_bf16),
-        out_shape=[
-            jax.ShapeDtypeStruct((t_pad // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad // 128, 8), jnp.int32),
-        ],
+                          rpb=rpb, use_bf16=use_bf16,
+                          emit_corr=emit_corr),
+        out_shape=out_shape,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((nb, 128), lambda i: (i, 0),
@@ -220,18 +241,16 @@ def pallas_xcorr_hits(
             pl.BlockSpec((seg, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((nb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=4 * t_pad * seg, transcendentals=0,
             bytes_accessed=4 * (2 * t_pad + 2 * seg * 128)),
         interpret=interpret,
     )(x_rows, x_rows, jnp.asarray(pmat), jnp.asarray(emat))
-    return corr.reshape(-1)[: t - l + 1], rows
+    if emit_corr:
+        corr, rows = outs
+        return corr.reshape(-1)[: t - l + 1], rows
+    return None, outs[0]
 
 
 def pallas_normalized_xcorr(
