@@ -715,9 +715,18 @@ def _spec_phase_a(
           jnp.asarray(w5_np), jnp.asarray(z5_np))
 
         g = out_cm.reshape(b, n_cand, BROWS4, 128)
-        nib = g[:, :, 0:LROWS, :].reshape(b, n_cand, 768)
-        sym_ok = g[:, :, LROWS:2 * LROWS, :].reshape(b, n_cand, 768) > 0
-        zflag = g[:, :, 2 * LROWS:3 * LROWS, :].reshape(b, n_cand, 768) > 0
+        # only the first 5 of LROWS=6 symbol rows (640 symbols) can
+        # ever matter: the largest frame is 263 bytes = 526 symbols,
+        # and every consumer below is masked to total_bits//4 <= 526 —
+        # the trim cuts ~17% off every [B, C, syms] epilogue pass with
+        # decision-identical results (zeros/validity beyond symbol 526
+        # cannot reach any header, consumption, or conformance rule)
+        erows, esyms = 5, 640
+        nib = g[:, :, 0:erows, :].reshape(b, n_cand, esyms)
+        sym_ok = g[:, :, LROWS:LROWS + erows, :].reshape(
+            b, n_cand, esyms) > 0
+        zflag = g[:, :, 2 * LROWS:2 * LROWS + erows, :].reshape(
+            b, n_cand, esyms) > 0
         fs = g[:, :, 3 * LROWS, 0].astype(jnp.int32)
 
         # valid-prefix rule (line_coding.rs:277-289): everything from
@@ -728,7 +737,7 @@ def _spec_phase_a(
         dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
         total_bits = (PHY_HEADER_BYTES + dlen) * 8
         total_samples = (total_bits // 4) * 15
-        in_sym = (jnp.arange(768) < (total_bits // 4)[..., None])
+        in_sym = (jnp.arange(esyms) < (total_bits // 4)[..., None])
         n_valid_bits = 4 * jnp.sum(pok * in_sym, axis=-1)
         line_fail = n_valid_bits < total_bits
         # >= 49 decoded header bits <=> first 13 nibbles valid
