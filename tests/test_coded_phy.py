@@ -138,3 +138,136 @@ def test_fewer_retransmissions_at_equal_snr():
     assert ok_coded
     assert retx_coded < retx_uncoded, (retx_coded, retx_uncoded)
     assert retx_uncoded >= 10, retx_uncoded
+
+
+# ---------------------------------------------------------------------------
+# Rate-3/4 puncturing (core/convcode.py) + the coded 4B5B PHY
+# ---------------------------------------------------------------------------
+
+
+def test_puncture_roundtrip_clean():
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.convcode import (
+        conv_encode, depuncture_34, punctured_len_34, puncture_34,
+        viterbi_decode)
+
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, 200).astype(np.uint8)
+    coded = conv_encode(jnp.asarray(bits))
+    kept = puncture_34(coded)
+    assert kept.shape[-1] == punctured_len_34(coded.shape[-1])
+    # rate: 6 mother bits -> 4 transmitted
+    assert abs(kept.shape[-1] / coded.shape[-1] - 2 / 3) < 0.02
+    soft = jnp.asarray(np.asarray(kept), np.float32) * 2.0 - 1.0
+    dec = viterbi_decode(depuncture_34(soft, coded.shape[-1]),
+                         len(bits), soft=True)
+    assert np.array_equal(np.asarray(dec), bits)
+
+
+def test_puncture_corrects_noise():
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.convcode import (
+        conv_encode, depuncture_34, puncture_34, viterbi_decode)
+
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, 300).astype(np.uint8)
+    coded = conv_encode(jnp.asarray(bits))
+    soft = np.asarray(puncture_34(coded), np.float32) * 2.0 - 1.0
+    soft += rng.normal(0, 0.55, soft.shape).astype(np.float32)
+    dec = viterbi_decode(
+        depuncture_34(jnp.asarray(soft), coded.shape[-1]),
+        len(bits), soft=True)
+    assert np.array_equal(np.asarray(dec), bits)
+
+
+CFG4 = PhyConfig(line_coding="4b5b", correlation_threshold=0.45)
+
+
+def _coded_4b5b(rate34=False, addr=2):
+    from trackmaker_tpu.phy.coded import CodedFourB5BPhy
+    return CodedFourB5BPhy(CFG4, local_addr=addr, rate34=rate34)
+
+
+@pytest.mark.parametrize("rate34", [False, True])
+def test_coded_4b5b_roundtrip_streaming(rate34):
+    phy = _coded_4b5b(rate34)
+    frames = [Frame.new_data(0, 1, 2, b"coded 4b5b nrzi"),
+              Frame.new_ack(0, 1, 2),
+              Frame.new_data(1, 1, 2, bytes(range(90)))]
+    wave = phy.encode_frames(frames, gap_samples=300)
+    got = []
+    for i in range(0, len(wave), 1300):
+        got.extend(phy.process_samples(wave[i:i + 1300]))
+    assert [(f.frame_type, f.data) for f in got] == [
+        (f.frame_type, f.data) for f in frames]
+
+
+@pytest.mark.parametrize("rate34", [False, True])
+def test_coded_manchester_rate34_roundtrip(rate34):
+    phy = CodedManchesterPhy(CFG, local_addr=2, rate34=rate34)
+    frames = [Frame.new_data(5, 1, 2, b"punctured manchester")]
+    wave = phy.encode_frames(frames)
+    got = phy.process_samples(
+        np.concatenate([wave, np.zeros(2000, np.float32)]))
+    assert [f.data for f in got] == [frames[0].data]
+
+
+def test_coded_4b5b_noise_and_dst_filter():
+    phy = _coded_4b5b()
+    assert phy.process_samples(
+        np.random.default_rng(0).normal(0, 0.05, 6000)
+        .astype(np.float32)) == []
+    wave = phy.encode_frames([Frame.new_data(0, 1, 9, b"not yours")])
+    assert phy.process_samples(np.concatenate(
+        [wave, np.zeros(3000, np.float32)])) == []
+
+
+def test_coded_4b5b_denser_than_coded_manchester():
+    """Same payload, same code rate: the 4B5B wire is ~1.6x shorter
+    (3.75 vs 6 samples per transmitted bit at spl=3), and rate 3/4
+    recovers another ~1.45x."""
+    m = CodedManchesterPhy(CFG, local_addr=2)
+    q = _coded_4b5b()
+    q34 = _coded_4b5b(rate34=True)
+    n = 64
+    body_m = m.frame_samples(n) - m.preamble_len
+    body_q = q.frame_samples(n) - q.preamble_len
+    body_q34 = q34.frame_samples(n) - q34.preamble_len
+    assert body_m / body_q > 1.5, (body_m, body_q)
+    assert body_q / body_q34 > 1.4, (body_q, body_q34)
+
+
+def test_coded_4b5b_corrects_what_uncoded_loses():
+    """At a noise level where the uncoded 4B5B decoder corrupts or
+    drops most frames, the coded 4B5B PHY still delivers them all."""
+    import jax.numpy as jnp
+    from trackmaker_tpu.phy.decoder import decode_capture
+    from trackmaker_tpu.phy.encoder import PhyEncoder
+
+    rng = np.random.default_rng(11)
+    frames = [Frame.new_data(i, 1, 2, bytes([64 + i]) * 48)
+              for i in range(6)]
+    sigma = 0.75
+
+    wave_u = PhyEncoder(CFG4).encode_frames(frames, gap_samples=300)
+    cap = np.concatenate([wave_u, np.zeros(3000, np.float32)])
+    cap = cap + rng.normal(0, sigma, len(cap)).astype(np.float32)
+    res = decode_capture(CFG4, jnp.asarray(cap), 2,
+                         max_frames=len(frames) + 4)
+    valid = np.asarray(res.valid)
+    fb = np.asarray(res.frame_bytes)
+    ok_u = sum(
+        1 for w in frames
+        if any(fb[j, 7:7 + len(w.data)].tobytes() == w.data
+               for j in np.nonzero(valid)[0]))
+
+    phy = _coded_4b5b()
+    wave_c = phy.encode_frames(frames, gap_samples=300)
+    cap_c = np.concatenate([wave_c, np.zeros(3000, np.float32)])
+    cap_c = cap_c + rng.normal(0, sigma, len(cap_c)).astype(np.float32)
+    got = phy.process_samples(cap_c)
+    ok_c = sum(1 for w in frames
+               if any(f.data == w.data and f.sequence == w.sequence
+                      for f in got))
+    assert ok_c == len(frames), (ok_c, len(frames))
+    assert ok_u < len(frames), ok_u

@@ -51,6 +51,39 @@ for _b in range(2):
         _POUT[ns, idx, 1] = _OUT1[_b, _s]
 
 
+# Rate-3/4 puncturing of the rate-1/2 mother code: per 3 input steps
+# (6 coded bits, [c0 c1] pairs) transmit [11, 10, 01] — the standard
+# puncture pattern for (133, 171), free distance 5.  Erasure positions
+# re-enter the Viterbi branch metrics as soft 0 (no preference), so the
+# decoder below needs no changes.
+_PUNCT_34 = np.array([1, 1, 1, 0, 0, 1], dtype=bool)
+
+
+@functools.lru_cache(maxsize=256)
+def _punct_idx(n_coded: int) -> np.ndarray:
+    """Indices of transmitted positions in an n_coded-bit mother block."""
+    reps = -(-n_coded // 6)
+    mask = np.tile(_PUNCT_34, reps)[:n_coded]
+    return np.nonzero(mask)[0]
+
+
+def punctured_len_34(n_coded: int) -> int:
+    return len(_punct_idx(n_coded))
+
+
+def puncture_34(coded: jax.Array) -> jax.Array:
+    """[..., n_coded] rate-1/2 output -> [..., ~2n/3] transmitted bits."""
+    idx = _punct_idx(coded.shape[-1])
+    return coded[..., idx]
+
+
+def depuncture_34(soft: jax.Array, n_coded: int) -> jax.Array:
+    """Transmitted soft values -> [..., n_coded] with 0.0 erasures."""
+    idx = _punct_idx(n_coded)
+    out = jnp.zeros((*soft.shape[:-1], n_coded), soft.dtype)
+    return out.at[..., idx].set(soft)
+
+
 @functools.lru_cache(maxsize=128)
 def block_interleaver(m: int) -> np.ndarray:
     """Deterministic pseudorandom interleaver for an m-bit coded block.
