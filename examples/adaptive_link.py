@@ -27,12 +27,12 @@ from trackmaker_tpu.phy.ofdm_adaptive import (  # noqa: E402
 )
 
 
-def shaped_channel(wave, rng, sigma=0.005):
-    """A 'cheap speakers' channel: strong roll-off above ~6.5 kHz."""
+def shaped_channel(wave, rng, sigma=0.005, cut_hz=6500.0):
+    """A 'cheap speakers' channel: strong roll-off above `cut_hz`."""
     n = len(wave)
     spec = np.fft.rfft(wave)
     f = np.fft.rfftfreq(n, 1.0 / 48_000)
-    gain = np.where(f > 6500.0, 0.05, 1.0)
+    gain = np.where(f > cut_hz, 0.05, 1.0)
     out = np.fft.irfft(spec * gain, n=n).astype(np.float32)
     return out + rng.normal(0, sigma, n).astype(np.float32)
 
@@ -79,6 +79,41 @@ def main():
           f"{data == msg[:60]}")
     rate = tx.net_bits_per_symbol / (cfg.sym_len / 48_000)
     print(f"net PHY rate on this channel: {rate:.0f} bps")
+
+    # 4. live retrain: the channel worsens mid-session; the pre-FEC BER
+    # monitor fires, and the link renegotiates a derated loading
+    # without tearing down (phy/ofdm_adaptive.py retrain protocol)
+    from trackmaker_tpu.phy.ofdm_adaptive import (
+        make_loading_frame, parse_control)
+
+    def worse_channel(wave):
+        # the roll-off knee drops into the middle of the loaded band
+        return shaped_channel(wave, rng, sigma=0.01, cut_hz=4200.0)
+
+    rx_phy.process_samples(worse_channel(np.concatenate(
+        [tx.encode_frames(frames, gap_samples=400),
+         np.zeros(3000, np.float32)])))
+    print(f"channel worsened: pre-FEC BER {rx_phy.prefec_ber(3):.1%}, "
+          f"degraded={rx_phy.link_degraded(window=3)}")
+    rx2 = worse_channel(np.concatenate(
+        [probe_waveform(cfg), np.zeros(800, np.float32)]))
+    s2 = int(np.asarray(find_preambles(cfg, jnp.asarray(rx2), 1))[0])
+    load2 = choose_loading(np.asarray(
+        estimate_bin_snr(cfg, jnp.asarray(rx2), s2)))
+    upd = hs_tx.encode_frames([make_loading_frame(1, 2, 1, load2)])
+    kind, negotiated2 = parse_control(
+        hs_rx.process_samples(worse_channel(np.concatenate(
+            [upd, np.zeros(3000, np.float32)])))[0],
+        len(cfg.data_bin_idx))
+    tx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated2, local_addr=2)
+    rx_new = OfdmAdaptiveStreamPhy(cfg, loading=negotiated2,
+                                   local_addr=2)
+    got2 = rx_new.process_samples(worse_channel(np.concatenate(
+        [tx2.encode_frames(frames, gap_samples=400),
+         np.zeros(3000, np.float32)])))
+    rate2 = tx2.net_bits_per_symbol / (cfg.sym_len / 48_000)
+    print(f"retrained ({kind}): {sum(load2)} coded bits/symbol, "
+          f"delivered {len(got2)}/3 clean at {rate2:.0f} bps")
 
 
 if __name__ == "__main__":

@@ -206,3 +206,75 @@ def test_csma_transfer_over_coded_adaptive_phy():
             until=lambda: sender.finished
             and len(receiver.received) >= len(chunks))
     assert b"".join(receiver.received) == data
+
+
+def test_live_retrain_on_degradation():
+    """Mid-session loading refresh: the pre-FEC BER monitor notices the
+    channel worsened, the receiver re-probes and renegotiates, and the
+    link runs clean on the derated loading — without tearing down."""
+    import jax.numpy as jnp
+    from trackmaker_tpu.phy.ofdm import find_preambles
+    from trackmaker_tpu.phy.ofdm_adaptive import (
+        make_loading_frame, make_reprobe_frame, parse_control)
+
+    rng = np.random.default_rng(23)
+    cfg = OfdmAdaptiveConfig()
+    nd = len(cfg.data_bin_idx)
+
+    def mild(w):
+        return _shaped(w, rng, sigma=0.004, cut_rel=0.95, floor=0.5)
+
+    def bad(w):
+        return _shaped(w, rng, sigma=0.01, cut_rel=0.45, floor=0.01)
+
+    def pad(w):
+        return np.concatenate([w, np.zeros(4000, np.float32)])
+
+    # 1. initial negotiation on the mild channel -> aggressive loading
+    probe = probe_waveform(cfg)
+    rxp = mild(pad(probe))
+    s = int(np.asarray(find_preambles(cfg, jnp.asarray(rxp), 1))[0])
+    load0 = choose_loading(np.asarray(estimate_bin_snr(cfg, rxp, s)))
+    assert sum(load0) > nd  # better than uniform BPSK
+
+    tx = OfdmAdaptiveStreamPhy(cfg, loading=load0, local_addr=1)
+    rx = OfdmAdaptiveStreamPhy(cfg, loading=load0, local_addr=2)
+    frames = [Frame.new_data(i, 1, 2, bytes([i]) * 40) for i in range(4)]
+
+    # clean traffic on the mild channel: monitor stays calm
+    got = rx.process_samples(mild(pad(tx.encode_frames(frames, 400))))
+    assert len(got) == 4
+    assert not rx.link_degraded(window=4)
+    calm = rx.prefec_ber(4)
+
+    # 2. the channel worsens; the same loading now takes heavy pre-FEC
+    # hits and the monitor fires
+    rx.process_samples(bad(pad(tx.encode_frames(frames, 400))))
+    assert rx.link_degraded(window=4), rx.frame_prefec
+    assert rx.prefec_ber(4) > calm + 0.03
+
+    # 3. retrain over the robust handshake mode: REPROBE -> probe ->
+    # LOADING, all through the BAD channel
+    hs_rx = OfdmAdaptiveStreamPhy.handshake_mode(cfg, local_addr=1)
+    hs_tx = OfdmAdaptiveStreamPhy.handshake_mode(cfg, local_addr=1)
+    req = hs_rx.encode_frames([make_reprobe_frame(9, 2, 1)])
+    got_req = hs_tx.process_samples(bad(pad(req)))
+    assert parse_control(got_req[0], nd) == ("reprobe", None)
+
+    rxp2 = bad(pad(probe_waveform(cfg)))
+    s2 = int(np.asarray(find_preambles(cfg, jnp.asarray(rxp2), 1))[0])
+    load1 = choose_loading(np.asarray(estimate_bin_snr(cfg, rxp2, s2)))
+    assert sum(load1) < sum(load0)   # derated for the worse channel
+
+    upd = hs_rx.encode_frames([make_loading_frame(10, 2, 1, load1)])
+    got_upd = hs_tx.process_samples(bad(pad(upd)))
+    kind, negotiated = parse_control(got_upd[0], nd)
+    assert kind == "loading" and negotiated == load1
+
+    # 4. both ends switch; traffic runs clean on the bad channel
+    tx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated, local_addr=1)
+    rx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated, local_addr=2)
+    got2 = rx2.process_samples(bad(pad(tx2.encode_frames(frames, 400))))
+    assert [(f.sequence, f.data) for f in got2] == [
+        (f.sequence, f.data) for f in frames]
+    assert not rx2.link_degraded(window=4)

@@ -440,6 +440,9 @@ class OfdmAdaptiveStreamPhy:
             self._coded_bits(max_frame_bytes - 7))
         self._buf = np.zeros(0, np.float32)
         self.preamble_len = cfg.preamble_len
+        # pre-FEC BER history, one entry per decode attempt (see
+        # prefec_ber / link_degraded): the live re-probe trigger
+        self.frame_prefec: list[float] = []
 
     @staticmethod
     def _coded_bits(n_payload_bytes: int) -> int:
@@ -503,6 +506,39 @@ class OfdmAdaptiveStreamPhy:
     def frame_samples(self, n_payload: int) -> int:
         return self.cfg.frame_samples(self._coded_bits(n_payload))
 
+    # -- link-quality monitoring (the live re-probe trigger) -----------
+
+    @staticmethod
+    def _prefec(soft_coded: np.ndarray, decoded_bits: np.ndarray
+                ) -> float:
+        """Pre-FEC BER estimate by re-encoding the Viterbi output and
+        comparing against the hard decisions of the received soft
+        values (the standard syndrome-free BER monitor: with the code
+        operating inside its correction radius the re-encoded stream
+        IS the transmitted stream, so mismatches are channel bit
+        errors)."""
+        from trackmaker_tpu.core.convcode import conv_encode
+        ref = np.asarray(conv_encode(jnp.asarray(decoded_bits)))
+        hard = (soft_coded > 0).astype(np.uint8)
+        return float(np.mean(hard != ref[: len(hard)]))
+
+    def prefec_ber(self, window: int = 8) -> float:
+        """Mean pre-FEC BER over the last `window` decode attempts
+        (NaN-free: 0.0 until anything was decoded)."""
+        h = self.frame_prefec[-window:]
+        return float(np.mean(h)) if h else 0.0
+
+    def link_degraded(self, threshold: float = 0.04,
+                      window: int = 8) -> bool:
+        """True when the recent pre-FEC BER says the current loading no
+        longer fits the channel.  Rate-1/2 K=7 soft Viterbi corrects
+        ~4-5% channel BER reliably; beyond that CRC failures (and ARQ
+        storms) follow, so 4% is the re-probe trip point — fire the
+        ADSL-style retrain (``retrain_frames`` / ``parse_control``)
+        before the link actually drops."""
+        return (len(self.frame_prefec) >= window
+                and self.prefec_ber(window) >= threshold)
+
     def process_samples(self, samples: np.ndarray) -> list[Frame]:
         from trackmaker_tpu.core.convcode import viterbi_decode
         self._buf = np.concatenate(
@@ -535,6 +571,7 @@ class OfdmAdaptiveStreamPhy:
             hdr = np.packbits(hdr_bits)
             data_len = (int(hdr[0]) << 8) | int(hdr[1])
             if data_len > self.max_frame_bytes - 7:
+                self.frame_prefec.append(self._prefec(deint, hdr_bits))
                 consumed = s + cfg.preamble_len
                 continue
             total_coded = self._coded_bits(data_len)
@@ -553,6 +590,12 @@ class OfdmAdaptiveStreamPhy:
             else:
                 pay_bits = np.zeros(0, np.uint8)
             f = Frame.from_bits(np.concatenate([hdr_bits, pay_bits]))
+            if data_len:
+                self.frame_prefec.append(0.5 * (
+                    self._prefec(deint, hdr_bits)
+                    + self._prefec(pdeint, pay_bits)))
+            else:
+                self.frame_prefec.append(self._prefec(deint, hdr_bits))
             consumed = frame_end
             if f is None:
                 continue
@@ -565,6 +608,48 @@ class OfdmAdaptiveStreamPhy:
         elif len(self._buf) > 10 * cfg.sample_rate:
             self._buf = self._buf[-cfg.preamble_len:]
         return out
+
+
+# --------------------------------------------------------------------------
+# Live retrain protocol (loading refresh on link degradation)
+#
+# When OfdmAdaptiveStreamPhy.link_degraded() fires mid-session (the
+# pre-FEC BER monitor says the negotiated loading no longer fits the
+# channel), the receiver retrains ADSL-style without tearing the link
+# down:
+#
+#   1. receiver -> transmitter (robust handshake mode): REPROBE request
+#   2. transmitter emits probe_waveform(cfg)
+#   3. receiver: estimate_bin_snr -> choose_loading -> LOADING update
+#      frame (robust mode)
+#   4. both ends switch their loaded PHYs to the new loading
+#
+# Control frames are ordinary data frames with a 2-byte magic payload
+# prefix (the same in-band-magic convention as the reference router's
+# ICMP traversal bytes 0xaa/0xbb, src/net/router.rs:1706-1779), so
+# they need no frame-format change and pass through any MAC.
+
+CTRL_REPROBE = b"\xa5R"
+CTRL_LOADING = b"\xa5L"
+
+
+def make_reprobe_frame(seq: int, src: int, dst: int) -> Frame:
+    return Frame.new_data(seq, src, dst, CTRL_REPROBE)
+
+
+def make_loading_frame(seq: int, src: int, dst: int,
+                       loading: tuple) -> Frame:
+    return Frame.new_data(seq, src, dst,
+                          CTRL_LOADING + pack_loading(loading))
+
+
+def parse_control(frame: Frame, n_bins: int):
+    """-> ("reprobe", None) | ("loading", tuple) | None."""
+    if frame.data[:2] == CTRL_REPROBE and len(frame.data) == 2:
+        return ("reprobe", None)
+    if frame.data[:2] == CTRL_LOADING:
+        return ("loading", unpack_loading(frame.data[2:], n_bins))
+    return None
 
 
 class OfdmAdaptiveModem:
