@@ -98,17 +98,95 @@ class TunPort:
             pass
 
 
+# Classic BPF assembly for the protocol filter the reference compiles
+# via libpcap ("icmp or arp or tcp or udp", src/net/router.rs:1140-1183,
+# pcap_utils.rs:32-42).  Attached with SO_ATTACH_FILTER the program
+# runs IN KERNEL, so non-matching frames never cross into userspace —
+# same efficiency class as pcap's compiled filter on a busy link.
+_BPF_LDH_ABS = 0x28      # A <- half-word at [k]
+_BPF_LDB_ABS = 0x30      # A <- byte at [k]
+_BPF_JEQ_K = 0x15        # pc += (A == k) ? jt : jf
+_BPF_RET_K = 0x06        # return k (accept length; 0 = drop)
+_SO_ATTACH_FILTER = 26
+_IP_PROTO = {"icmp": 1, "tcp": 6, "udp": 17}
+
+
+def bpf_protocol_filter(protocols) -> bytes:
+    """Packed sock_filter[] accepting Ethernet frames of the given
+    protocols (subset of {"arp", "icmp", "tcp", "udp"}), dropping all
+    else.  ARP matches ethertype 0x0806; the rest match IPv4 frames
+    (ethertype 0x0800) by protocol byte at offset 23."""
+    import struct
+
+    protos = sorted(set(protocols))
+    unknown = set(protos) - set(_IP_PROTO) - {"arp"}
+    assert not unknown, f"unsupported filter protocols: {unknown}"
+    want_arp = "arp" in protos
+    ip_nums = [_IP_PROTO[p] for p in protos if p in _IP_PROTO]
+    assert want_arp or ip_nums, "empty filter would drop everything"
+
+    # symbolic program, jump targets resolved below
+    prog: list[tuple] = [(_BPF_LDH_ABS, 0, 0, 12)]
+    if want_arp:
+        prog.append((_BPF_JEQ_K, "ACCEPT", 0, 0x0806))
+    if ip_nums:
+        prog.append((_BPF_JEQ_K, 0, "REJECT", 0x0800))
+        prog.append((_BPF_LDB_ABS, 0, 0, 23))
+        for i, num in enumerate(ip_nums):
+            last = i == len(ip_nums) - 1
+            prog.append((_BPF_JEQ_K, "ACCEPT",
+                         "REJECT" if last else 0, num))
+    accept_at = len(prog)
+    prog.append((_BPF_RET_K, 0, 0, 0x40000))
+    reject_at = len(prog)
+    prog.append((_BPF_RET_K, 0, 0, 0))
+
+    def resolve(tgt, pc):
+        if tgt == "ACCEPT":
+            return accept_at - pc - 1
+        if tgt == "REJECT":
+            return reject_at - pc - 1
+        return tgt
+
+    return b"".join(
+        struct.pack("HBBI", code, resolve(jt, pc), resolve(jf, pc), k)
+        for pc, (code, jt, jf, k) in enumerate(prog))
+
+
 class RawEthernetPort:
     """AF_PACKET raw socket (the libpcap-wrapper equivalent,
-    reference src/net/pcap_utils.rs).  Requires CAP_NET_RAW."""
+    reference src/net/pcap_utils.rs).  Requires CAP_NET_RAW.
 
-    def __init__(self, interface: str):
+    `kernel_filter` attaches an in-kernel classic-BPF protocol filter
+    (default: the reference router's "icmp or arp or tcp or udp");
+    pass None for an unfiltered promiscuous-style capture."""
+
+    def __init__(self, interface: str,
+                 kernel_filter=("icmp", "arp", "tcp", "udp")):
+        import ctypes
         import socket
+        import struct
         self.sock = socket.socket(socket.AF_PACKET, socket.SOCK_RAW,
                                   socket.htons(0x0003))
+        if kernel_filter is not None:
+            insns = bpf_protocol_filter(kernel_filter)
+            # keep the instruction buffer alive for the socket's life
+            self._bpf_buf = ctypes.create_string_buffer(insns)
+            fprog = struct.pack("HL", len(insns) // 8,
+                                ctypes.addressof(self._bpf_buf))
+            self.sock.setsockopt(socket.SOL_SOCKET, _SO_ATTACH_FILTER,
+                                 fprog)
         self.sock.bind((interface, 0))
         self.sock.setblocking(False)
         self.interface = interface
+        # drain frames queued between socket() and filter attach (the
+        # classic race; the filter only applies from attach onward)
+        if kernel_filter is not None:
+            while True:
+                try:
+                    self.sock.recv(65535)
+                except BlockingIOError:
+                    break
 
     def send(self, frame: bytes, **_kw) -> None:
         self.sock.send(frame)
