@@ -81,23 +81,29 @@ def ber_sweep(cfg: PhyConfig | None = None,
 
 def coded_ber_sweep(snr_dbs=(-8, -6, -4, -2, 0, 2, 4, 6),
                     n_frames: int = 16, payload_len: int = 64,
-                    seed: int = 0) -> list[dict]:
-    """Frame loss vs SNR for the Viterbi-coded Manchester PHY
+                    seed: int = 0, line_coding: str = "manchester",
+                    rate34: bool = False) -> list[dict]:
+    """Frame loss vs SNR for the Viterbi-coded line-coded PHYs
     (phy/coded.py) against the uncoded decoder at the SAME detection
     threshold — the coded cliff sits >=4 dB left (tests/test_coded_phy
     pins it).  Detection threshold is lowered identically for both so
     the sweep measures coding, not the correlator (normalized preamble
-    correlation decays as 1/sqrt(1+sigma^2))."""
-    from trackmaker_tpu.phy.coded import CodedManchesterPhy
+    correlation decays as 1/sqrt(1+sigma^2)).  `line_coding` picks the
+    waveform (manchester / 4b5b); `rate34` punctures to rate 3/4."""
+    from trackmaker_tpu.phy.coded import (
+        CodedFourB5BPhy, CodedManchesterPhy)
 
-    cfg = PhyConfig(correlation_threshold=0.45)
+    cfg = PhyConfig(line_coding=line_coding,
+                    correlation_threshold=0.45)
+    phy_cls = (CodedManchesterPhy if line_coding == "manchester"
+               else CodedFourB5BPhy)
     rng = np.random.default_rng(seed)
     payloads = rng.integers(0, 256, (n_frames, payload_len),
                             dtype=np.uint8)
     frames = [Frame.new_data(i & 0xFF, 1, 2, payloads[i].tobytes())
               for i in range(n_frames)]
     wave_u = PhyEncoder(cfg).encode_frames(frames, gap_samples=240)
-    phy = CodedManchesterPhy(cfg, local_addr=2)
+    phy = phy_cls(cfg, local_addr=2, rate34=rate34)
     wave_c = phy.encode_frames(frames, gap_samples=240)
     sig_pow = float(np.mean(np.square(wave_u[np.abs(wave_u) > 0])))
     results = []

@@ -245,7 +245,11 @@ def cmd_ber(args):
     cfg = _cfg_from_args(args)
     if args.coded:
         from trackmaker_tpu.bench.ber import coded_ber_sweep
-        for r in coded_ber_sweep(n_frames=args.frames):
+        rate = "3/4" if args.rate34 else "1/2"
+        print(f"coded PHY: {cfg.line_coding}, rate {rate}")
+        for r in coded_ber_sweep(n_frames=args.frames,
+                                 line_coding=cfg.line_coding,
+                                 rate34=args.rate34):
             print(f"SNR {r['snr_db']:6.1f} dB: uncoded loss "
                   f"{r['uncoded_loss_pct']:5.1f}%  coded loss "
                   f"{r['coded_loss_pct']:5.1f}%")
@@ -463,8 +467,10 @@ def main(argv=None):
     s.add_argument("--frames", type=int, default=16)
     s.add_argument("--plot")
     s.add_argument("--coded", action="store_true",
-                   help="compare the Viterbi-coded Manchester PHY "
-                        "against the uncoded decoder")
+                   help="compare the Viterbi-coded PHY (of the chosen "
+                        "--encoding) against the uncoded decoder")
+    s.add_argument("--rate34", action="store_true",
+                   help="with --coded: puncture to rate 3/4")
     s.set_defaults(fn=cmd_ber)
 
     s = sub.add_parser("sweep", parents=[common],
