@@ -61,17 +61,45 @@ def _sync1(r):
 def _measure(fn, x, iters, repeats=3):
     """Median-of-`repeats` timing of `fn(x)` averaged over `iters` calls.
 
+    The `iters` iterations run INSIDE one compiled program (a
+    `lax.scan` whose carry feeds a sub-epsilon, decision-neutral
+    perturbation of x into the next iteration, so XLA can neither
+    hoist the body out of the loop nor CSE iterations): the remote
+    tunnel serializes per-call dispatches at 10-40 ms RTT in degraded
+    windows, which would otherwise floor every row at samples/RTT no
+    matter how fast the chip is (measured: a no-op elementwise jit
+    "takes" 12 ms in such a window).  One dispatch per repeat leaves
+    only RTT/iters of tunnel bias (~2% at healthy RTT).
+
     NOTE: on the axon tunnel block_until_ready alone under-reports
     until the process has done a device->host transfer, so every repeat
     ends with a forced readback (see CLAUDE.md).  Returns the list of
     per-repeat mean iteration times (sorted ascending)."""
-    r = fn(x)
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x):
+        def body(c, i):
+            # decision-neutral: |i|*1e-30 is far below f32 epsilon of
+            # any sample value AND below every energy/threshold eps,
+            # but varies per iteration, so the body can't be hoisted
+            # or CSE'd; iterations stay DATA-independent of each other
+            # (unlike a carry-fed perturbation) so the chip can overlap
+            # them just like pipelined dispatches would
+            r = fn(x + i.astype(jnp.float32) * 1e-30)
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            return c + jnp.sum(leaf.astype(jnp.float32)), None
+        out, _ = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(iters, dtype=jnp.int32))
+        return out
+
+    r = loop(x)
     _sync1(r)                       # warm: compile + first upload
     ts = []
     for _ in range(repeats):
         t0 = time.time()
-        for _ in range(iters):
-            r = fn(x)
+        r = loop(x)
         _sync1(r)
         ts.append((time.time() - t0) / iters)
         if _remaining() < 10 and ts:

@@ -1,0 +1,94 @@
+"""Stage profiler with in-program iteration loops: immune to the
+tunnel's per-dispatch RTT.  argv: [encoding] [iters]"""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+from trackmaker_tpu.core.config import PhyConfig
+from trackmaker_tpu.core.framing import Frame
+from trackmaker_tpu.phy.encoder import PhyEncoder
+from trackmaker_tpu.phy import pallas_decode as pd
+
+enc_name = sys.argv[1] if len(sys.argv) > 1 else "manchester"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+rng = np.random.default_rng(0)
+cfg = PhyConfig(line_coding=enc_name)
+n_frames, batch = 64, 32
+frames = [Frame.new_data(i & 0xFF, 1, 2,
+          rng.integers(0, 256, 128, dtype=np.uint8).tobytes())
+          for i in range(n_frames)]
+wave = PhyEncoder(cfg).encode_frames(frames, gap_samples=200)
+t = len(wave)
+caps = np.stack([wave + rng.normal(0, 0.05, t).astype(np.float32)
+                 for _ in range(batch)])
+x = jnp.asarray(caps)
+print(f"enc={enc_name} t={t} batch={batch} total={batch*t/1e6:.1f}M iters={ITERS}", flush=True)
+
+def sync1(r):
+    np.asarray(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[0])
+
+def timeit_fused(name, fn, x, iters=ITERS, repeats=3):
+    @jax.jit
+    def loop(x):
+        def body(c, i):
+            r = fn(x + i.astype(jnp.float32) * 1e-30)
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            return c + jnp.sum(leaf.astype(jnp.float32)), None
+        out, _ = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(iters, dtype=jnp.int32))
+        return out
+    r = loop(x); sync1(r)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        r = loop(x)
+        sync1(r)
+        ts.append((time.time() - t0) / iters * 1000)
+    print(f"{name:24s} {min(ts):8.2f} ms  (med {sorted(ts)[1]:.2f})", flush=True)
+    return min(ts)
+
+from trackmaker_tpu import sync as sync_mod
+from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits
+from trackmaker_tpu.phy import line_coding
+pre_np = line_coding.preamble_waveform(cfg)
+xc_blk = 16384 if t >= 131072 else 8192
+
+def xcorr_raw(x):
+    return jax.vmap(lambda s: pallas_xcorr_hits(
+        s, pre_np, cfg.correlation_threshold, blk=xc_blk,
+        use_bf16=sync_mod.bf16_enabled(), emit_corr=False))(x)[1]
+
+def xcorr_bf16(x):
+    return jax.vmap(lambda s: pallas_xcorr_hits(
+        s, pre_np, cfg.correlation_threshold, blk=xc_blk,
+        use_bf16=True, emit_corr=False))(x)[1]
+
+def xcorr_extract(x):
+    _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
+        s, pre_np, cfg.correlation_threshold, blk=xc_blk,
+        use_bf16=sync_mod.bf16_enabled(), emit_corr=False))(x)
+    return pd._compact_hit_rows(rows, 128)
+
+vlens = jnp.full((batch,), t, jnp.int32)
+
+def phase_a(x):
+    return pd._spec_phase_a(cfg, x, jnp.int32(2), 128, vlens)
+
+def full(x):
+    return pd.decode_capture_spec(cfg, x, 2, max_frames=72)
+
+timeit_fused("xcorr only", xcorr_raw, x)
+timeit_fused("xcorr bf16", xcorr_bf16, x)
+timeit_fused("xcorr+extract", xcorr_extract, x)
+timeit_fused("phase_a", phase_a, x)
+timeit_fused("full spec decode", full, x)
+for blk_try in (8192, 32768, 65536):
+    def xc(x, b=blk_try):
+        return jax.vmap(lambda s: pallas_xcorr_hits(
+            s, pre_np, cfg.correlation_threshold, blk=b,
+            use_bf16=False, emit_corr=False))(x)[1]
+    timeit_fused(f"xcorr blk={blk_try}", xc, x)
+sys.stdout.flush(); os._exit(0)
