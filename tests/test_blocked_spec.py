@@ -202,3 +202,38 @@ def test_spec_cursor_incomplete_pending():
     assert bool(np.asarray(ok)[0])
     assert int(np.asarray(srch_s)[0]) == int(np.asarray(srch_e))
     assert int(np.asarray(cur_s)[0]) == int(np.asarray(cur_e))
+
+
+def test_walk_vectorized_equals_smem():
+    """The pointer-doubling walk must replay the scalar SMEM kernel's
+    decisions bit-for-bit on randomized candidate tables: ascending
+    positions with _BIGI pads, random consumed/stop/keep flags, random
+    cursors and scan limits, and max_frames caps that actually bind."""
+    from trackmaker_tpu.phy.pallas_decode import (
+        _BIGI, _spec_walk, _spec_walk_smem)
+
+    rng = np.random.default_rng(17)
+    for trial in range(40):
+        b = int(rng.integers(1, 5))
+        c = int(rng.choice([8, 32, 128]))
+        n_real = rng.integers(0, c + 1, b)
+        pos = np.full((b, c), int(_BIGI), np.int64)
+        for i in range(b):
+            k = int(n_real[i])
+            pos[i, :k] = np.sort(rng.integers(0, 40_000, k))
+        consumed = rng.integers(1, 3000, (b, c))
+        stopf = (rng.random((b, c)) < 0.25).astype(np.int64)
+        keepf = (rng.random((b, c)) < 0.6).astype(np.int64)
+        fields = jnp.asarray(np.stack(
+            [pos, consumed, stopf, keepf], axis=1), jnp.int32)
+        cur0 = jnp.asarray(rng.integers(0, 30_000, b), jnp.int32)
+        limit = jnp.asarray(rng.choice(
+            [20_000, 41_000, int(_BIGI)], b), jnp.int32)
+        mf = int(rng.choice([1, 2, 5, c, 2 * c]))
+
+        got = _spec_walk(fields, cur0, limit, mf)
+        want = _spec_walk_smem(fields, cur0, limit, mf, interpret=True)
+        names = ("keep", "attempted", "cur_f", "done", "pending")
+        for name, g, w in zip(names, got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w)), (
+                trial, name, np.asarray(g), np.asarray(w))

@@ -91,4 +91,20 @@ for blk_try in (8192, 32768, 65536):
             s, pre_np, cfg.correlation_threshold, blk=b,
             use_bf16=False, emit_corr=False))(x)[1]
     timeit_fused(f"xcorr blk={blk_try}", xc, x)
+
+
+# --- appended stages: walk/compact split ---
+def phase_a_walk(x):
+    a = pd._spec_phase_a(cfg, x, jnp.int32(2), 128, vlens)
+    keep, att, fcur, done, pend = pd._spec_walk(a.fields, 0, int(pd._BIGI), 72)
+    return keep
+
+def phase_a_walk_compact(x):
+    a = pd._spec_phase_a(cfg, x, jnp.int32(2), 128, vlens)
+    keep, att, fcur, done, pend = pd._spec_walk(a.fields, 0, int(pd._BIGI), 72)
+    return pd._spec_compact(a, keep, 72).valid
+
+timeit_fused("phase_a+walk", phase_a_walk, x)
+timeit_fused("phase_a+walk+compact", phase_a_walk_compact, x)
+
 sys.stdout.flush(); os._exit(0)

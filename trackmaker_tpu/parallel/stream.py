@@ -84,7 +84,8 @@ def _sharded_spec_run(cfg, blocks, local_addr, flat_mesh, t, block,
     over exact per-candidate fields converges left-to-right to the
     sequential cursor walk (module docstring)."""
     from trackmaker_tpu.phy.pallas_decode import (
-        _spec_compact, _spec_phase_a, _spec_walk)
+        _spec_compact, _spec_phase_a, _spec_walk_prepare,
+        _spec_walk_query)
 
     halo = halo_size(cfg)
     spec = P("sp", None)
@@ -110,10 +111,11 @@ def _sharded_spec_run(cfg, blocks, local_addr, flat_mesh, t, block,
         a = _spec_phase_a(cfg, ext, jnp.asarray(local_addr, jnp.int32),
                           n_cand, vlens, interpret)
         limit = (vlens * 0 + block).astype(jnp.int32)
+        prep = _spec_walk_prepare(a.fields, limit, max_frames_per_block)
 
         def walk(cur):
-            keep, att, fcur, _done, _pend = _spec_walk(
-                a.fields, cur, limit, max_frames_per_block, interpret)
+            keep, att, fcur, _done, _pend = _spec_walk_query(
+                prep, cur, max_frames_per_block)
             return keep, att, fcur
 
         cur0 = (vlens * 0).astype(jnp.int32)
@@ -333,14 +335,16 @@ def _decode_blocked_jit(cfg, x, local_addr, n_blocks,
 def _decode_blocked_spec(cfg, x, local_addr, n_blocks,
                          max_frames_per_block, t, n_cand,
                          interpret=False):
-    """Blockwise decode through the speculative Pallas decoder.
-
-    The structural win over `_decode_blocked_jit`: the speculative
-    decoder's phase A (correlation + attempt kernel + decision
-    epilogue, phy/pallas_decode.py) is cursor-independent, so it runs
-    ONCE over all block windows; the consumed-until seam fixpoint then
-    re-runs only the tiny SMEM walk kernel until cursors converge —
-    instead of re-decoding whole blocks per iteration.
+    """Blockwise decode through the speculative Pallas decoder, FLAT:
+    the capture is correlated ONCE as one stream (no halo duplication,
+    no (n_blocks, block+halo) windowed copy — that copy alone measured
+    ~17 ms for a 600 s capture), the per-128-lag hit rows reshape into
+    per-block candidate tables with GLOBAL positions, and the attempt
+    kernel DMAs its slabs straight from the single shared buffer — a
+    frame near a block seam just reads the following samples.  Blocks
+    exist only for the walk: per-block cursors/limits are global
+    sample positions, and the consumed-until seam fixpoint re-runs
+    only the tiny SMEM walk kernel until cursors converge.
 
     Returns ``(frames, ok)``; `ok=False` (candidate-table overflow or a
     4B5B conformance flag on an *attempted* candidate in the converged
@@ -351,29 +355,33 @@ def _decode_blocked_spec(cfg, x, local_addr, n_blocks,
     the sequential cursor walk exactly (same argument as the module
     docstring, with 'decode' = 'walk over exact per-candidate fields')."""
     from trackmaker_tpu.phy.pallas_decode import (
-        _spec_compact, _spec_phase_a, _spec_walk)
+        _spec_compact, _spec_phase_a, _spec_walk_prepare,
+        _spec_walk_query)
 
-    halo = halo_size(cfg)
-    block = -(-t // n_blocks)
+    block = -(-(-(-t // n_blocks)) // 128) * 128   # multiple of 128
+    t_pad = n_blocks * block
+    xf = jnp.pad(jnp.asarray(x, jnp.float32), (0, t_pad - t))
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    wins = _overlapping_blocks(x, t, n_blocks, block, halo)
-    vlens = jnp.minimum(block + halo, t - starts)
+    vlens = jnp.full((n_blocks,), t, jnp.int32)
 
-    a = _spec_phase_a(cfg, wins, jnp.asarray(local_addr, jnp.int32),
-                      n_cand, vlens, interpret)
-    limit = jnp.full((n_blocks,), block, jnp.int32)
+    a = _spec_phase_a(cfg, xf, jnp.asarray(local_addr, jnp.int32),
+                      n_cand, vlens, interpret,
+                      flat_blocks=(n_blocks, block))
+    limit = starts + block
+    prep = _spec_walk_prepare(a.fields, limit, max_frames_per_block)
 
     def walk(cur):
-        keep, att, fcur, _done, _pend = _spec_walk(
-            a.fields, cur, limit, max_frames_per_block, interpret)
+        keep, att, fcur, _done, _pend = _spec_walk_query(
+            prep, cur, max_frames_per_block)
         return keep, att, fcur
 
-    cur0 = jnp.zeros(n_blocks, jnp.int32)
+    cur0 = starts
     keep0, att0, fcur0 = walk(cur0)
 
     def propose(fcur):
-        e = starts + fcur
-        nxt = jnp.maximum(e[:-1] - starts[1:], 0).astype(jnp.int32)
+        # global intrusion endpoint from the left neighbor, clamped to
+        # the block's own start
+        nxt = jnp.maximum(fcur[:-1], starts[1:]).astype(jnp.int32)
         return jnp.concatenate([jnp.zeros(1, jnp.int32), nxt])
 
     def cond(state):
@@ -390,7 +398,9 @@ def _decode_blocked_spec(cfg, x, local_addr, n_blocks,
         cond, body, (cur0, keep0, att0, fcur0))
 
     res = _spec_compact(a, keep, max_frames_per_block)
-    res = _mask_mine(res, block, starts[:, None])
+    # starts are already global; ownership is by construction (block
+    # b's candidate table only holds positions inside block b), so no
+    # rebase — just re-assert the valid mask shape
     ok = jnp.all(~(a.overflow | jnp.any(att & a.nonconf, axis=-1)))
     flat = jax.tree_util.tree_map(
         lambda arr: arr.reshape((-1,) + arr.shape[2:]), res)

@@ -145,8 +145,10 @@ def _pack_table() -> np.ndarray:
 
 def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
                     tb8_ref, w_ref, bytes_ref, xw, sem, *, n_cand: int,
-                    t_max: int, sync_e: float):
+                    t_max: int, sync_e: float, shared_x: bool = False):
     b = pl.program_id(0)
+    bx = 0 if shared_x else b   # flat-capture mode: every grid step
+    #                             (block) reads the one shared buffer
     vlen = vlen_ref[b]
     nv = jnp.minimum(nval_ref[b], n_cand)  # skip the 2^30 fill slots
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -162,7 +164,7 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         r0 = base // DROW
         start8 = pl.multiple_of((r0 // 8) * 8, 8)  # HBM slices need
         return pltpu.make_async_copy(              # 8-aligned sublanes
-            x384_ref.at[b, pl.ds(start8, NR), :],
+            x384_ref.at[bx, pl.ds(start8, NR), :],
             xw.at[slot], sem.at[slot])
 
     def tslice(tref, start):
@@ -286,8 +288,10 @@ def _sym_mats() -> tuple[np.ndarray, np.ndarray]:
 
 def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
                          ma_ref, mb_ref, w5_ref, z5_ref, out_ref, xw, sem,
-                         *, n_cand: int, t_max: int, sync_e: float):
+                         *, n_cand: int, t_max: int, sync_e: float,
+                         shared_x: bool = False):
     b = pl.program_id(0)
+    bx = 0 if shared_x else b
     vlen = vlen_ref[b]
     nv = jnp.minimum(nval_ref[b], n_cand)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -303,7 +307,7 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         r0 = base // DROW
         start8 = pl.multiple_of((r0 // 8) * 8, 8)
         return pltpu.make_async_copy(
-            x384_ref.at[b, pl.ds(start8, NR4), :],
+            x384_ref.at[bx, pl.ds(start8, NR4), :],
             xw.at[slot], sem.at[slot])
 
     def tslice(tref, start):
@@ -468,13 +472,116 @@ def _walk_kernel(fields_ref, scal_ref, out_ref, *, n_cand: int,
 
 def _spec_walk(fields, start_cursor, scan_limit, max_frames: int,
                interpret: bool = False):
-    """Run the walk kernel over the per-candidate decision fields.
+    """Vectorized consumption walk (decoder.rs:242-356) over the sorted
+    candidate list — a batched pointer chase instead of a scalar loop.
+
+    The scalar SMEM kernel (`_spec_walk_smem`) measured ~2.9 ms of the
+    7.3 ms flagship decode: its grid steps serialize on the single
+    scalar core (32 blocks x 128 candidates x ~20 SMEM ops).  The walk
+    is a chain in a functional graph, and candidate positions are
+    SORTED, so it vectorizes exactly:
+
+    * successor(c) = first index with pos >= pos_c + consumed_c — a
+      per-pair compare + count along the sorted axis (no gather);
+      stop candidates and candidates at/past the scan limit map to an
+      absorbing sink (non-existence is a suffix property of the
+      sorted list, so the chain can never skip past a hole).
+    * the attempted set = the first `max_frames` nodes of the chain
+      from s0 = first index with pos >= start_cursor, marked by a
+      `lax.scan` pointer chase over the whole batch at once: each
+      step ORs one-hot(ptr) into a visited bitmap and advances every
+      row's pointer through the successor table (a (B, C+1) masked
+      sum, no gather).  Chain indices strictly increase (consumed
+      >= 1), so min(max_frames, C+1) steps reach the sink; each step
+      is ~3 tiny VPU ops, ~0.1 ms total at B=32, C=128 — vs ~3 ms
+      for the same chain as an MXU matrix power series (tried:
+      binary-doubling S(2n) = (I+M^n)S(n) over (C+1)^2 one-hot
+      matrices; 21 batched 129x129 matmuls lose to 72 fused scan
+      steps at these sizes).
 
     Returns ``(keep, attempted, final_cursor, done, pending)`` per
     capture.  `done` mirrors decode_capture's done_f: True when the
     walk ended on a stop or ran out of candidates — NOT when it merely
     hit `max_frames` attempts (the exact scan's remaining steps would
-    then see no candidate and stop, decoder.py's `step`)."""
+    then see no candidate and stop, decoder.py's `step`).
+    Differentially pinned against the SMEM kernel by
+    tests/test_blocked_spec.py::test_walk_vectorized_equals_smem."""
+    prep = _spec_walk_prepare(fields, scan_limit, max_frames)
+    return _spec_walk_query(prep, start_cursor, max_frames)
+
+
+def _spec_walk_prepare(fields, scan_limit, max_frames: int):
+    """Cursor-independent half of :func:`_spec_walk`: the per-candidate
+    successor table (with the absorbing sink at index C).
+    Blocked/sharded seam fixpoints call this ONCE and re-run only the
+    cheap `_spec_walk_query` per iteration (only `start_cursor` changes
+    across fixpoint iterations; `scan_limit` does not)."""
+    b, _, c_n = fields.shape
+    pos = fields[:, 0, :]                        # i32, ascending
+    consumed = fields[:, 1, :]
+    stopf = fields[:, 2, :] > 0
+    keepf = fields[:, 3, :] > 0
+    limit = jnp.broadcast_to(
+        jnp.asarray(scan_limit, jnp.int32), (b,))
+    exists = (pos < _BIGI) & (pos < limit[:, None])
+
+    target = pos + consumed
+    nxt = jnp.sum((pos[:, None, :] < target[:, :, None])
+                  .astype(jnp.int32), axis=-1)   # (B, C) in [0, C]
+    nxt = jnp.where(stopf | ~exists, c_n, nxt)
+    nxt_ext = jnp.concatenate(                   # sink self-loop
+        [nxt, jnp.full((b, 1), c_n, nxt.dtype)], axis=-1)
+
+    return (nxt_ext, pos, consumed, stopf, keepf, exists)
+
+
+def _spec_walk_query(prep, start_cursor, max_frames: int):
+    """Cursor-dependent half of :func:`_spec_walk`: chase the successor
+    chain from `start_cursor`'s first candidate and reduce the visited
+    set to (keep, attempted, final_cursor, done, pending)."""
+    nxt_ext, pos, consumed, stopf, keepf, exists = prep
+    b, c_n = pos.shape
+    cur0 = jnp.broadcast_to(
+        jnp.asarray(start_cursor, jnp.int32), (b,))
+
+    ar = jnp.arange(c_n + 1, dtype=jnp.int32)
+    s0 = jnp.sum((pos < cur0[:, None]).astype(jnp.int32), axis=-1)
+    # visited init derives from pos so its varying-axes typing matches
+    # the scan body's output under shard_map (CLAUDE.md invariant)
+    vis0 = jnp.pad(pos * 0, ((0, 0), (0, 1))) > 0   # (B, C+1) False
+
+    def step(carry, _):
+        ptr, vis = carry
+        onehot = ptr[:, None] == ar[None, :]
+        nptr = jnp.sum(jnp.where(onehot, nxt_ext, 0), axis=-1)
+        return (nptr.astype(ptr.dtype), vis | onehot), None
+
+    # chain indices strictly increase, so C+1 steps always reach the
+    # sink; extra steps past max_frames would only re-visit it
+    steps = min(max_frames, c_n + 1)
+    # unroll: the per-step ops are tiny (B x C+1 compares), so scan
+    # iteration overhead dominates — unroll=8 measured 0.69 vs 0.99 ms
+    # at B=32, C=128 (tools/prof_walk.py)
+    (_, visited), _ = jax.lax.scan(
+        step, (s0.astype(jnp.int32), vis0), None, length=steps,
+        unroll=8)
+
+    att = visited[:, :c_n] & exists
+    keep = att & keepf & ~stopf   # stop candidates never yield a frame
+    att_n = jnp.sum(att.astype(jnp.int32), axis=-1)
+    stopped = jnp.any(att & stopf, axis=-1)
+    pending = jnp.min(jnp.where(att & stopf, pos, _BIGI), axis=-1)
+    adv_end = jnp.max(jnp.where(att & ~stopf, pos + consumed, -1),
+                      axis=-1)
+    cur_f = jnp.maximum(cur0, adv_end)
+    done = stopped | (att_n < max_frames)
+    return keep, att, cur_f, done, pending
+
+
+def _spec_walk_smem(fields, start_cursor, scan_limit, max_frames: int,
+                    interpret: bool = False):
+    """The original scalar SMEM walk kernel — kept as the differential
+    reference for `_spec_walk` (same contract)."""
     b, _, n_cand = fields.shape
     # (B, 1, 2): keeps the SMEM block's last two dims equal to the
     # overall array dims (Mosaic's block-shape rule)
@@ -598,16 +705,34 @@ class SpecFields(NamedTuple):
 
 def _spec_phase_a(
     cfg: PhyConfig,
-    x: jax.Array,              # f32[B, T]
+    x: jax.Array,              # f32[B, T]; f32[T_flat] with flat_blocks
     local_addr: jax.Array,     # i32 scalar
     n_cand: int,
     vlens: jax.Array,          # i32[B]
     interpret: bool = False,
+    flat_blocks: tuple[int, int] | None = None,
 ) -> SpecFields:
     """Dense correlation + candidate extraction + attempt kernel +
     decision epilogue — every per-candidate quantity the consumption
-    walk needs, computed for ALL candidates independent of the cursor."""
-    b, t = x.shape
+    walk needs, computed for ALL candidates independent of the cursor.
+
+    ``flat_blocks=(n_blocks, block)`` is the long-capture mode: x is
+    ONE flat capture (pre-padded to n_blocks*block, block % 128 == 0),
+    correlated once with no halo duplication; the per-128-lag hit rows
+    split into per-block candidate tables by reshape (positions stay
+    GLOBAL), and the attempt kernel DMAs its slabs from the single
+    shared buffer — so a frame near a block seam reads the real
+    following samples and no windowed copy of the capture ever exists
+    (the windowed path materialized (n_blocks, block+halo) overlapping
+    copies, ~17 ms for a 600 s capture).  Walk cursors/limits for this
+    mode are global sample positions (parallel/stream.py)."""
+    if flat_blocks is None:
+        b, t = x.shape
+    else:
+        n_blocks, block = flat_blocks
+        assert x.ndim == 1 and block % 128 == 0
+        b = n_blocks
+        t = x.shape[-1]
     manchester = cfg.line_coding == MANCHESTER
 
     pre_np = line_coding.preamble_waveform(cfg)
@@ -619,22 +744,41 @@ def _spec_phase_a(
 
     from trackmaker_tpu import sync as sync_mod
     from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits
-    # 16k lag tile when the capture amortizes it: same kernel measured
-    # 5.5 / 4.7 / 4.5-4.9 ms at blk 8k/16k/32k on the b=32 flagship
-    # (the kernel is grid-step-overhead bound, not MXU bound — bf16
-    # multiplicands measured neutral in the same A/B, tools/xcorr_ab.py)
-    xc_blk = 16384 if t >= 131072 else 8192
-    _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
-        s, pre_np, cfg.correlation_threshold, blk=xc_blk,
-        interpret=interpret, use_bf16=sync_mod.bf16_enabled(),
-        emit_corr=False))(x)
-    cand, corr_cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
+    # lag-tile sweep (fused in-program timing, tools/prof_fused.py):
+    # 433k-sample rows measured 4.83/4.24/3.91/4.83 ms at blk
+    # 8k/16k/32k/64k, 275k rows 4.09/3.71/3.88/4.20 — 32k wins only
+    # once the per-row grid amortizes it (bf16 multiplicands neutral)
+    if t >= 400_000:
+        xc_blk = 32768
+    elif t >= 131_072:
+        xc_blk = 16384
+    else:
+        xc_blk = 8192
+    if flat_blocks is None:
+        _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
+            s, pre_np, cfg.correlation_threshold, blk=xc_blk,
+            interpret=interpret, use_bf16=sync_mod.bf16_enabled(),
+            emit_corr=False))(x)
+        cand, corr_cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
+    else:
+        _, rows = pallas_xcorr_hits(
+            x, pre_np, cfg.correlation_threshold, blk=xc_blk,
+            interpret=interpret, use_bf16=sync_mod.bf16_enabled(),
+            emit_corr=False)
+        rows_b = rows[: n_blocks * (block // 128)].reshape(
+            n_blocks, block // 128, 16)
+        cand, corr_cand, n_valid, overflow = _compact_hit_rows(
+            rows_b, n_cand)
 
     # row-shaped view for the kernel's slab DMAs; padded so any clipped
     # candidate's slab stays in bounds
     nr = NR if manchester else NR4
     r384 = -(-(t + 48) // DROW) + nr + 10
-    x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - t))).reshape(b, r384, DROW)
+    if flat_blocks is None:
+        x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - t))).reshape(
+            b, r384, DROW)
+    else:
+        x384 = jnp.pad(x, (0, r384 * DROW - t)).reshape(1, r384, DROW)
 
     n_total = PHY_HEADER_BYTES + cfg.max_frame_bytes     # 263
     if manchester:
@@ -657,7 +801,8 @@ def _spec_phase_a(
         )
         bytes_cm = pl.pallas_call(
             functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
-                              sync_e=sync_e),
+                              sync_e=sync_e,
+                              shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS, 128),
                                            jnp.float32),
             grid_spec=grid_spec,
@@ -700,7 +845,8 @@ def _spec_phase_a(
         )
         out_cm = pl.pallas_call(
             functools.partial(_attempt_kernel_4b5b, n_cand=n_cand,
-                              t_max=t, sync_e=sync_e),
+                              t_max=t, sync_e=sync_e,
+                              shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS4, 128),
                                            jnp.float32),
             grid_spec=grid_spec,
@@ -792,34 +938,52 @@ def _spec_phase_a(
 
 def _spec_compact(a: SpecFields, keep: jax.Array, max_frames: int):
     """Compact kept candidates to the leading `max_frames` slots in
-    position order (phase C)."""
-    b = keep.shape[0]
+    position order (phase C).
+
+    The selection runs as one-hot MATMULS, not gathers: sel (B, K, C)
+    is exclusive along C per output slot, so einsum with it IS the
+    gather — and XLA lowers a `take_along_axis` over the (B, C, 263)
+    byte table to a scalar-driven gather that measured ~2.5 ms of the
+    7.5 ms flagship decode, vs ~0.1 ms for the MXU contraction.  All
+    selected fields are exact in f32 (bytes <= 255, positions < 2^24).
+    """
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
     sel = keep[:, None, :] & (
         rank[:, None, :] == jnp.arange(max_frames)[None, :, None])
     any_k = jnp.any(sel, axis=-1)                        # (B, K)
-    idx = jnp.argmax(sel, axis=-1)                       # (B, K)
+    self_f = sel.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST      # true-f32 MXU passes: exact
+    #                                     for integers < 2^24
 
-    def takec(arr):
-        g2 = jnp.take_along_axis(
-            arr, idx.reshape(b, max_frames, *([1] * (arr.ndim - 2))),
-            axis=1)
-        return jnp.where(any_k.reshape(b, max_frames,
-                                       *([1] * (arr.ndim - 2))), g2, 0)
+    def pick(arr, dtype):
+        if arr.ndim == 2:                                # (B, C)
+            out = jnp.einsum("bkc,bc->bk", self_f,
+                             arr.astype(jnp.float32), precision=hi)
+        else:                                            # (B, C, N)
+            out = jnp.einsum("bkc,bcn->bkn", self_f,
+                             arr.astype(jnp.float32), precision=hi)
+        return out.astype(dtype)
 
-    out_bytes = takec(a.bytes_m.astype(jnp.uint8))
-    starts = takec(a.cand)
-    corr_v = takec(a.corr)
+    def pick_pos(arr):
+        # positions reach 2^25 on flat long captures — above f32's
+        # integer-exact range, so contract 16-bit halves separately
+        lo16 = pick(arr & 0xFFFF, jnp.int32)
+        hi16 = pick(arr >> 16, jnp.int32)
+        return (hi16 << 16) + lo16
+
+    out_bytes = pick(a.bytes_m, jnp.uint8)
+    starts = pick_pos(a.cand)
+    corr_v = pick(a.corr, jnp.float32)
 
     from trackmaker_tpu.phy.decoder import DecodedFrames
     return DecodedFrames(
         valid=any_k,
         frame_bytes=out_bytes,
-        length=takec(a.dlen),
-        frame_type=takec(a.ftype),
-        sequence=takec(a.seq),
-        src=takec(a.src),
-        dst=takec(a.dst),
+        length=pick(a.dlen, jnp.int32),
+        frame_type=pick(a.ftype, jnp.int32),
+        sequence=pick(a.seq, jnp.int32),
+        src=pick(a.src, jnp.int32),
+        dst=pick(a.dst, jnp.int32),
         start=jnp.where(any_k, starts, -1),
         corr=jnp.where(any_k, corr_v, 0.0),
     )
