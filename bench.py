@@ -118,13 +118,21 @@ def _row(ts, samples_per_iter):
 
 
 def _iters_for(base):
-    """Adapt per-repeat iteration count to the remaining budget."""
+    """Adapt per-repeat iteration count to the remaining budget.
+
+    The in-program iteration count is what divides the tunnel's
+    per-dispatch RTT out of each sample: a degraded window serializes
+    dispatches at 10-40 ms, so at iters=10 every row reads ~3 ms/iter
+    too slow NO MATTER how fast the chip is (measured: the flagship
+    "was" 43,906x at iters=10 and 68,800x at iters=100 in the same
+    window — a noop Pallas kernel "took" 4.5 ms at iters=10).  Keep
+    iters high enough that RTT/iters is noise, budget permitting."""
     rem = _remaining()
     if rem > 180:
         return base
     if rem > 90:
-        return max(3, base // 2)
-    return 2
+        return max(10, base // 4)
+    return max(4, base // 16)
 
 
 def bench_line_coded(cfg, rng):
@@ -173,7 +181,7 @@ def bench_line_coded(cfg, rng):
     else:
         fn = (lambda x: _batched_fn(
             cfg, n_frames + 8, cfg.line_coding != MANCHESTER)(x, 2))
-    ts = _measure(fn, x, iters=_iters_for(10))
+    ts = _measure(fn, x, iters=_iters_for(100))
     xmed, stats = _row(ts, batch * t)
     return xmed, stats, None
 
@@ -193,7 +201,7 @@ def bench_blocked(cfg, rng, seconds=600):
     t = seconds * 48_000
     n_blocks = max(2, (64 * seconds) // 600)       # ~450k samples/block
     n_frames = max(2, (48 * seconds) // 600)       # same frame density
-    iters = _iters_for(4)
+    iters = _iters_for(12)
     enc = OracleEncoder(cfg)
     wave = np.zeros(t, np.float32)
     seqs = []
@@ -261,7 +269,7 @@ def bench_ask(rng):
     for b in range(batch):
         if not np.array_equal(bits[b][ok[b]], frames[:, 8:]):
             return 0.0, None, f"ask payload gate failed at b={b}"
-    ts = _measure(fn, x, iters=_iters_for(10))
+    ts = _measure(fn, x, iters=_iters_for(50))
     xmed, stats = _row(ts, batch * t)
     return xmed, stats, None
 
@@ -304,7 +312,7 @@ def bench_ofdm(rng):
             f = Frame.from_bits(bits[b, k])
             if f is None or f.data != payloads[k]:
                 return 0.0, None, f"ofdm batch gate failed at b={b} k={k}"
-    ts = _measure(fn, x, iters=_iters_for(8))
+    ts = _measure(fn, x, iters=_iters_for(40))
     xmed, stats = _row(ts, batch * t)
     return xmed, stats, None
 

@@ -35,8 +35,13 @@ def timeit_fused(name, fn, x, iters=ITERS, repeats=3):
     def loop(x):
         def body(c, i):
             r = fn(x + i.astype(jnp.float32) * 1e-30)
-            leaf = jax.tree_util.tree_leaves(r)[0]
-            return c + jnp.sum(leaf.astype(jnp.float32)), None
+            # sum EVERY leaf: summing only the first let XLA
+            # dead-code-eliminate the other outputs (measured: it
+            # dropped the whole attempt kernel from "phase_a")
+            s = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(r):
+                s = s + jnp.sum(leaf.astype(jnp.float32))
+            return c + s, None
         out, _ = jax.lax.scan(
             body, jnp.float32(0.0), jnp.arange(iters, dtype=jnp.int32))
         return out
