@@ -318,84 +318,95 @@ def bench_ofdm(rng):
 
 
 def main():
-    import jax
+    import signal
+    import threading
 
-    os.makedirs(".jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-
-    from trackmaker_tpu.core.config import FOUR_B_FIVE_B, PhyConfig
-
+    # No jax / trackmaker imports on the MAIN thread: with the tunnel
+    # down, even `import trackmaker_tpu.core.config` blocks forever
+    # inside jax backend init (observed 2026-08-17), which would keep
+    # the watchdog below from ever starting.
     rng = np.random.default_rng(0)
     workloads = {}
     stats = {}
     errors = {}
     skipped = []
+    state = {"backend": "?", "current": "backend-init"}
+    done = threading.Event()
 
-    # `timeout` sends SIGTERM: emit whatever completed instead of dying
-    # silently (the tunnel can stall an in-flight device op for minutes;
-    # this cannot fire while blocked inside such an op, but covers every
-    # between-rows point)
-    import signal
-
-    def _emit_partial(_sig, _frm):
+    def emit(extra_err=None):
         out = {
             "metric": "demod_throughput_realtime_multiple_per_chip",
             "value": workloads.get("manchester_b32", 0.0),
             "unit": "x_realtime_48kHz",
             "vs_baseline": workloads.get("manchester_b32", 0.0),
+            "backend": state["backend"],
             "workloads": workloads,
             "stats": stats,
-            "errors": {**errors, "_timeout": "SIGTERM mid-row"},
         }
+        if skipped:
+            out["skipped_budget"] = skipped
+        errs = dict(errors)
+        if extra_err:
+            errs["_watchdog"] = extra_err
+        if errs:
+            out["errors"] = errs
         print(json.dumps(out))
         sys.stdout.flush()
-        os._exit(1)
+        os._exit(1 if (errs or out["value"] <= 0) else 0)
 
-    signal.signal(signal.SIGTERM, _emit_partial)
+    def run_rows():
+        import jax
 
-    rows = [
-        ("manchester_b32", lambda: bench_line_coded(PhyConfig(), rng)),
-        ("fourb5b_b32", lambda: bench_line_coded(
-            PhyConfig(line_coding=FOUR_B_FIVE_B), rng)),
-        ("blocked_600s", lambda: bench_blocked(PhyConfig(), rng)),
-        ("ask", lambda: bench_ask(rng)),
-        ("ofdm", lambda: bench_ofdm(rng)),
-    ]
-    # rough warm-cache per-row floor (gate + 2-iter minimum timing);
-    # with a cold .jax_cache add compile time, which _iters_for absorbs
-    # by shrinking the timing loops
-    reserve = {"manchester_b32": 0, "fourb5b_b32": 35,
-               "blocked_600s": 45, "ask": 30, "ofdm": 30}
-    for name, fn in rows:
-        if name != "manchester_b32" and _remaining() < reserve[name]:
-            skipped.append(name)
-            continue
-        try:
-            x, st, err = fn()
-        except Exception as e:      # noqa: BLE001 - report, don't die
-            x, st, err = 0.0, None, repr(e)[:120]
-        workloads[name] = round(x, 1)
-        if st:
-            stats[name] = st
-        if err:
-            errors[name] = err
+        from trackmaker_tpu.core.config import FOUR_B_FIVE_B, PhyConfig
 
-    out = {
-        "metric": "demod_throughput_realtime_multiple_per_chip",
-        "value": workloads.get("manchester_b32", 0.0),
-        "unit": "x_realtime_48kHz",
-        "vs_baseline": workloads.get("manchester_b32", 0.0),
-        "backend": jax.default_backend(),
-        "workloads": workloads,
-        "stats": stats,
-    }
-    if skipped:
-        out["skipped_budget"] = skipped
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
-    sys.stdout.flush()
-    os._exit(1 if (errors or out["value"] <= 0) else 0)
+        os.makedirs(".jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        state["backend"] = jax.default_backend()
+        rows = [
+            ("manchester_b32", lambda: bench_line_coded(PhyConfig(), rng)),
+            ("fourb5b_b32", lambda: bench_line_coded(
+                PhyConfig(line_coding=FOUR_B_FIVE_B), rng)),
+            ("blocked_600s", lambda: bench_blocked(PhyConfig(), rng)),
+            ("ask", lambda: bench_ask(rng)),
+            ("ofdm", lambda: bench_ofdm(rng)),
+        ]
+        # rough warm-cache per-row floor (gate + 2-iter minimum timing);
+        # with a cold .jax_cache add compile time, which _iters_for
+        # absorbs by shrinking the timing loops
+        reserve = {"manchester_b32": 0, "fourb5b_b32": 35,
+                   "blocked_600s": 45, "ask": 30, "ofdm": 30}
+        for name, fn in rows:
+            if name != "manchester_b32" and _remaining() < reserve[name]:
+                skipped.append(name)
+                continue
+            state["current"] = name
+            try:
+                x, st, err = fn()
+            except Exception as e:  # noqa: BLE001 - report, don't die
+                x, st, err = 0.0, None, repr(e)[:120]
+            workloads[name] = round(x, 1)
+            if st:
+                stats[name] = st
+            if err:
+                errors[name] = err
+        state["current"] = None
+        done.set()
+
+    # The device-touching rows run in a daemon WORKER thread so the main
+    # thread is always responsive: a stalled tunnel window can block an
+    # in-flight device op (even the first upload) for longer than the
+    # whole budget, and neither SIGTERM handlers nor between-row budget
+    # checks can fire from inside a blocked C call.  The main thread
+    # watches wall-clock and ALWAYS prints the one JSON line.
+    signal.signal(signal.SIGTERM, lambda *_: emit("SIGTERM mid-row"))
+    worker = threading.Thread(target=run_rows, daemon=True)
+    worker.start()
+    while not done.is_set() and _remaining() > 3:
+        done.wait(1.0)
+    if done.is_set():
+        emit()
+    emit(f"budget exhausted inside row {state['current']!r} "
+         "(tunnel stall?)")
 
 
 if __name__ == "__main__":

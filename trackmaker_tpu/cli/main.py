@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -396,6 +397,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         prog="trackmaker-tpu",
         description="TPU-native acoustic modem framework")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU jax backend (also TM_CPU=1); "
+                        "use when no TPU is reachable")
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--encoding", default="manchester",
                         choices=["manchester", "4b5b"])
@@ -505,6 +509,11 @@ def main(argv=None):
     s.set_defaults(fn=cmd_tun)
 
     args = p.parse_args(argv)
+    if args.cpu or os.environ.get("TM_CPU") == "1":
+        # must happen before any jax device use; the axon sitecustomize
+        # overrides JAX_PLATFORMS, so the config update is the only way
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     sys.exit(args.fn(args))
 
 

@@ -31,7 +31,10 @@ def _build_crc8_table(poly: int = CRC8_POLY) -> np.ndarray:
 
 
 CRC8_TABLE = _build_crc8_table()
-_CRC8_TABLE_J = jnp.asarray(CRC8_TABLE, dtype=jnp.uint8)
+# NOTE: no module-level jnp.asarray here — a device put at import time
+# initializes the jax backend, and `import trackmaker_tpu` must never
+# touch devices (a stalled remote-TPU tunnel would hang every process,
+# including CPU-only ones, before they can force the cpu platform).
 
 # ---------------------------------------------------------------------------
 # Host (NumPy) versions — used by the host-side MAC/NET runtime and oracles.
@@ -256,9 +259,11 @@ def crc8(data: jax.Array, length: jax.Array | None = None) -> jax.Array:
     else:
         length = jnp.broadcast_to(jnp.asarray(length, jnp.int32), batch_shape)
 
+    table = jnp.asarray(CRC8_TABLE, dtype=jnp.uint8)
+
     def step(crc, xs):
         byte, idx = xs
-        nxt = _CRC8_TABLE_J[(crc ^ byte).astype(jnp.int32)]
+        nxt = table[(crc ^ byte).astype(jnp.int32)]
         return jnp.where(idx < length, nxt, crc), None
 
     init = jnp.zeros(batch_shape, dtype=jnp.uint8)

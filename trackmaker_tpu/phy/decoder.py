@@ -47,7 +47,7 @@ from trackmaker_tpu.core.framing import Frame
 from trackmaker_tpu.phy import line_coding
 from trackmaker_tpu.sync import correlate
 
-_BIG = jnp.int32(2**30)
+_BIG = 2**30  # plain int: no device put at import time
 
 
 def _samples_for_bits_traced(cfg: PhyConfig, num_bits: jax.Array) -> jax.Array:

@@ -42,8 +42,9 @@ FOURB_FIVEB_DECODE = np.full(32, -1, dtype=np.int32)
 for _nib, _sym in enumerate(FOURB_FIVEB_ENCODE):
     FOURB_FIVEB_DECODE[_sym] = _nib
 
-_ENC_J = jnp.asarray(FOURB_FIVEB_ENCODE)
-_DEC_J = jnp.asarray(FOURB_FIVEB_DECODE)
+# (table lookups below use jnp.asarray at the call site: module-level
+# device puts would initialize the jax backend at import time, and
+# package import must never touch devices — see core/bitops.py)
 
 # Preamble bit pattern (line_coding.rs:13-21): (pattern_bytes-1) bytes of
 # 0x33 (bits 00110011) followed by the sync byte 0x5A (bits 01011010).
@@ -95,7 +96,7 @@ def fourb5b_code_bits(bits: jax.Array) -> jax.Array:
     nib_bits = bits.reshape(*bits.shape[:-1], n_nib, 4).astype(jnp.int32)
     weights = jnp.asarray([8, 4, 2, 1], dtype=jnp.int32)
     nibbles = jnp.sum(nib_bits * weights, axis=-1)
-    symbols = _ENC_J[nibbles]                              # (..., n_nib)
+    symbols = jnp.asarray(FOURB_FIVEB_ENCODE)[nibbles]    # (..., n_nib)
     shifts = jnp.arange(4, -1, -1, dtype=jnp.int32)
     coded = (symbols[..., None] >> shifts) & 1             # (..., n_nib, 5)
     return coded.reshape(*coded.shape[:-2], n_nib * 5).astype(jnp.uint8)
@@ -156,7 +157,7 @@ def fourb5b_decode(
     sym_bits = coded.reshape(*coded.shape[:-1], n_sym, 5)
     weights = jnp.asarray([16, 8, 4, 2, 1], dtype=jnp.int32)
     symbols = jnp.sum(sym_bits * weights, axis=-1)        # (..., n_sym)
-    nibbles = _DEC_J[symbols]                             # -1 if invalid
+    nibbles = jnp.asarray(FOURB_FIVEB_DECODE)[symbols]    # -1 if invalid
     sym_ok = nibbles >= 0
     # valid-prefix: symbol i usable only if all symbols <= i are valid
     prefix_ok = jnp.cumprod(sym_ok.astype(jnp.int32), axis=-1).astype(bool)
@@ -196,7 +197,7 @@ def fourb5b_decode_opt(
     sym_bits = coded.reshape(*coded.shape[:-1], n_sym, 5)
     weights = jnp.asarray([16, 8, 4, 2, 1], dtype=jnp.int32)
     symbols = jnp.sum(sym_bits * weights, axis=-1)
-    nibbles = _DEC_J[symbols]
+    nibbles = jnp.asarray(FOURB_FIVEB_DECODE)[symbols]
     sym_ok = nibbles >= 0
     prefix_ok = jnp.cumprod(sym_ok.astype(jnp.int32), axis=-1).astype(bool)
 
