@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from trackmaker_tpu.dsp.filters import box_smooth_truncated, ema_power
+from trackmaker_tpu.dsp.filters import ema_power
 from trackmaker_tpu.dsp.osc import carrier_np, chirp_cached
 
 
@@ -275,25 +275,46 @@ def first_upd_from(tables, cursor, blk: int = 512):
     return first.astype(jnp.int32), has1 | has2
 
 
+@functools.lru_cache(maxsize=4)
+def _demod_weights_np(cfg: AskConfig) -> np.ndarray:
+    """f32[frame_samples, coded_bits] weight matrix folding the 11-tap
+    edge-truncated box smooth (ask.rs:418-432) AND the per-bit
+    integration over smooth[bit_lo..bit_hi) (ask.rs:433-443) into ONE
+    linear operator on the carrier product:
+
+        sums[i] = sum_p in bit-i window  mean(prod[p-h .. p+h])
+                = prod @ W[:, i]
+
+    Both stages are linear, so the composition is exact up to f32
+    summation order.  As a matmul the whole post-pass rides the MXU;
+    the previous formulation (conv + ``smooth[bit_idx]``) paid a
+    doubly-vmapped fancy gather per slot — the same per-element-gather
+    lowering that cost 22 of 25 ms in phase B (docs/BENCHMARKS.md)."""
+    n = cfg.frame_samples
+    h = cfg.smooth_half
+    w = np.zeros((n, cfg.coded_bits), np.float32)
+    for i in range(cfg.coded_bits):
+        for p in range(cfg.bit_lo + i * cfg.samples_per_bit,
+                       cfg.bit_hi + i * cfg.samples_per_bit):
+            j0, j1 = max(0, p - h), min(n, p + h + 1)
+            w[j0:j1, i] += np.float32(1.0) / np.float32(j1 - j0)
+    return w
+
+
 def demod_tables(cfg: AskConfig):
-    """(carrier, bit sample-index grid) for the coherent demod window."""
+    """(carrier, fused smooth+integrate weights) for the demod window."""
     car = jnp.asarray(
         carrier_np(cfg.frame_samples, cfg.carrier_hz, cfg.sample_rate))
-    nbits = cfg.coded_bits
-    bit_starts = cfg.bit_lo + jnp.arange(nbits) * cfg.samples_per_bit
-    bit_idx = bit_starts[:, None] + jnp.arange(cfg.bit_hi - cfg.bit_lo)
-    return car, bit_idx
+    return car, jnp.asarray(_demod_weights_np(cfg))
 
 
-def demod_slot(cfg: AskConfig, rx_pad, car, bit_idx, peak, ok):
+def demod_slot(cfg: AskConfig, rx_pad, car, weights, peak, ok):
     """Coherent demod of the 4752-sample window after a fired peak
-    (ask.rs:723-767): multiply-by-carrier + 11-tap truncated box smooth
-    + per-bit integration, then the 1..100 frame-id filter."""
+    (ask.rs:723-767): multiply-by-carrier, then the fused
+    smooth+integrate weight matmul, then the 1..100 frame-id filter."""
     win = jax.lax.dynamic_slice(
         rx_pad, (jnp.clip(peak + 1, 0),), (cfg.frame_samples,))
-    prod = win * car
-    smooth = box_smooth_truncated(prod, cfg.smooth_half)
-    sums = jnp.sum(smooth[bit_idx], axis=-1)
+    sums = (win * car) @ weights                   # (coded_bits,)
     bits = (sums > 0.0)
     fid = jnp.sum(
         bits[:8].astype(jnp.int32) *
@@ -334,7 +355,7 @@ def demodulate(
         [upd_ok, jnp.zeros(chain_window + 8, bool)])
     power_pad = jnp.concatenate([power, jnp.zeros(l_pre + 8, jnp.float32)])
     w_band = jnp.asarray(_warmup_band_np(cfg))
-    car, bit_idx = demod_tables(cfg)
+    car, wts = demod_tables(cfg)
 
     def step(carry, _):
         cursor, done = carry
@@ -380,7 +401,7 @@ def demodulate(
 
     # ---- post-pass: demodulate all fired slots at once -----------------
     return AskDecoded(**jax.vmap(
-        lambda pk, ok: demod_slot(cfg, rx_pad, car, bit_idx, pk, ok))(
+        lambda pk, ok: demod_slot(cfg, rx_pad, car, wts, pk, ok))(
             ys["peak"], ys["fire_ok"]))
 
 

@@ -229,9 +229,9 @@ def demodulate_spec(
     fields, rx_pads, overflow = jax.vmap(analyze)(rx)
     peaks, fire_ok, bad = _walk(fields, max_frames, interpret)
 
-    car, bit_idx = ask.demod_tables(cfg)
+    car, wts = ask.demod_tables(cfg)
     res = jax.vmap(lambda rp, pk, ok: jax.vmap(
-        lambda p, o: ask.demod_slot(cfg, rp, car, bit_idx, p, o)
+        lambda p, o: ask.demod_slot(cfg, rp, car, wts, p, o)
     )(pk, ok))(rx_pads, peaks, fire_ok)
     return AskDecoded(**res), ~(overflow | bad)
 
