@@ -98,6 +98,66 @@ for blk_try in (8192, 32768, 65536):
     timeit_fused(f"xcorr blk={blk_try}", xc, x)
 
 
+# --- attempt-kernel / decision-epilogue split: time phase A with the
+# epilogue consumers replaced by a raw sum of the kernel output ---
+def _attempt_sum_fn():
+    """Build a jittable fn that runs candidate extraction + the attempt
+    kernel ONLY (sums its raw output), mirroring _spec_phase_a's
+    manchester arm."""
+    import functools as ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from trackmaker_tpu.phy.pallas_decode import (
+        _attempt_kernel, _body_table, _pack_table,
+        BROWS, NR, DROW)
+    from trackmaker_tpu.phy import pallas_decode as pdm
+
+    pre2 = line_coding.preamble_waveform(cfg)
+    sp = pre2[cfg.preamble_len - cfg.sync_len:]
+    t8_np, sync_e = pdm._sync_tables(tuple(sp.tolist()),
+                                     2 * cfg.sync_margin + 1)
+
+    def fn(x):
+        b, tt = x.shape
+        _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
+            s, pre2, cfg.correlation_threshold, blk=xc_blk,
+            use_bf16=False, emit_corr=False))(x)
+        cand, corr_cand, n_valid, overflow = pdm._compact_hit_rows(rows, 128)
+        r384 = -(-(tt + 48) // DROW) + NR + 10
+        x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - tt))).reshape(
+            b, r384, DROW)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(
+                (1, 128 * BROWS, 128), lambda bb, *_: (bb, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, NR, DROW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            ft.partial(_attempt_kernel, n_cand=128, t_max=tt,
+                       sync_e=sync_e),
+            out_shape=jax.ShapeDtypeStruct((b, 128 * BROWS, 128),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+        )(cand, vlens, n_valid.astype(jnp.int32), x384,
+          jnp.asarray(t8_np), jnp.asarray(_body_table()),
+          jnp.asarray(_pack_table()))
+        return out
+    return fn
+
+
+if enc_name == "manchester":
+    try:
+        timeit_fused("xcorr+extract+attempt", _attempt_sum_fn(), x)
+    except Exception as e:
+        print("attempt-only stage failed:", repr(e)[:200], flush=True)
+
 # --- appended stages: walk/compact split ---
 def phase_a_walk(x):
     a = pd._spec_phase_a(cfg, x, jnp.int32(2), 128, vlens)

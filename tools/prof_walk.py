@@ -50,7 +50,8 @@ def timeit_fused(name, fn, x, iters=ITERS, repeats=3):
     return min(ts)
 
 
-def walk_doubling(f):
+def walk_current(f):
+    """prepare + query: the shipped _spec_walk (one-hot scan chase)."""
     return pd._spec_walk(f, 0, int(pd._BIGI), MF)[0]
 
 def prepare_only(f):
@@ -127,14 +128,14 @@ def walk_smem(f):
 
 
 timeit_fused("nxt only", nxt_only, fields)
-timeit_fused("prepare (doubling)", prepare_only, fields)
-timeit_fused("walk doubling (current)", walk_doubling, fields)
+timeit_fused("prepare only", prepare_only, fields)
+timeit_fused("walk current", walk_current, fields)
 timeit_fused("walk matvec scan", walk_matvec, fields)
 timeit_fused("walk gather scan", walk_gather, fields)
 timeit_fused("walk smem kernel", walk_smem, fields)
 
 # agreement check
-a = np.asarray(walk_doubling(fields))
+a = np.asarray(walk_current(fields))
 for name, fn in (("matvec", walk_matvec), ("gather", walk_gather),
                  ("smem", walk_smem)):
     got = np.asarray(fn(fields))
