@@ -73,3 +73,32 @@ def test_demodulate_noise_robustness():
     got = ask.demodulate(ask.AskConfig(), jnp.asarray(noisy), max_frames=16)
     valid = np.asarray(got.valid)
     assert np.asarray(got.frame_id)[valid].tolist() == [f for f, _ in want]
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                       # default: no edge truncation
+    {"bit_lo": 2},                            # smooth window clips at start
+    {"bit_hi": 42, "smooth_half": 7},         # clips at end + row spill
+])
+def test_demod_weight_matrix_matches_explicit_smooth(kw):
+    """The fused demod weight matrix (ask._demod_weights_np) must equal
+    the explicit pipeline it folds: 11-tap edge-truncated box smooth
+    (ask.rs:418-432) then per-bit integration over smooth[bit_lo..bit_hi)
+    (ask.rs:433-443) — including the edge-count truncation cases."""
+    cfg = ask.AskConfig(**kw)
+    rng = np.random.default_rng(11)
+    prod = rng.normal(0, 1, cfg.frame_samples)
+
+    # explicit float64 reference
+    n, h = cfg.frame_samples, cfg.smooth_half
+    smooth = np.empty(n)
+    for j in range(n):
+        j0, j1 = max(0, j - h), min(n, j + h + 1)
+        smooth[j] = prod[j0:j1].sum() / (j1 - j0)
+    want = np.empty(cfg.coded_bits)
+    for i in range(cfg.coded_bits):
+        lo = cfg.bit_lo + i * cfg.samples_per_bit
+        want[i] = smooth[lo: lo + cfg.bit_hi - cfg.bit_lo].sum()
+
+    got = prod.astype(np.float32) @ ask._demod_weights_np(cfg)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
