@@ -35,6 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from trackmaker_tpu.core import blockq
 from trackmaker_tpu.dsp.filters import ema_power
 from trackmaker_tpu.dsp.osc import carrier_np, chirp_cached
 
@@ -243,36 +244,11 @@ def run_chain(cfg: AskConfig, sync_pad, upd_pad, chain_window,
     return peak, fired
 
 
-def upd_block_tables(upd_ok, blk: int = 512):
-    """Two-level block index over the update bitmap for "first update
-    >= cursor" queries (a global nonzero compaction measured
-    ~4ms/capture on TPU)."""
-    t = upd_ok.shape[-1]
-    hb = -(-t // blk)
-    upd_blocks = jnp.pad(upd_ok, (0, hb * blk - t)).reshape(hb, blk)
-    block_any = jnp.any(upd_blocks, axis=1)
-    return upd_blocks, block_any
-
-
-def first_upd_from(tables, cursor, blk: int = 512):
-    """(first update index >= cursor, exists) via the block tables."""
-    upd_blocks, block_any = tables
-    hb = upd_blocks.shape[0]
-    lane = jnp.arange(blk, dtype=jnp.int32)
-    brange = jnp.arange(hb, dtype=jnp.int32)
-    c = jnp.clip(cursor, 0, hb * blk - 1)
-    jb = c // blk
-    off = c % blk
-    row = upd_blocks[jb]
-    m1 = row & (lane >= off)
-    has1 = jnp.any(m1)
-    i1 = jb * blk + jnp.argmax(m1)
-    m2 = block_any & (brange > jb)
-    has2 = jnp.any(m2)
-    b2 = jnp.argmax(m2)
-    i2 = b2 * blk + jnp.argmax(upd_blocks[b2])
-    first = jnp.where(has1, i1, jnp.where(has2, i2, 2**30))
-    return first.astype(jnp.int32), has1 | has2
+# Two-level block index for "first update >= cursor" queries — shared
+# generic implementation in core/blockq.py (a global nonzero compaction
+# measured ~4ms/capture on TPU).
+upd_block_tables = blockq.block_tables
+first_upd_from = blockq.first_set_from
 
 
 @functools.lru_cache(maxsize=4)

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from trackmaker_tpu.core import bitops
+from trackmaker_tpu.core import bitops, blockq
 from trackmaker_tpu.core.framing import Frame
 from trackmaker_tpu.dsp.osc import chirp_cached
 
@@ -202,18 +202,19 @@ def find_preambles(cfg: OfdmConfig, rx: jax.Array,
     corr = sync_mod.auto_xcorr(rx, pre)
     t = corr.shape[-1]
     hits = corr >= cfg.sync_threshold
-    # local max within ±preamble_len/2 -> candidate peaks
-    idx = jnp.arange(t)
+    # block-bitmap first-hit queries: the previous form rescanned the
+    # whole capture per scan step (argmax over hits & (idx >= cursor)
+    # is O(T) x max_frames); each block query touches one 512-lane row
+    tables = blockq.block_tables(hits)
+    w = cfg.preamble_len
+    corr_pad = jnp.pad(corr, (0, w))
 
     def step(carry, _):
         cursor, done = carry
-        m = hits & (idx >= cursor)
-        has = jnp.any(m)
-        first = jnp.argmax(m)  # first True
+        first, has = blockq.first_set_from(tables, cursor)
+        first = jnp.where(has, first, 0)   # same slice as argmax-of-none
         # refine: argmax of corr within one preamble of the crossing
-        w = cfg.preamble_len
-        win = jax.lax.dynamic_slice(
-            jnp.pad(corr, (0, w)), (first,), (w,))
+        win = jax.lax.dynamic_slice(corr_pad, (first,), (w,))
         peak = first + jnp.argmax(win)
         start = peak
         new_cursor = peak + cfg.preamble_len
@@ -221,7 +222,8 @@ def find_preambles(cfg: OfdmConfig, rx: jax.Array,
         return (jnp.where(has, new_cursor, cursor), done | ~has), out
 
     (_, _), starts = jax.lax.scan(
-        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames)
+        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames,
+        unroll=min(8, max_frames))
     return starts
 
 
