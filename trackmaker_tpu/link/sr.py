@@ -1,16 +1,22 @@
-"""Go-Back-N sliding-window ARQ — a beyond-parity MAC extension.
+"""Selective-Repeat sliding-window ARQ — a beyond-parity MAC extension.
 
-The reference's Stop-and-Wait (one frame in flight, 200 ms ACK timeout)
-is the stated bottleneck of its whole system ("CSMA backoff and
-Stop-and-Wait timeout dominate latency, not PHY throughput",
-docs/proj/report.md:535).  Go-Back-N keeps a window of frames in flight
-with cumulative ACKs, reusing the same PHY framing: ACK frames carry the
-next-expected sequence number (cumulative), so the wire format stays
-compatible with the reference's frame codec.
+Go-Back-N (:mod:`trackmaker_tpu.link.gbn`) retransmits the whole
+remaining window when anything is lost; on a channel whose losses are
+independent per frame (the measured regime: AWGN frame loss with a CRC
+gate, docs/BENCHMARKS.md "PHY robustness") that wastes airtime linear
+in the window size.  Selective repeat retransmits ONLY the frames the
+receiver is missing.
 
-Same tick-driven structure as :mod:`trackmaker_tpu.link.csma`; the
-window transmit burst is encoded as ONE batched waveform (frames +
-inter-frame gaps) so the PHY cost per burst is one jit call.
+Wire format stays inside the reference frame codec
+(src/phy/frame.rs:33-41): a SACK is an ACK frame whose ``sequence`` is
+the cumulative next-expected number (so a plain Go-Back-N sender could
+interoperate) and whose *data* bytes are a bitmap of out-of-order
+frames already held beyond it (bit k of byte k//8, MSB-first, marks
+``sequence + 1 + k``).
+
+Same tick-driven half-duplex discipline as gbn.py: window bursts are
+encoded as one batched waveform, the receiver ACKs in quiet gaps, and
+the retransmit burst carries only the un-SACKed frames.
 """
 
 from __future__ import annotations
@@ -25,24 +31,48 @@ from trackmaker_tpu.core.config import (
 from trackmaker_tpu.core.framing import Frame
 from trackmaker_tpu.link.audio import AppState, AudioEndpoint
 from trackmaker_tpu.link.csma import is_channel_busy
-from trackmaker_tpu.phy.decoder import PhyDecoder
-from trackmaker_tpu.phy.encoder import PhyEncoder
 
 SEQ_MOD = 256
+SACK_BYTES = 8          # bitmap covers 64 frames past the cumulative ACK
 
 
-class GbnState(enum.Enum):
+def encode_sack(expected: int, have: set[int], local: int,
+                remote: int) -> Frame:
+    """Cumulative next-expected + bitmap of buffered out-of-order seqs."""
+    bitmap = bytearray(SACK_BYTES)
+    for s in have:
+        k = (s - expected - 1) % SEQ_MOD
+        if k < SACK_BYTES * 8:
+            bitmap[k // 8] |= 0x80 >> (k % 8)
+    return Frame.new_ack(expected, local, remote, bytes(bitmap))
+
+
+def decode_sack(f: Frame) -> tuple[int, set[int]]:
+    """-> (next expected, set of seqs held beyond it)."""
+    have = set()
+    for i, byte in enumerate(f.data[:SACK_BYTES]):
+        for b in range(8):
+            if byte & (0x80 >> b):
+                have.add((f.sequence + 1 + i * 8 + b) % SEQ_MOD)
+    return f.sequence, have
+
+
+class SrState(enum.Enum):
     IDLE = 0
     SENSING = 1
     TRANSMITTING = 2
     WAITING = 3
 
 
-class GbnSender:
+class SrSender:
+    """Window sender retransmitting only un-SACKed frames."""
+
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
                  window: int = 8, sample_rate: int = 48_000):
-        assert window < SEQ_MOD // 2
+        from trackmaker_tpu.phy.decoder import PhyDecoder
+        from trackmaker_tpu.phy.encoder import PhyEncoder
+        assert window < SEQ_MOD // 2 and window <= SACK_BYTES * 8
         self.ep = endpoint
         self.cfg = cfg
         self.mac = mac_cfg
@@ -53,10 +83,11 @@ class GbnSender:
         self.encoder = PhyEncoder(cfg)
         self.decoder = PhyDecoder(cfg, local_addr, 8)
         self.queue: deque[bytes] = deque()
-        self.base = 0          # oldest unacked seq
-        self.next_seq = 0      # next seq to assign
-        self.unacked: deque[Frame] = deque()
-        self.state = GbnState.IDLE
+        self.base = 0                       # oldest unacked seq
+        self.next_seq = 0
+        self.unacked: dict[int, Frame] = {}  # seq -> frame
+        self.acked: set[int] = set()         # SACKed inside the window
+        self.state = SrState.IDLE
         self._deadline = 0
         self._ack_deadline = 0
         self._next_poll = 0
@@ -68,6 +99,7 @@ class GbnSender:
             + cfg.inter_frame_gap_samples + self._ms(10)
         self.delivered = 0
         self.retransmit_bursts = 0
+        self.frames_retransmitted = 0
 
     def send(self, payload: bytes) -> None:
         self.queue.append(bytes(payload))
@@ -75,7 +107,7 @@ class GbnSender:
     @property
     def finished(self) -> bool:
         return not self.queue and not self.unacked \
-            and self.state in (GbnState.IDLE,)
+            and self.state in (SrState.IDLE,)
 
     def _ms(self, ms: float) -> int:
         return int(ms * self.sr / 1000)
@@ -84,21 +116,31 @@ class GbnSender:
         while len(self.unacked) < self.window and self.queue:
             f = Frame.new_data(self.next_seq, self.local, self.remote,
                                self.queue.popleft())
-            self.unacked.append(f)
+            self.unacked[self.next_seq] = f
             self.next_seq = (self.next_seq + 1) % SEQ_MOD
 
+    def _pending_burst(self) -> list[Frame]:
+        """Un-SACKed window frames in sequence order from base."""
+        out = []
+        s = self.base
+        for _ in range(self.window):
+            if s in self.unacked and s not in self.acked:
+                out.append(self.unacked[s])
+            s = (s + 1) % SEQ_MOD
+        return out
+
     def on_tick(self, now: int) -> None:
-        if self.state == GbnState.IDLE:
+        if self.state == SrState.IDLE:
             self._fill_window()
             if self.unacked:
-                self.state = GbnState.SENSING
+                self.state = SrState.SENSING
                 self.ep.set_state(AppState.RECORDING)
                 self._deadline = 0
             return
         if now < self._deadline:
             return
 
-        if self.state == GbnState.SENSING:
+        if self.state == SrState.SENSING:
             busy = is_channel_busy(self.ep.peek_record(), self.mac)
             if busy is None:
                 self._deadline = now + self.mac.energy_detection_samples
@@ -111,27 +153,30 @@ class GbnSender:
                 # long a window reads persistently busy at moderate noise
                 self._deadline = now + self.mac.energy_detection_samples
                 return
-            # transmit the whole window as one burst
-            track = self.encoder.encode_frames(list(self.unacked))
+            burst = self._pending_burst()
+            if not burst:
+                self.state = SrState.IDLE
+                return
+            track = self.encoder.encode_frames(burst)
             self.ep.set_playback(track)
             self.ep.clear_record()
             self.ep.set_state(AppState.PLAYING)
-            self.state = GbnState.TRANSMITTING
+            self.state = SrState.TRANSMITTING
 
-        elif self.state == GbnState.TRANSMITTING:
+        elif self.state == SrState.TRANSMITTING:
             if self.ep.state == AppState.IDLE:
                 self.ep.set_state(AppState.RECORDING)
                 self.decoder.reset()
-                self.state = GbnState.WAITING
+                self.state = SrState.WAITING
                 self._ack_deadline = now + self._ms(
                     self.mac.ack_timeout_ms) + self._rx_ack_lag
                 self._next_poll = now + self._ms(5)
 
-        elif self.state == GbnState.WAITING:
+        elif self.state == SrState.WAITING:
             if now >= self._ack_deadline:
-                # go back N: retransmit the whole remaining window
                 self.retransmit_bursts += 1
-                self.state = GbnState.SENSING
+                self.frames_retransmitted += len(self._pending_burst())
+                self.state = SrState.SENSING
                 return
             if now < self._next_poll:
                 return
@@ -139,29 +184,47 @@ class GbnSender:
             new = self.ep.take_record()
             if not len(new):
                 return
+            got_ack = False
             for f in self.decoder.process_samples(new):
                 if f.frame_type != FRAME_TYPE_ACK:
                     continue
-                # cumulative: seq = next expected by the receiver
-                acked = (f.sequence - self.base) % SEQ_MOD
-                if 0 < acked <= len(self.unacked):
-                    for _ in range(acked):
-                        self.unacked.popleft()
-                        self.delivered += 1
-                    self.base = (self.base + acked) % SEQ_MOD
-                    self._ack_deadline = now + self._ms(
-                        self.mac.ack_timeout_ms) + self._rx_ack_lag
+                expected, have = decode_sack(f)
+                adv = (expected - self.base) % SEQ_MOD
+                if adv > len(self.unacked):
+                    continue            # stale/garbled ACK
+                got_ack = True
+                for _ in range(adv):
+                    self.unacked.pop(self.base, None)
+                    self.acked.discard(self.base)
+                    self.base = (self.base + 1) % SEQ_MOD
+                    self.delivered += 1
+                for s in have:
+                    if s in self.unacked:
+                        self.acked.add(s)
+                self._ack_deadline = now + self._ms(
+                    self.mac.ack_timeout_ms) + self._rx_ack_lag
             if not self.unacked:
-                self.state = GbnState.IDLE
+                self.state = SrState.IDLE
+            elif got_ack:
+                # receiver reported holes: retransmit just those (the
+                # hole count, before the window refills with new frames)
+                holes = self._pending_burst()
+                if holes:
+                    self.frames_retransmitted += len(holes)
+                    self.retransmit_bursts += 1
+                    self._fill_window()
+                    self.state = SrState.SENSING
 
 
-class GbnReceiver:
-    """In-order receiver: delivers sequential frames, ACKs cumulatively
-    with the next-expected sequence number."""
+class SrReceiver:
+    """Buffers out-of-order frames inside the window; delivers in order;
+    SACKs cumulatively + bitmap after the burst quiesces."""
 
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
                  sample_rate: int = 48_000):
+        from trackmaker_tpu.phy.decoder import PhyDecoder
+        from trackmaker_tpu.phy.encoder import PhyEncoder
         self.ep = endpoint
         self.cfg = cfg
         self.mac = mac_cfg
@@ -171,19 +234,21 @@ class GbnReceiver:
         self.encoder = PhyEncoder(cfg)
         self.decoder = PhyDecoder(cfg, local_addr, 16)
         self.expected = 0
+        self.buffer: dict[int, bytes] = {}
         self.received: list[bytes] = []
         self._next_poll = 0
         self._ack_playing = False
-        self._ack_due = -1     # sample time to ACK (after burst quiesces)
+        self._ack_due = -1
         self._floor = float('inf')   # leaky-min noise floor
         self.ep.set_state(AppState.RECORDING)
 
     def _ms(self, ms: float) -> int:
         return int(ms * self.sr / 1000)
 
+    def _in_window(self, seq: int) -> bool:
+        return (seq - self.expected) % SEQ_MOD < SACK_BYTES * 8 + 1
+
     def on_tick(self, now: int) -> None:
-        # ACKing mid-burst would go deaf (half duplex) for the rest of
-        # the window, so the cumulative ACK waits for a quiet gap.
         if self.ep.state == AppState.PLAYING:
             return
         if self._ack_playing and self.ep.state == AppState.IDLE:
@@ -204,7 +269,12 @@ class GbnReceiver:
                 if f.sequence == self.expected:
                     self.received.append(f.data)
                     self.expected = (self.expected + 1) % SEQ_MOD
-                # out-of-order frames dropped; cumulative ACK re-syncs
+                    while self.expected in self.buffer:
+                        self.received.append(self.buffer.pop(self.expected))
+                        self.expected = (self.expected + 1) % SEQ_MOD
+                elif self._in_window(f.sequence):
+                    self.buffer.setdefault(f.sequence, f.data)
+                # frames behind `expected` are duplicates: SACK re-syncs
             if got_any:
                 self._ack_due = now + self._ms(25)
             # adaptive burst-activity detection: ACKing mid-burst goes
@@ -228,26 +298,27 @@ class GbnReceiver:
                 self._ack_due = max(self._ack_due, now + self._ms(25))
         if self._ack_due >= 0 and now >= self._ack_due:
             self._ack_due = -1
-            ack = Frame.new_ack(self.expected, self.local, self.remote)
+            ack = encode_sack(self.expected, set(self.buffer),
+                              self.local, self.remote)
             self.ep.set_playback(self.encoder.encode_frames([ack]))
             self.ep.set_state(AppState.PLAYING)
             self._ack_playing = True
 
 
-def gbn_transfer(data: bytes, cfg: PhyConfig | None = None,
-                 mac_cfg: MacConfig | None = None, window: int = 8,
-                 noise_std: float = 0.0, max_duration_s: float = 120.0,
-                 seed: int = 0) -> tuple[bytes, dict]:
-    """One-directional Go-Back-N transfer over the simulated bus."""
+def sr_transfer(data: bytes, cfg: PhyConfig | None = None,
+                mac_cfg: MacConfig | None = None, window: int = 8,
+                noise_std: float = 0.0, max_duration_s: float = 120.0,
+                seed: int = 0) -> tuple[bytes, dict]:
+    """One-directional Selective-Repeat transfer over the simulated bus."""
     from trackmaker_tpu.link.bus import SimulatedBus
     from trackmaker_tpu.link.transfer import chunk_payload
 
     cfg = cfg or PhyConfig()
     mac_cfg = mac_cfg or MacConfig()
     bus = SimulatedBus(noise_std=noise_std, seed=seed)
-    ep_tx, ep_rx = AudioEndpoint("gbn-tx"), AudioEndpoint("gbn-rx")
-    sender = GbnSender(ep_tx, cfg, mac_cfg, 1, 2, window=window)
-    receiver = GbnReceiver(ep_rx, cfg, mac_cfg, 2, 1)
+    ep_tx, ep_rx = AudioEndpoint("sr-tx"), AudioEndpoint("sr-rx")
+    sender = SrSender(ep_tx, cfg, mac_cfg, 1, 2, window=window)
+    receiver = SrReceiver(ep_rx, cfg, mac_cfg, 2, 1)
     bus.attach(ep_tx, sender)
     bus.attach(ep_rx, receiver)
     chunks = chunk_payload(data, cfg.max_frame_data_size)
@@ -262,5 +333,6 @@ def gbn_transfer(data: bytes, cfg: PhyConfig | None = None,
         "throughput_bps": len(received) * 8 / max(
             bus.now / bus.sample_rate, 1e-9),
         "retransmit_bursts": sender.retransmit_bursts,
+        "frames_retransmitted": sender.frames_retransmitted,
         "window": window,
     }
