@@ -66,11 +66,28 @@ def cmd_test(args):
 
 
 def cmd_tx(args):
-    """File send over the simulated bus (pairs with a local rx)."""
-    from trackmaker_tpu.link.transfer import run_file_transfer
-    stats = run_file_transfer(args.input, args.output,
-                              noise_std=args.noise,
-                              max_duration_s=args.timeout)
+    """File send over the simulated bus (pairs with a local rx).
+
+    --arq picks the reliability scheme: the reference's Stop-and-Wait
+    (sw, default), or the beyond-parity sliding windows (gbn, sr)."""
+    if args.arq == "sw":
+        from trackmaker_tpu.link.transfer import run_file_transfer
+        stats = run_file_transfer(args.input, args.output,
+                                  noise_std=args.noise,
+                                  max_duration_s=args.timeout)
+        print(json.dumps(stats, indent=2))
+        return 0 if stats["exact"] else 1
+    data = open(args.input, "rb").read()
+    if args.arq == "gbn":
+        from trackmaker_tpu.link.gbn import gbn_transfer as xfer
+    else:
+        from trackmaker_tpu.link.sr import sr_transfer as xfer
+    received, stats = xfer(data, window=args.window,
+                           noise_std=args.noise,
+                           max_duration_s=args.timeout)
+    with open(args.output, "wb") as f:
+        f.write(received)
+    stats["exact"] = received == data
     print(json.dumps(stats, indent=2))
     return 0 if stats["exact"] else 1
 
@@ -418,6 +435,11 @@ def main(argv=None):
     s.add_argument("--output", required=True)
     s.add_argument("--noise", type=float, default=0.0)
     s.add_argument("--timeout", type=float, default=120.0)
+    s.add_argument("--arq", default="sw", choices=["sw", "gbn", "sr"],
+                   help="stop-and-wait (reference parity), Go-Back-N, "
+                        "or Selective-Repeat")
+    s.add_argument("--window", type=int, default=8,
+                   help="sliding-window size for gbn/sr")
     s.set_defaults(fn=cmd_tx)
 
     s = sub.add_parser("ping", parents=[common], help="ICMP ping over simulated acoustic")
