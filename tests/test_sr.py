@@ -58,3 +58,16 @@ def test_sr_retransmits_fewer_frames_than_gbn():
     gbn_frames = gbn["retransmit_bursts"] * (kw["window"] // 2)
     assert sr["frames_retransmitted"] < gbn_frames, (sr, gbn)
     assert sr["throughput_bps"] > 1.2 * gbn["throughput_bps"], (sr, gbn)
+
+
+def test_contended_window_transfer_completes():
+    """Two SR pairs on one shared channel: carrier sense + randomized
+    timeout backoff must let both complete bit-exact (beyond the
+    reference: its contended scenario is stop-and-wait only)."""
+    from trackmaker_tpu.bench.sweep import contended_window_transfer
+
+    a = bytes(range(256)) * 2
+    c = bytes(reversed(range(256))) * 2
+    st = contended_window_transfer(a, c, arq="sr", window=4,
+                                   max_duration_s=120.0, seed=2)
+    assert st["exact"], st

@@ -70,6 +70,59 @@ def contended_transfer(
     }
 
 
+def contended_window_transfer(
+    data_ab: bytes, data_cd: bytes,
+    arq: str = "sr", window: int = 8,
+    cfg: PhyConfig | None = None, mac_cfg: MacConfig | None = None,
+    noise_std: float = 0.0, max_duration_s: float = 300.0,
+    seed: int = 0,
+) -> dict:
+    """Two window-ARQ transfers (gbn or sr) sharing one channel —
+    beyond the reference: its contended scenario is stop-and-wait only.
+    The window senders carrier-sense before each burst and back off
+    randomly on ACK timeout (contention-window growth mirroring the
+    CSMA sender's cw quirk), so colliding pairs desynchronize."""
+    if arq == "gbn":
+        from trackmaker_tpu.link.gbn import GbnReceiver as Rx
+        from trackmaker_tpu.link.gbn import GbnSender as Tx
+    else:
+        from trackmaker_tpu.link.sr import SrReceiver as Rx
+        from trackmaker_tpu.link.sr import SrSender as Tx
+    cfg = cfg or PhyConfig()
+    mac_cfg = mac_cfg or MacConfig()
+    bus = SimulatedBus(noise_std=noise_std, seed=seed)
+
+    nodes = {name: AudioEndpoint(name) for name in "abcd"}
+    s1 = Tx(nodes["a"], cfg, mac_cfg, 1, 2, window=window, seed=seed)
+    r1 = Rx(nodes["b"], cfg, mac_cfg, 2, 1)
+    s2 = Tx(nodes["c"], cfg, mac_cfg, 3, 4, window=window, seed=seed + 17)
+    r2 = Rx(nodes["d"], cfg, mac_cfg, 4, 3)
+    for name, node in zip("abcd", [s1, r1, s2, r2]):
+        bus.attach(nodes[name], node)
+
+    for chunk in chunk_payload(data_ab, cfg.max_frame_data_size):
+        s1.send(chunk)
+    for chunk in chunk_payload(data_cd, cfg.max_frame_data_size):
+        s2.send(chunk)
+
+    n1 = -(-len(data_ab) // cfg.max_frame_data_size)
+    n2 = -(-len(data_cd) // cfg.max_frame_data_size)
+    bus.run(int(max_duration_s * bus.sample_rate),
+            until=lambda: (s1.finished and s2.finished
+                           and len(r1.received) >= n1
+                           and len(r2.received) >= n2))
+    got1 = b"".join(r1.received)
+    got2 = b"".join(r2.received)
+    total_bits = (len(got1) + len(got2)) * 8
+    return {
+        "exact": got1 == data_ab and got2 == data_cd,
+        "airtime_s": bus.now / bus.sample_rate,
+        "retransmit_bursts": s1.retransmit_bursts + s2.retransmit_bursts,
+        "aggregate_throughput_bps":
+            total_bits / max(bus.now / bus.sample_rate, 1e-9),
+    }
+
+
 def mac_parameter_sweep(
     data: bytes,
     samples_per_level=(3,),

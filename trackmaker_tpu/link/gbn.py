@@ -16,6 +16,7 @@ inter-frame gaps) so the PHY cost per burst is one jit call.
 from __future__ import annotations
 
 import enum
+import random
 from collections import deque
 
 import numpy as np
@@ -41,7 +42,8 @@ class GbnState(enum.Enum):
 class GbnSender:
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
-                 window: int = 8, sample_rate: int = 48_000):
+                 window: int = 8, sample_rate: int = 48_000,
+                 seed: int = 0):
         assert window < SEQ_MOD // 2
         self.ep = endpoint
         self.cfg = cfg
@@ -66,6 +68,10 @@ class GbnSender:
         self._rx_ack_lag = cfg.preamble_len + cfg.samples_for_bits(
             8 * (7 + cfg.max_frame_data_size)) \
             + cfg.inter_frame_gap_samples + self._ms(10)
+        # contention backoff (multi-node): consecutive ACK timeouts
+        # grow the window like the CSMA sender's cw quirk
+        self._rng = random.Random(seed)
+        self._stage = 0
         self.delivered = 0
         self.retransmit_bursts = 0
 
@@ -131,6 +137,10 @@ class GbnSender:
             if now >= self._ack_deadline:
                 # go back N: retransmit the whole remaining window
                 self.retransmit_bursts += 1
+                self._stage += 1
+                cw = min(self.mac.cw_min * 2 * self._stage, self.mac.cw_max)
+                self._deadline = now + self._rng.randint(0, cw) * self._ms(
+                    self.mac.slot_time_ms)
                 self.state = GbnState.SENSING
                 return
             if now < self._next_poll:
@@ -149,6 +159,7 @@ class GbnSender:
                         self.unacked.popleft()
                         self.delivered += 1
                     self.base = (self.base + acked) % SEQ_MOD
+                    self._stage = 0
                     self._ack_deadline = now + self._ms(
                         self.mac.ack_timeout_ms) + self._rx_ack_lag
             if not self.unacked:

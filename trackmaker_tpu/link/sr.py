@@ -22,6 +22,7 @@ the retransmit burst carries only the un-SACKed frames.
 from __future__ import annotations
 
 import enum
+import random
 from collections import deque
 
 import numpy as np
@@ -69,7 +70,8 @@ class SrSender:
 
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
-                 window: int = 8, sample_rate: int = 48_000):
+                 window: int = 8, sample_rate: int = 48_000,
+                 seed: int = 0):
         from trackmaker_tpu.phy.decoder import PhyDecoder
         from trackmaker_tpu.phy.encoder import PhyEncoder
         assert window < SEQ_MOD // 2 and window <= SACK_BYTES * 8
@@ -97,6 +99,10 @@ class SrSender:
         self._rx_ack_lag = cfg.preamble_len + cfg.samples_for_bits(
             8 * (7 + cfg.max_frame_data_size)) \
             + cfg.inter_frame_gap_samples + self._ms(10)
+        # contention backoff (multi-node): consecutive ACK timeouts
+        # grow the window like the CSMA sender's cw quirk
+        self._rng = random.Random(seed)
+        self._stage = 0
         self.delivered = 0
         self.retransmit_bursts = 0
         self.frames_retransmitted = 0
@@ -175,6 +181,10 @@ class SrSender:
         elif self.state == SrState.WAITING:
             if now >= self._ack_deadline:
                 self.retransmit_bursts += 1
+                self._stage += 1
+                cw = min(self.mac.cw_min * 2 * self._stage, self.mac.cw_max)
+                self._deadline = now + self._rng.randint(0, cw) * self._ms(
+                    self.mac.slot_time_ms)
                 self.frames_retransmitted += len(self._pending_burst())
                 self.state = SrState.SENSING
                 return
@@ -193,6 +203,7 @@ class SrSender:
                 if adv > len(self.unacked):
                     continue            # stale/garbled ACK
                 got_ack = True
+                self._stage = 0
                 for _ in range(adv):
                     self.unacked.pop(self.base, None)
                     self.acked.discard(self.base)
