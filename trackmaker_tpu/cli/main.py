@@ -114,7 +114,9 @@ def cmd_decode(args):
     from trackmaker_tpu.phy.decoder import decode_capture
 
     cfg = _cfg_from_args(args)
-    samples, sr = load_audio(args.capture)
+    if len(args.capture) > 1:
+        return _decode_many(cfg, args)
+    samples, sr = load_audio(args.capture[0])
     if sr != cfg.sample_rate:
         print(f"warning: capture is {sr} Hz, config is {cfg.sample_rate}")
     t0 = time.time()
@@ -146,6 +148,56 @@ def cmd_decode(args):
         with open(args.output, "wb") as fh:
             for f in frames:
                 fh.write(f.data)
+        print(f"payloads written to {args.output}")
+    return 0
+
+
+def _decode_many(cfg, args):
+    """Batched multi-capture decode: every file rides ONE jitted call
+    (zero-padded to a shared bucket — padding adds no correlation
+    candidates, so per-file decisions equal the single-file path).
+    This is the TPU-batch workflow the framework is built around: N
+    recordings cost one program launch, not N."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trackmaker_tpu.io import load_audio
+    from trackmaker_tpu.phy.decoder import decode_capture_fast
+
+    if args.clock_search or args.timing_gate:
+        print("decode: --clock-search/--timing-gate are per-capture "
+              "modes; pass one capture")
+        return 2
+    rows = []
+    for path in args.capture:
+        samples, sr = load_audio(path)
+        if sr != cfg.sample_rate:
+            print(f"warning: {path} is {sr} Hz, config is "
+                  f"{cfg.sample_rate}")
+        rows.append(np.asarray(samples, np.float32))
+    t = max(len(r) for r in rows)
+    batch = np.zeros((len(rows), t), np.float32)
+    for i, r in enumerate(rows):
+        batch[i, : len(r)] = r
+    t0 = time.time()
+    res = decode_capture_fast(cfg, jnp.asarray(batch), args.addr,
+                              max_frames=args.max_frames)
+    counts = np.asarray(res.count)
+    dt = time.time() - t0
+    total = batch.size
+    print(f"decoded {int(counts.sum())} frames from {len(rows)} captures "
+          f"({total} samples) in {dt:.2f}s "
+          f"({total / cfg.sample_rate / max(dt, 1e-9):.0f}x realtime "
+          f"aggregate)")
+    out = open(args.output, "wb") if args.output else None
+    for i, path in enumerate(args.capture):
+        print(f"  {path}: {int(counts[i])} frames")
+        for f in res.to_frames(i):
+            print(f"    seq={f.sequence} src={f.src} dst={f.dst} "
+                  f"len={len(f.data)}")
+            if out:
+                out.write(f.data)
+    if out:
+        out.close()
         print(f"payloads written to {args.output}")
     return 0
 
@@ -449,8 +501,8 @@ def main(argv=None):
     s.add_argument("--noise", type=float, default=0.0)
     s.set_defaults(fn=cmd_ping)
 
-    s = sub.add_parser("decode", parents=[common], help="offline decode of WAV/FLAC capture")
-    s.add_argument("capture")
+    s = sub.add_parser("decode", parents=[common], help="offline decode of WAV/FLAC captures (many files = one batched TPU call)")
+    s.add_argument("capture", nargs="+")
     s.add_argument("--addr", type=int, default=2,
                    help="local MAC; -1 = promiscuous (accept all)")
     s.add_argument("--max-frames", type=int, default=256)

@@ -76,11 +76,14 @@ class DecodedFrames(NamedTuple):
     def count(self) -> jax.Array:
         return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
 
-    def to_frames(self) -> list[Frame]:
-        """Host-side: materialize valid slots as Frame objects."""
+    def to_frames(self, row: int | None = None) -> list[Frame]:
+        """Host-side: materialize valid slots as Frame objects.  For
+        batched results pass `row` to pick one capture's slots."""
         valid = np.asarray(self.valid)
         fb = np.asarray(self.frame_bytes)
         ln = np.asarray(self.length)
+        if row is not None:
+            valid, fb, ln = valid[row], fb[row], ln[row]
         out = []
         for k in np.nonzero(valid)[0]:
             raw = fb[k, : PHY_HEADER_BYTES + ln[k]].tobytes()
