@@ -50,3 +50,31 @@ def test_cli_ofdm_adapt(capsys):
     assert run_cli(["ofdm-adapt"]) == 0
     out = capsys.readouterr().out
     assert "bits/sym" in out and "exact: True" in out
+
+
+def test_cli_decode_many_batched(tmp_path, capsys):
+    """N capture files decode through ONE batched call, per-file exact."""
+    d1 = bytes(range(200))
+    d2 = bytes(reversed(range(128)))
+    paths = []
+    for i, d in enumerate((d1, d2)):
+        inp = tmp_path / f"in{i}.bin"
+        inp.write_bytes(d)
+        wav = tmp_path / f"c{i}.wav"
+        assert run_cli(["encode", "--input", str(inp),
+                        "--wav", str(wav)]) == 0
+        paths.append(str(wav))
+    out = tmp_path / "all.bin"
+    assert run_cli(["decode", *paths, "--output", str(out)]) == 0
+    assert out.read_bytes() == d1 + d2
+    text = capsys.readouterr().out
+    assert "2 captures" in text
+
+
+def test_cli_tx_sr(tmp_path, capsys):
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(b"selective repeat payload " * 12)
+    out = tmp_path / "out.bin"
+    assert run_cli(["tx", "--input", str(inp), "--output", str(out),
+                    "--arq", "sr", "--window", "4"]) == 0
+    assert out.read_bytes() == inp.read_bytes()
