@@ -57,6 +57,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
+# DMA pipeline depth for the attempt kernels (slabs in flight).  With
+# 1-slot lookahead every iteration stalled on HBM round-trip latency
+# (~760 ns/candidate measured); deeper pipelines hide it behind the
+# previous candidates' compute.  Env-tunable for on-chip A/B.
+ATTEMPT_PIPE = max(2, int(_os.environ.get("TM_ATTEMPT_PIPE", "4")))
+
 from trackmaker_tpu.core import bitops
 from trackmaker_tpu.core.config import (
     FOUR_B_FIVE_B,
@@ -174,16 +182,19 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
 
-    @pl.when(nv > 0)
-    def _():
-        dma(0, 0).start()
+    # ATTEMPT_PIPE-deep DMA pipeline (see the module constant)
+    for i in range(ATTEMPT_PIPE - 1):
+        @pl.when(nv > i)
+        def _(i=i):
+            dma(i, i).start()
 
     def body_fn(c, _):
-        slot = c % 2
+        la = ATTEMPT_PIPE - 1
+        slot = c % ATTEMPT_PIPE
 
-        @pl.when(c + 1 < nv)
+        @pl.when(c + la < nv)
         def _():
-            dma(c + 1, (c + 1) % 2).start()
+            dma(c + la, (c + la) % ATTEMPT_PIPE).start()
 
         dma(c, slot).wait()
         i_c, base = base_of(c)
@@ -191,13 +202,17 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         ro = (base // DROW) % 8        # residual rows below the slab top
 
         def rowsel(kk, height, max_k):
-            # xw[slot, kk:kk+height] with a traced kk, as a masked sum of
-            # static slices (dynamic sublane slices need 8-alignment)
-            acc = jnp.zeros((height, DROW), jnp.float32)
-            for j in range(max_k):
-                acc = acc + jnp.where(
-                    kk == j, xw[slot, j:j + height, :], 0.0)
-            return acc
+            # xw[slot, kk:kk+height] with a traced kk (dynamic sublane
+            # slices need 8-alignment): a one-hot row-selection MATMUL.
+            # Each output row has exactly one 1.0, so the f32 MXU pass
+            # is exact — and it replaced a max_k-deep masked sum of
+            # full-height slabs that cost ~40% of the kernel (VPU
+            # passes over height*DROW*max_k elements per candidate).
+            ri = jax.lax.broadcasted_iota(jnp.int32, (height, NR), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (height, NR), 1)
+            sel = (ci == ri + kk).astype(jnp.float32)
+            return jnp.dot(sel, xw[slot],
+                           preferred_element_type=jnp.float32)
 
         # ---- sync refine: 13 sliding sync-word dots as banded matmuls
         a_s = tslice(t8_ref, 383 - q)
@@ -315,16 +330,19 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
 
-    @pl.when(nv > 0)
-    def _():
-        dma(0, 0).start()
+    # ATTEMPT_PIPE-deep DMA pipeline (see _attempt_kernel)
+    for i in range(ATTEMPT_PIPE - 1):
+        @pl.when(nv > i)
+        def _(i=i):
+            dma(i, i).start()
 
     def body_fn(c, _):
-        slot = c % 2
+        la = ATTEMPT_PIPE - 1
+        slot = c % ATTEMPT_PIPE
 
-        @pl.when(c + 1 < nv)
+        @pl.when(c + la < nv)
         def _():
-            dma(c + 1, (c + 1) % 2).start()
+            dma(c + la, (c + la) % ATTEMPT_PIPE).start()
 
         dma(c, slot).wait()
         i_c, base = base_of(c)
@@ -332,11 +350,12 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         q0 = base % DROW
 
         def rowsel(kk, height, max_k):
-            acc = jnp.zeros((height, DROW), jnp.float32)
-            for j in range(max_k):
-                acc = acc + jnp.where(
-                    kk == j, xw[slot, j:j + height, :], 0.0)
-            return acc
+            # one-hot row-selection matmul (see _attempt_kernel.rowsel)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (height, NR4), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (height, NR4), 1)
+            sel = (ci == ri + kk).astype(jnp.float32)
+            return jnp.dot(sel, xw[slot],
+                           preferred_element_type=jnp.float32)
 
         # ---- sync refine: 31 sliding 30-sample dots, banded matmuls
         a_s = tslice(t8_ref, 383 - q0)
@@ -375,11 +394,13 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         ql = (oo % DROW) // 3
 
         def lrowsel(kk, height, max_k):
-            acc = jnp.zeros((height, 128), jnp.float32)
-            for j in range(max_k):
-                acc = acc + jnp.where(
-                    kk == j, lv_all[j:j + height, :], 0.0)
-            return acc
+            # one-hot row-selection matmul (see _attempt_kernel.rowsel)
+            nr_lv = NR4 - 1
+            ri = jax.lax.broadcasted_iota(jnp.int32, (height, nr_lv), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (height, nr_lv), 1)
+            sel = (ci == ri + kk).astype(jnp.float32)
+            return jnp.dot(sel, lv_all,
+                           preferred_element_type=jnp.float32)
 
         lsel = lrowsel(ro2, 32, 10)            # (32, 128)
         ar = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -795,8 +816,8 @@ def _spec_phase_a(
                 (1, n_cand * BROWS, 128), lambda bb, *_: (bb, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, NR, DROW), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((ATTEMPT_PIPE, NR, DROW), jnp.float32),
+                pltpu.SemaphoreType.DMA((ATTEMPT_PIPE,)),
             ],
         )
         bytes_cm = pl.pallas_call(
@@ -839,8 +860,8 @@ def _spec_phase_a(
                 (1, n_cand * BROWS4, 128), lambda bb, *_: (bb, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, NR4, DROW), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((ATTEMPT_PIPE, NR4, DROW), jnp.float32),
+                pltpu.SemaphoreType.DMA((ATTEMPT_PIPE,)),
             ],
         )
         out_cm = pl.pallas_call(
