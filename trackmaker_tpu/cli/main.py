@@ -174,24 +174,41 @@ def _decode_many(cfg, args):
             print(f"warning: {path} is {sr} Hz, config is "
                   f"{cfg.sample_rate}")
         rows.append(np.asarray(samples, np.float32))
-    t = max(len(r) for r in rows)
-    batch = np.zeros((len(rows), t), np.float32)
+
+    # bucket by next-power-of-two length: padding everything to the
+    # longest file would decode a 1 s capture at 600 s cost in a mixed
+    # batch, and per-exact-length batches would compile one program per
+    # file length.  Buckets bound pad waste at 2x and programs at
+    # log2(spread).
+    buckets: dict[int, list[int]] = {}
     for i, r in enumerate(rows):
-        batch[i, : len(r)] = r
+        b = 1 << max(12, (len(r) - 1).bit_length())
+        buckets.setdefault(b, []).append(i)
+
     t0 = time.time()
-    res = decode_capture_fast(cfg, jnp.asarray(batch), args.addr,
-                              max_frames=args.max_frames)
-    counts = np.asarray(res.count)
+    counts = [0] * len(rows)
+    frames_of: dict[int, list] = {}
+    for blen in sorted(buckets):
+        idxs = buckets[blen]
+        batch = np.zeros((len(idxs), blen), np.float32)
+        for k, i in enumerate(idxs):
+            batch[k, : len(rows[i])] = rows[i]
+        res = decode_capture_fast(cfg, jnp.asarray(batch), args.addr,
+                                  max_frames=args.max_frames)
+        cnt = np.asarray(res.count)
+        for k, i in enumerate(idxs):
+            counts[i] = int(cnt[k])
+            frames_of[i] = res.to_frames(k)
     dt = time.time() - t0
-    total = batch.size
-    print(f"decoded {int(counts.sum())} frames from {len(rows)} captures "
-          f"({total} samples) in {dt:.2f}s "
+    total = sum(len(r) for r in rows)
+    print(f"decoded {sum(counts)} frames from {len(rows)} captures "
+          f"({total} samples, {len(buckets)} bucket(s)) in {dt:.2f}s "
           f"({total / cfg.sample_rate / max(dt, 1e-9):.0f}x realtime "
           f"aggregate)")
     out = open(args.output, "wb") if args.output else None
     for i, path in enumerate(args.capture):
-        print(f"  {path}: {int(counts[i])} frames")
-        for f in res.to_frames(i):
+        print(f"  {path}: {counts[i]} frames")
+        for f in frames_of[i]:
             print(f"    seq={f.sequence} src={f.src} dst={f.dst} "
                   f"len={len(f.data)}")
             if out:
