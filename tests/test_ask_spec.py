@@ -125,6 +125,57 @@ def test_batched_rows_independent():
                 (b, name)
 
 
+def test_dense_demod_matches_slot():
+    """The dense demod decomposition (two 30-tap sliding dots + strided
+    pick + 2-term carrier-phase combination, ask.py:demod_dense) must
+    reproduce demod_slot's window sums — same real arithmetic, so the
+    raw sums agree to f32 rounding and decisions agree exactly — across
+    arbitrary (including unaligned and clipped-negative) peaks."""
+    rng = np.random.default_rng(11)
+    frames = ask.build_frames(b"dense pin", CFG, num_frames=3)
+    wave = ask.build_track(CFG, frames, seed=6).astype(np.float32)
+    wave += rng.normal(0, 0.1, len(wave)).astype(np.float32)
+    t = len(wave)
+    rx = jnp.asarray(wave)
+
+    pad = CFG.frame_samples + 1024 + 8
+    rx_pad = jnp.concatenate([rx, jnp.zeros(pad, jnp.float32)])
+    car, wts = ask.demod_tables(CFG)
+    k, s_per, c_per = ask._demod_dense_tables_np(CFG)
+    assert len(k) == CFG.bit_hi - CFG.bit_lo + 2 * CFG.smooth_half
+    ds, dc = ask.demod_dense(CFG, rx)
+    s_per = jnp.asarray(s_per)
+    c_per = jnp.asarray(c_per)
+
+    peaks = np.concatenate([
+        rng.integers(0, t - CFG.frame_samples - 2, 32),
+        [-4753, -1, 0, 1, 23, 24, t - CFG.frame_samples - 2],
+    ]).astype(np.int32)
+    for pk in peaks:
+        a = ask.demod_slot(CFG, rx_pad, car, wts,
+                           jnp.int32(pk), jnp.asarray(True))
+        b = ask.demod_slot_dense(CFG, ds, dc, s_per, c_per,
+                                 jnp.int32(pk), jnp.asarray(True))
+        for name in a:
+            assert np.array_equal(np.asarray(a[name]),
+                                  np.asarray(b[name])), (pk, name)
+
+    # raw sums agree to f32 rounding (not just decisions)
+    p0 = int(peaks[0]) + 1
+    win = rx_pad[p0:p0 + CFG.frame_samples]
+    sums_ref = np.asarray((win * car) @ wts)
+    m = p0 % s_per.shape[0]
+    idx = (p0 + CFG.bit_lo - CFG.smooth_half
+           + CFG.samples_per_bit * np.arange(CFG.coded_bits))
+    sums_dense = np.asarray(c_per[m] * ds[idx] - s_per[m] * dc[idx])
+    # atol bounds the f32 drift of carrier_np's direct sin evaluation
+    # at window offsets up to 4752 (arg ~6e3 rad) vs the dense path's
+    # exact periodic table — ~1e-3 on unit-amplitude windows; decisions
+    # (asserted exactly above) sit orders of magnitude away from 0
+    np.testing.assert_allclose(sums_dense, sums_ref, rtol=2e-3,
+                               atol=3e-3)
+
+
 def test_spec_vs_oracle():
     """End-to-end: spec path decisions equal the NumPy oracle's."""
     from trackmaker_tpu.oracle import ask as oracle_ask

@@ -284,14 +284,9 @@ def demod_tables(cfg: AskConfig):
     return car, jnp.asarray(_demod_weights_np(cfg))
 
 
-def demod_slot(cfg: AskConfig, rx_pad, car, weights, peak, ok):
-    """Coherent demod of the 4752-sample window after a fired peak
-    (ask.rs:723-767): multiply-by-carrier, then the fused
-    smooth+integrate weight matmul, then the 1..100 frame-id filter."""
-    win = jax.lax.dynamic_slice(
-        rx_pad, (jnp.clip(peak + 1, 0),), (cfg.frame_samples,))
-    sums = (win * car) @ weights                   # (coded_bits,)
-    bits = (sums > 0.0)
+def _demod_decisions(cfg: AskConfig, bits, peak, ok):
+    """Shared demod epilogue: the 1..100 frame-id filter + output dict
+    (ask.rs:755-767)."""
     fid = jnp.sum(
         bits[:8].astype(jnp.int32) *
         (1 << jnp.arange(7, -1, -1)), axis=-1)
@@ -304,6 +299,97 @@ def demod_slot(cfg: AskConfig, rx_pad, car, weights, peak, ok):
                        0).astype(jnp.uint8),
         start=jnp.where(valid, peak, -1),
     )
+
+
+def demod_slot(cfg: AskConfig, rx_pad, car, weights, peak, ok):
+    """Coherent demod of the 4752-sample window after a fired peak
+    (ask.rs:723-767): multiply-by-carrier, then the fused
+    smooth+integrate weight matmul, then the 1..100 frame-id filter."""
+    win = jax.lax.dynamic_slice(
+        rx_pad, (jnp.clip(peak + 1, 0),), (cfg.frame_samples,))
+    sums = (win * car) @ weights                   # (coded_bits,)
+    return _demod_decisions(cfg, sums > 0.0, peak, ok)
+
+
+@functools.lru_cache(maxsize=4)
+def _demod_dense_tables_np(cfg: AskConfig):
+    """Tables for the DENSE demod decomposition, or None when the
+    config's geometry doesn't admit it.
+
+    The carrier is periodic (10 kHz at 48 kHz = exactly 24 samples), so
+    the window product splits over the window start p0:
+
+        win[i]*car[i] = rx[p0+i]*sin(w(j-p0))         (j = p0+i)
+                      = cos(w p0)*rx[j]sin(wj) - sin(w p0)*rx[j]cos(wj)
+
+    and — because with the default geometry the 11-tap edge-truncated
+    smooth never actually truncates (bit_lo >= h and bit_hi + h <=
+    samples_per_bit) — every per-bit smooth+integrate column of
+    `_demod_weights_np` is ONE shared 30-tap kernel K = ones(nint) *
+    ones(nsm)/nsm placed at bit_lo - h + c*spb.  So the whole post-pass
+    reduces to two dense 30-tap sliding dots plus a per-slot strided
+    108-element pick — no per-slot 4752-sample gather, no [4752, 108]
+    matmul (see docs/BENCHMARKS.md: the doubly-vmapped window slice is
+    the per-element-gather lowering)."""
+    import math
+    fhz = cfg.carrier_hz
+    if abs(fhz - round(fhz)) > 1e-9:
+        return None
+    if cfg.bit_lo < cfg.smooth_half or (
+            cfg.bit_hi + cfg.smooth_half > cfg.samples_per_bit):
+        return None                      # edge truncation would fire
+    g = math.gcd(int(round(fhz)), cfg.sample_rate)
+    period = cfg.sample_rate // g
+    if period > 4096:
+        return None
+    nsm = 2 * cfg.smooth_half + 1
+    k = np.convolve(
+        np.ones(cfg.bit_hi - cfg.bit_lo, np.float64),
+        np.ones(nsm, np.float64) / nsm).astype(np.float32)
+    ph = (2.0 * np.pi * (int(round(fhz)) // g)
+          * np.arange(period, dtype=np.float64) / period)
+    return (k, np.sin(ph).astype(np.float32),
+            np.cos(ph).astype(np.float32))
+
+
+def demod_dense(cfg: AskConfig, rx: jax.Array):
+    """Dense demod arrays (ds, dc) for one capture: the bit sums of a
+    window starting at p0 are
+
+        sums[c] = cos[p0 % P]*ds[q] - sin[p0 % P]*dc[q],
+        q = p0 + bit_lo - smooth_half + c*samples_per_bit
+
+    (see `_demod_dense_tables_np`).  Both arrays cover q in
+    [0, T + frame_samples) so any complete window's picks are
+    in-bounds."""
+    k, s_per, c_per = _demod_dense_tables_np(cfg)
+    t = rx.shape[-1]
+    period = s_per.shape[0]
+    reps = -(-t // period)
+    sw = jnp.tile(jnp.asarray(s_per), reps)[:t]
+    cw = jnp.tile(jnp.asarray(c_per), reps)[:t]
+    from trackmaker_tpu import sync as sync_mod
+    l = len(k)
+    pad = cfg.frame_samples + l
+    xs = jnp.concatenate([rx * sw, jnp.zeros(pad, jnp.float32)])
+    xc = jnp.concatenate([rx * cw, jnp.zeros(pad, jnp.float32)])
+    ds = sync_mod.auto_sliding_dot_scaled(xs, k, 1.0)[l - 1:]
+    dc = sync_mod.auto_sliding_dot_scaled(xc, k, 1.0)[l - 1:]
+    return ds, dc
+
+
+def demod_slot_dense(cfg: AskConfig, ds, dc, s_per, c_per, peak, ok):
+    """Per-slot demod from the dense arrays: a strided coded_bits-element
+    pick + the 2-term carrier-phase combination.  Decision-equivalent to
+    `demod_slot` (same real-arithmetic sums, f32 rounding aside) —
+    pinned by tests/test_ask_spec.py::test_dense_demod_matches_slot."""
+    p0 = jnp.clip(peak + 1, 0)
+    m = jnp.mod(p0, s_per.shape[0])
+    q0 = p0 + cfg.bit_lo - cfg.smooth_half
+    idx = q0 + cfg.samples_per_bit * jnp.arange(
+        cfg.coded_bits, dtype=jnp.int32)
+    sums = c_per[m] * ds[idx] - s_per[m] * dc[idx]
+    return _demod_decisions(cfg, sums > 0.0, peak, ok)
 
 
 @functools.partial(

@@ -229,10 +229,23 @@ def demodulate_spec(
     fields, rx_pads, overflow = jax.vmap(analyze)(rx)
     peaks, fire_ok, bad = _walk(fields, max_frames, interpret)
 
-    car, wts = ask.demod_tables(cfg)
-    res = jax.vmap(lambda rp, pk, ok: jax.vmap(
-        lambda p, o: ask.demod_slot(cfg, rp, car, wts, p, o)
-    )(pk, ok))(rx_pads, peaks, fire_ok)
+    if ask._demod_dense_tables_np(cfg) is not None:
+        # dense demod: two 30-tap sliding dots per capture + a strided
+        # pick per slot, replacing the doubly-vmapped 4752-sample window
+        # gather + [4752, 108] matmul (ask.py:demod_dense)
+        _k, s_per, c_per = ask._demod_dense_tables_np(cfg)
+        s_per = jnp.asarray(s_per)
+        c_per = jnp.asarray(c_per)
+        ds, dc = jax.vmap(lambda row: ask.demod_dense(cfg, row))(rx)
+        res = jax.vmap(lambda d1, d2, pk, ok: jax.vmap(
+            lambda p, o: ask.demod_slot_dense(cfg, d1, d2, s_per,
+                                              c_per, p, o)
+        )(pk, ok))(ds, dc, peaks, fire_ok)
+    else:
+        car, wts = ask.demod_tables(cfg)
+        res = jax.vmap(lambda rp, pk, ok: jax.vmap(
+            lambda p, o: ask.demod_slot(cfg, rp, car, wts, p, o)
+        )(pk, ok))(rx_pads, peaks, fire_ok)
     return AskDecoded(**res), ~(overflow | bad)
 
 
