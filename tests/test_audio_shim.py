@@ -102,6 +102,27 @@ def test_jack_backend_roundtrip_or_clean_failure():
         d.close()
 
 
+def test_portaudio_backend_roundtrip_or_clean_failure():
+    """With libportaudio + a duplex device: stream comes up.  Without:
+    clean RuntimeError (availability probe false on bare containers),
+    never a crash or hang."""
+    rt = _runtime()
+    if not rt.portaudio_available():
+        assert isinstance(rt.portaudio_available(), bool)
+        with pytest.raises(RuntimeError):
+            rt.AudioDuplex(backend=rt.BACKEND_PORTAUDIO)
+        return
+    try:
+        d = rt.AudioDuplex(backend=rt.BACKEND_PORTAUDIO)
+    except RuntimeError:
+        return  # library present but no duplex device — clean failure
+    try:
+        import numpy as np
+        d.play(np.zeros(256, np.float32))
+    finally:
+        d.close()
+
+
 def test_record_example_end_to_end():
     env = dict(os.environ)
     out = subprocess.run(

@@ -245,6 +245,7 @@ BACKEND_ALSA = 0
 BACKEND_LOOPBACK = 1          # paced at the sample rate
 BACKEND_LOOPBACK_FAST = 2     # unpaced (tests)
 BACKEND_JACK = 3              # JACK/PipeWire-JACK client + auto-connect
+BACKEND_PORTAUDIO = 4         # PortAudio default duplex (macOS/CoreAudio)
 
 
 def _audio_bind(lib):
@@ -252,6 +253,7 @@ def _audio_bind(lib):
         return
     lib.tm_audio_alsa_available.restype = ctypes.c_int
     lib.tm_audio_jack_available.restype = ctypes.c_int
+    lib.tm_audio_portaudio_available.restype = ctypes.c_int
     lib.tm_audio_open.restype = ctypes.c_void_p
     lib.tm_audio_open.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_uint, ctypes.c_uint,
@@ -273,6 +275,14 @@ def jack_available() -> bool:
     return bool(lib.tm_audio_jack_available())
 
 
+def portaudio_available() -> bool:
+    """libportaudio is loadable (macOS/CoreAudio hosts; opening can
+    still fail when no duplex device exists)."""
+    lib = _load()
+    _audio_bind(lib)
+    return bool(lib.tm_audio_portaudio_available())
+
+
 class AudioDuplex:
     """Half-duplex audio endpoint over the SPSC rings.
 
@@ -287,10 +297,15 @@ class AudioDuplex:
         lib = _load()
         _audio_bind(lib)
         if backend is None:
-            # prefer real hardware when a backend library exists; the
-            # loopback cable is the headless/CI fallback
-            backend = (BACKEND_ALSA if lib.tm_audio_alsa_available()
-                       else BACKEND_LOOPBACK)
+            # prefer real hardware when a backend library exists (ALSA
+            # on Linux, PortAudio elsewhere — macOS/CoreAudio rides it);
+            # the loopback cable is the headless/CI fallback
+            if lib.tm_audio_alsa_available():
+                backend = BACKEND_ALSA
+            elif lib.tm_audio_portaudio_available():
+                backend = BACKEND_PORTAUDIO
+            else:
+                backend = BACKEND_LOOPBACK
         self.backend = backend
         self.rate = rate
         self.capture_ring = RingBuffer(ring_capacity)
@@ -305,7 +320,8 @@ class AudioDuplex:
                 f"tm_audio_open failed (backend={backend}); "
                 "for ALSA check libasound.so.2 and the device name; "
                 "for JACK check libjack.so.0 and that a JACK/PipeWire "
-                "server is running")
+                "server is running; for PortAudio check libportaudio "
+                "and that a default duplex device exists")
 
     def play(self, samples: np.ndarray) -> int:
         return self.playback_ring.push(samples)

@@ -128,6 +128,49 @@ struct JackApi {
 
 JackApi g_jack;
 
+// ---- minimal PortAudio surface, resolved at runtime -------------------
+// The portable route to macOS hosts: PortAudio fronts CoreAudio there
+// (and WASAPI/ALSA elsewhere), so this one backend covers the
+// reference's CoreAudio-jackd setup (README.md:57-102) without any
+// platform-specific code.  Same dlopen discipline as ALSA/JACK: no
+// headers, no link-time dependency, absent-library hosts keep working.
+typedef void PaStream;
+typedef int (*PaStreamCallback)(const void*, void*, unsigned long,
+                                const void*, unsigned long, void*);
+constexpr unsigned long kPaFloat32 = 0x00000001;
+constexpr int kPaContinue = 0;
+
+struct PortAudioApi {
+  void* lib = nullptr;
+  int (*initialize)(void) = nullptr;
+  int (*terminate)(void) = nullptr;
+  int (*open_default)(PaStream**, int, int, unsigned long, double,
+                      unsigned long, PaStreamCallback, void*) = nullptr;
+  int (*start)(PaStream*) = nullptr;
+  int (*stop)(PaStream*) = nullptr;
+  int (*close)(PaStream*) = nullptr;
+
+  bool load() {
+    if (lib) return true;
+    lib = dlopen("libportaudio.so.2", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) lib = dlopen("libportaudio.so", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) lib = dlopen("libportaudio.2.dylib", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) lib = dlopen("libportaudio.dylib", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) return false;
+    initialize = (decltype(initialize))dlsym(lib, "Pa_Initialize");
+    terminate = (decltype(terminate))dlsym(lib, "Pa_Terminate");
+    open_default = (decltype(open_default))dlsym(
+        lib, "Pa_OpenDefaultStream");
+    start = (decltype(start))dlsym(lib, "Pa_StartStream");
+    stop = (decltype(stop))dlsym(lib, "Pa_StopStream");
+    close = (decltype(close))dlsym(lib, "Pa_CloseStream");
+    return initialize && terminate && open_default && start && stop &&
+           close;
+  }
+};
+
+PortAudioApi g_pa;
+
 struct AudioDuplex {
   void* cap_ring;      // device -> decoder
   void* play_ring;     // encoder -> device
@@ -144,7 +187,25 @@ struct AudioDuplex {
   jack_client_t* jack = nullptr;
   jack_port_t* jack_in = nullptr;
   jack_port_t* jack_out = nullptr;
+  // PortAudio backend state
+  PaStream* pa_stream = nullptr;
 };
+
+// PortAudio duplex callback — same ring contract as jack_process:
+// input block -> capture ring, playback ring -> output block with
+// silence fill on underrun.
+int pa_process(const void* input, void* output, unsigned long nframes,
+               const void*, unsigned long, void* arg) {
+  auto* d = (AudioDuplex*)arg;
+  if (input) tm_ring_push(d->cap_ring, (const float*)input, nframes);
+  if (output) {
+    float* out = (float*)output;
+    size_t got = tm_ring_pop(d->play_ring, out, nframes);
+    if (got < nframes)
+      memset(out + got, 0, (nframes - got) * sizeof(float));
+  }
+  return kPaContinue;
+}
 
 // The JACK real-time callback — the direct counterpart of the
 // reference's process closure (src/audio/recorder.rs:35-153), with the
@@ -240,10 +301,14 @@ int tm_audio_alsa_available(void) { return g_alsa.load() ? 1 : 0; }
 // cleanly in that case).
 int tm_audio_jack_available(void) { return g_jack.load() ? 1 : 0; }
 
+// libportaudio is present (open can still fail if no device).
+int tm_audio_portaudio_available(void) { return g_pa.load() ? 1 : 0; }
+
 // Open a duplex stream. backend: 0 = ALSA (device name, e.g.
 // "default"), 1 = loopback paced at `rate`, 2 = loopback unpaced
 // (tests), 3 = JACK (device = client name; auto-connects to the first
-// physical ports like src/device/jack.rs:17-64). Returns an opaque
+// physical ports like src/device/jack.rs:17-64), 4 = PortAudio default
+// duplex device (macOS/CoreAudio, WASAPI, ...). Returns an opaque
 // handle or NULL.
 void* tm_audio_open(const char* device, int backend, unsigned rate,
                     unsigned period, void* capture_ring,
@@ -296,6 +361,19 @@ void* tm_audio_open(const char* device, int backend, unsigned rate,
     return d;
   }
 
+  if (backend == 4) {
+    if (!g_pa.load() || g_pa.initialize() != 0) { delete d; return nullptr; }
+    if (g_pa.open_default(&d->pa_stream, 1, 1, kPaFloat32, (double)rate,
+                          d->period, pa_process, d) != 0 ||
+        g_pa.start(d->pa_stream) != 0) {
+      if (d->pa_stream) g_pa.close(d->pa_stream);
+      g_pa.terminate();
+      delete d;
+      return nullptr;
+    }
+    return d;
+  }
+
   d->loopback = true;
   d->paced = (backend == 1);
   pthread_create(&d->cap_thread, nullptr, loopback_main, d);
@@ -305,6 +383,13 @@ void* tm_audio_open(const char* device, int backend, unsigned rate,
 void tm_audio_close(void* handle) {
   auto* d = (AudioDuplex*)handle;
   if (!d) return;
+  if (d->pa_stream) {
+    g_pa.stop(d->pa_stream);
+    g_pa.close(d->pa_stream);
+    g_pa.terminate();
+    delete d;
+    return;
+  }
   if (d->jack) {
     if (g_jack.deactivate) g_jack.deactivate(d->jack);
     g_jack.client_close(d->jack);
