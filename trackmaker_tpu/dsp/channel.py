@@ -44,9 +44,12 @@ def delay(x: jax.Array, num_samples: int) -> jax.Array:
 
 
 def multipath(x: jax.Array, taps: jax.Array) -> jax.Array:
-    """Convolve with a small echo impulse response (taps[0] = direct)."""
+    """Convolve with a small echo impulse response: y[n] = sum_k
+    taps[k] x[n-k], so taps[0] is the direct path and taps[d] an echo
+    at delay d.  (fir_filter is XLA cross-correlation — no kernel flip
+    — hence the explicit reverse to get true convolution semantics.)"""
     from trackmaker_tpu.dsp.filters import fir_filter
-    y = fir_filter(x, taps, mode="full")
+    y = fir_filter(x, taps[::-1], mode="full")
     return y[..., : x.shape[-1]]
 
 
