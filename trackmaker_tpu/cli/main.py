@@ -120,6 +120,16 @@ def cmd_decode(args):
     if sr != cfg.sample_rate:
         print(f"warning: capture is {sr} Hz, config is {cfg.sample_rate}")
     t0 = time.time()
+    if args.equalize:
+        from trackmaker_tpu.dsp.equalizer import equalize_capture
+        eq, info = equalize_capture(cfg, jnp.asarray(samples))
+        if bool(info["applied"]):
+            print(f"equalizer: trained at sample {int(info['anchor'])} "
+                  f"(quality {float(info['quality']):.2f}, "
+                  f"noise loading {float(info['lam']):.3f})")
+            samples = eq
+        else:
+            print("equalizer: no preamble above quality 0.5 — passthrough")
     if args.clock_search:
         from trackmaker_tpu.dsp.timing import decode_with_clock_search
         res, ppm = decode_with_clock_search(
@@ -163,9 +173,9 @@ def _decode_many(cfg, args):
     from trackmaker_tpu.io import load_audio
     from trackmaker_tpu.phy.decoder import decode_capture_fast
 
-    if args.clock_search or args.timing_gate:
-        print("decode: --clock-search/--timing-gate are per-capture "
-              "modes; pass one capture")
+    if args.clock_search or args.timing_gate or args.equalize:
+        print("decode: --clock-search/--timing-gate/--equalize are "
+              "per-capture modes; pass one capture")
         return 2
     rows = []
     for path in args.capture:
@@ -529,6 +539,9 @@ def main(argv=None):
     s.add_argument("--timing-gate", action="store_true",
                    help="per-frame early-late retry of failed "
                         "candidates (mixed-skew transmitters)")
+    s.add_argument("--equalize", action="store_true",
+                   help="preamble-trained MMSE equalizer front-end "
+                        "(echoic/multipath captures)")
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("encode", parents=[common], help="file -> modulated WAV")

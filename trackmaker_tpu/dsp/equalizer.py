@@ -1,0 +1,166 @@
+"""Preamble-trained MMSE equalizer — an opt-in multipath front-end for
+the line-coded PHY.
+
+The reference has no equalizer (its decoder fails on echoic channels the
+same way ours does: `docs/BENCHMARKS.md` robustness table); this module
+is beyond-parity capability.  Measured motivation (see
+tests/test_equalizer.py): a 2-path channel with echo amplitude 0.5 at
+7-sample delay drops the stock decoder from 8/8 to 0/8 frames; with this
+front-end it decodes 8/8 again.
+
+Design (one fixed-shape jit, vmap-able):
+
+1. *Anchor*: the strongest normalized preamble correlation in the
+   capture (backend-dispatched — the Pallas kernel on TPU).  Any
+   frame's preamble works: the channel is LTI over a capture.
+2. *Channel estimate*: LS fit of ``n_ch`` taps (with ``K0`` acausal
+   margin, so an anchor locked onto either path still brackets the
+   response) against the KNOWN preamble waveform.  The normal-equation
+   solve folds into a single static host matrix: ``h = M @ rx_window``
+   with ``M = (A^T A + eps I)^-1 A^T`` precomputed from the preamble —
+   one tiny MXU matmul at runtime, no linear solve on device.
+3. *MMSE inversion*: ``G = conj(H) / (|H|^2 + lam)`` in the frequency
+   domain, with ``lam`` the measured fit-residual-to-signal ratio (the
+   actual noise level, not a guess), truncated to a two-sided FIR.
+4. *Apply*: blocked banded matmul (slab rows x a Toeplitz band built
+   from the traced taps) — no ``conv_general_dilated`` anywhere, which
+   would take minutes of remote compile on this chip (CLAUDE.md), and
+   no host-side pattern requirement, which the Pallas xcorr kernel has.
+5. *Gate*: if the anchor quality is below ``min_quality`` (no clean
+   preamble to train on), the capture passes through untouched.
+
+The output feeds the UNMODIFIED decoder: oracle parity of
+`decode_capture` is untouched; this is a pure pre-processing stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trackmaker_tpu.core.config import PhyConfig
+from trackmaker_tpu.phy import line_coding
+from trackmaker_tpu import sync as sync_mod
+
+N_CH = 48          # estimated channel taps
+K0 = 16            # acausal taps (echo arriving before the anchor path)
+N_FFT = 1024       # inversion FFT size
+L_HALF = 192       # equalizer FIR: lags in [-L_HALF, L_HALF] (a 0.9
+                   # echo at delay d inverts with time constant
+                   # ~d/ln(1/0.9) samples; 192 covers d<=20 echoes)
+BLK = 512          # apply-stage block width
+
+
+@functools.lru_cache(maxsize=8)
+def _ls_solver_np(cfg: PhyConfig) -> tuple[np.ndarray, np.ndarray,
+                                           int, int]:
+    """(M, A, i0, rows): h = M @ rx[anchor+i0 : anchor+i0+rows].
+
+    Model: rx[anchor + i] = sum_k h[k] * s[i + K0 - k], where s is the
+    transmit waveform aligned so s[0] = preamble[0] at the anchor, and
+    the N_CH samples BEFORE the preamble are modeled as silence (true
+    whenever the training frame follows an inter-frame gap or channel
+    idle — the strongest-correlation anchor in a capture).  Including
+    the silent lead-in is load-bearing twice over: it adds rows (the
+    4B5B preamble alone is 60 samples — fewer equations than the 48
+    unknowns) and the energy onset pins the direct-path delay, breaking
+    the shift ambiguity of periodic preambles (Manchester's
+    preamble-only Toeplitz is numerically rank-deficient, cond ~1e17).
+    M folds the ridge-regularized normal-equation solve into one
+    [N_CH, rows] constant; A reproduces the fit for the residual-based
+    noise estimate."""
+    pre = np.asarray(line_coding.preamble_waveform(cfg), np.float64)
+    p = len(pre)
+    s_ext = np.concatenate([np.zeros(N_CH), pre])   # s[j] = s_ext[j+N_CH]
+    i_min = -K0 - 1
+    i_max = p - K0 - 1
+    rows = i_max - i_min + 1
+    a = np.zeros((rows, N_CH), np.float64)
+    for r in range(rows):
+        for k in range(N_CH):
+            a[r, k] = s_ext[i_min + r + K0 - k + N_CH]
+    # the silent-lead-in rows make A well-conditioned (cond ~3e2), so
+    # the ridge only needs to guard the noise floor, not the rank
+    ata = a.T @ a + 1e-4 * np.eye(N_CH)
+    m = np.linalg.solve(ata, a.T)
+    return m.astype(np.float32), a.astype(np.float32), i_min, rows
+
+
+def estimate_channel(cfg: PhyConfig, rx: jax.Array, anchor: jax.Array):
+    """(h[N_CH], lam) — LS channel taps at `anchor` + the measured
+    residual-to-signal ratio used as the MMSE noise loading."""
+    m, a, i0, rows = _ls_solver_np(cfg)
+    t = rx.shape[-1]
+    rx_pad = jnp.concatenate([rx, jnp.zeros(rows + 8, jnp.float32)])
+    start = jnp.clip(anchor + i0, 0, t - 1)
+    b = jax.lax.dynamic_slice(rx_pad, (start,), (rows,))
+    h = jnp.asarray(m) @ b
+    fit = jnp.asarray(a) @ h
+    res = jnp.mean((fit - b) ** 2)
+    sig = jnp.maximum(jnp.mean(b ** 2), 1e-12)
+    lam = jnp.clip(res / sig, 1e-4, 1.0)
+    return h, lam
+
+
+def _mmse_taps(h: jax.Array, lam: jax.Array) -> jax.Array:
+    """Two-sided equalizer FIR g_t over lags [-L_HALF, L_HALF] from the
+    frequency-domain MMSE inverse of h."""
+    hf = jnp.fft.rfft(h, n=N_FFT)
+    g = jnp.conj(hf) / (jnp.abs(hf) ** 2 + lam)
+    g_full = jnp.fft.irfft(g, n=N_FFT)
+    lags = np.arange(-L_HALF, L_HALF + 1) % N_FFT     # static indices
+    return g_full[lags]
+
+
+def _apply_fir(rx: jax.Array, g_t: jax.Array) -> jax.Array:
+    """eq[n] = sum_lag g_t[lag + L_HALF] * rx[n - K0 - lag] as a blocked
+    banded matmul (traced taps; MXU-friendly; conv-free)."""
+    t = rx.shape[-1]
+    l_gt = 2 * L_HALF + 1
+    nblk = -(-t // BLK)
+    pad_l = L_HALF + K0
+    pad_r = (nblk + 1) * BLK - t - pad_l + l_gt
+    xs = jnp.concatenate([jnp.zeros(pad_l, jnp.float32), rx,
+                          jnp.zeros(pad_r, jnp.float32)])
+    rows = xs[: (nblk + 1) * BLK].reshape(nblk + 1, BLK)
+    slabs = jnp.concatenate([rows[:-1], rows[1:, : l_gt - 1]], axis=1)
+    # band B[j, c] = p[j - c], p = g_t reversed (correlation form):
+    # eq[bB + c] = sum_j slab[b, j] B[j, c]
+    p = g_t[::-1]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (BLK + l_gt - 1, BLK), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (BLK + l_gt - 1, BLK), 1)
+    d = jj - cc
+    band = jnp.where((d >= 0) & (d < l_gt),
+                     p[jnp.clip(d, 0, l_gt - 1)], 0.0)
+    eq = (slabs @ band).reshape(-1)
+    return eq[:t]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def equalize_capture(cfg: PhyConfig, rx: jax.Array,
+                     min_quality: float = 0.5):
+    """(rx_eq, info) — MMSE-equalized capture, or the input unchanged
+    when no preamble trains above `min_quality`.  info carries
+    (quality, lam, h) for diagnostics (`tm decode --equalize -v`)."""
+    rx = jnp.asarray(rx, jnp.float32)
+    pre = np.asarray(line_coding.preamble_waveform(cfg))
+    corr = sync_mod.auto_xcorr(rx, pre)
+    anchor = jnp.argmax(corr).astype(jnp.int32)
+    quality = corr[anchor]
+    h, lam = estimate_channel(cfg, rx, anchor)
+    g_t = _mmse_taps(h, lam)
+    eq = _apply_fir(rx, g_t)
+    use = quality >= min_quality
+    out = jnp.where(use, eq, rx)
+    return out, dict(quality=quality, lam=lam, h=h, applied=use,
+                     anchor=anchor)
+
+
+def decode_capture_eq(cfg: PhyConfig, samples, local_addr, **kw):
+    """Equalize, then decode with the stock (oracle-parity) decoder."""
+    from trackmaker_tpu.phy.decoder import decode_capture
+    eq, _info = equalize_capture(cfg, jnp.asarray(samples, jnp.float32))
+    return decode_capture(cfg, eq, local_addr, **kw)
