@@ -209,7 +209,11 @@ def demodulate_spec(
     this automatically.  On conformant rows results equal the scan
     receiver slot-for-slot (a chain that fires inside the smaller
     window fires identically in the scan's 4096 window: the window
-    values are a prefix)."""
+    values are a prefix).
+
+    ``TM_ASK_DENSE=0`` (read at trace time — set before process start)
+    falls back from the dense demod post-pass to the per-slot window
+    demod; escape hatch / A-B switch for on-chip profiling."""
     from trackmaker_tpu.phy.pallas_decode import _extract_candidates
     rx = jnp.asarray(rx, jnp.float32)
     assert rx.ndim == 2
@@ -229,7 +233,9 @@ def demodulate_spec(
     fields, rx_pads, overflow = jax.vmap(analyze)(rx)
     peaks, fire_ok, bad = _walk(fields, max_frames, interpret)
 
-    if ask._demod_dense_tables_np(cfg) is not None:
+    import os
+    if (ask._demod_dense_tables_np(cfg) is not None
+            and os.environ.get("TM_ASK_DENSE", "1") != "0"):
         # dense demod: two 30-tap sliding dots per capture + a strided
         # pick per slot, replacing the doubly-vmapped 4752-sample window
         # gather + [4752, 108] matmul (ask.py:demod_dense)

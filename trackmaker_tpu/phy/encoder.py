@@ -48,7 +48,19 @@ class PhyEncoder:
     def preamble_len(self) -> int:
         return len(self.preamble)
 
+    def _check(self, frame: framing.Frame) -> None:
+        # A payload over max_frame_data_size would encode fine (the
+        # length header is 16-bit) but no conforming decoder will ever
+        # return it (the body cap is decoder.rs:61's 2x max payload) —
+        # fail loudly at the producer instead of silently on the air.
+        if len(frame.data) > self.cfg.max_frame_data_size:
+            raise ValueError(
+                f"frame payload {len(frame.data)} B exceeds "
+                f"max_frame_data_size={self.cfg.max_frame_data_size}; "
+                "fragment at the MAC/transfer layer (link/transfer.py)")
+
     def encode_frame(self, frame: framing.Frame) -> np.ndarray:
+        self._check(frame)
         raw = np.frombuffer(frame.to_bytes(), dtype=np.uint8)
         out = encode_frame_bytes(self.cfg, jnp.asarray(raw[None]))
         return np.asarray(out[0])
@@ -63,6 +75,8 @@ class PhyEncoder:
                if gap_samples is None else gap_samples)
         if not frames:
             return np.zeros(0, dtype=np.float32)
+        for f in frames:
+            self._check(f)
 
         by_len: dict[int, list[int]] = {}
         raws = [np.frombuffer(f.to_bytes(), dtype=np.uint8) for f in frames]
