@@ -101,7 +101,7 @@ def main():
     load2 = choose_loading(np.asarray(
         estimate_bin_snr(cfg, jnp.asarray(rx2), s2)))
     upd = hs_tx.encode_frames([make_loading_frame(1, 2, 1, load2)])
-    kind, negotiated2 = parse_control(
+    kind, negotiated2, _gains2 = parse_control(
         hs_rx.process_samples(worse_channel(np.concatenate(
             [upd, np.zeros(3000, np.float32)])))[0],
         len(cfg.data_bin_idx))

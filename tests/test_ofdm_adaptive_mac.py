@@ -259,7 +259,7 @@ def test_live_retrain_on_degradation():
     hs_tx = OfdmAdaptiveStreamPhy.handshake_mode(cfg, local_addr=1)
     req = hs_rx.encode_frames([make_reprobe_frame(9, 2, 1)])
     got_req = hs_tx.process_samples(bad(pad(req)))
-    assert parse_control(got_req[0], nd) == ("reprobe", None)
+    assert parse_control(got_req[0], nd) == ("reprobe", None, None)
 
     rxp2 = bad(pad(probe_waveform(cfg)))
     s2 = int(np.asarray(find_preambles(cfg, jnp.asarray(rxp2), 1))[0])
@@ -268,7 +268,7 @@ def test_live_retrain_on_degradation():
 
     upd = hs_rx.encode_frames([make_loading_frame(10, 2, 1, load1)])
     got_upd = hs_tx.process_samples(bad(pad(upd)))
-    kind, negotiated = parse_control(got_upd[0], nd)
+    kind, negotiated, _g = parse_control(got_upd[0], nd)
     assert kind == "loading" and negotiated == load1
 
     # 4. both ends switch; traffic runs clean on the bad channel

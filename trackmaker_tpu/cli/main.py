@@ -296,8 +296,9 @@ def cmd_ofdm_adapt(args):
     from trackmaker_tpu.core.framing import Frame
     from trackmaker_tpu.phy.ofdm import find_preambles
     from trackmaker_tpu.phy.ofdm_adaptive import (
-        OfdmAdaptiveConfig, OfdmAdaptiveModem, choose_loading,
-        estimate_bin_snr, probe_waveform)
+        OfdmAdaptiveConfig, OfdmAdaptiveModem, choose_gains,
+        choose_loading, demodulate_at_adaptive, estimate_bin_snr,
+        modulate_bits_adaptive, probe_waveform)
 
     rng = np.random.default_rng(args.seed)
     taps = 31
@@ -334,6 +335,32 @@ def cmd_ofdm_adapt(args):
     ok = [f.data for f in got] == payloads
     print(f"loaded round-trip over the shaped channel: "
           f"{len(got)}/{len(frames)} frames, exact: {ok}")
+
+    # water-filling: same loading, margin-balanced per-bin power; show
+    # raw bit errors when the noise rises ~10 dB above the probed level
+    gains = choose_gains(snr, loading)
+    g = np.asarray(gains)[lv > 0]
+    print(f"water-filling gains: {20*np.log10(g.min()):+.2f} dB .. "
+          f"{20*np.log10(g.max()):+.2f} dB across active bins")
+    bits = rng.integers(0, 2, (1, 1600), dtype=np.uint8)
+    hot = args.noise * 4.0
+    errs = {}
+    for name, gg in (("unit power", None), ("water-filled", gains)):
+        mcfg = OfdmAdaptiveModem(cfg, loading=loading, gains=gg).cfg
+        w = np.asarray(modulate_bits_adaptive(
+            mcfg, jnp.asarray(bits), 1600)[0])
+        total = 0
+        for trial in range(4):
+            noisy = channel(np.concatenate(
+                [w, np.zeros(900, np.float32)]))
+            noisy = (noisy + rng.normal(
+                0, hot, len(noisy))).astype(np.float32)
+            st = np.asarray(find_preambles(mcfg, jnp.asarray(noisy), 1))
+            out = np.asarray(demodulate_at_adaptive(
+                mcfg, jnp.asarray(noisy), 1600, jnp.asarray(st)))[0]
+            total += int((out != bits[0]).sum())
+        errs[name] = total
+        print(f"  raw bit errors at noise x4 ({name}): {total}/6400")
     return 0 if ok else 1
 
 
@@ -564,8 +591,9 @@ def main(argv=None):
 
     s = sub.add_parser("ofdm-adapt",
                        help="adaptive bit-loading demo (probe -> "
-                            "loading -> loaded round-trip)")
-    s.add_argument("--noise", type=float, default=0.004)
+                            "loading -> water-filling -> loaded "
+                            "round-trip)")
+    s.add_argument("--noise", type=float, default=0.002)
     s.add_argument("--cutoff-hz", type=float, default=6000.0)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_ofdm_adapt)

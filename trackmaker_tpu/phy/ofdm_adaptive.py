@@ -58,6 +58,10 @@ class OfdmAdaptiveConfig(OfdmV2Config):
     # bits per data bin (aligned with data_bin_idx), each in {0, 1, 2, 4};
     # default: uniform QPSK (equivalent to v2)
     loading: tuple = ()
+    # per-data-bin amplitude gains (water-filling, choose_gains);
+    # default: unit power everywhere.  Values must be quantize_gain()
+    # outputs so both ends agree bit-exactly over the handshake.
+    gains: tuple = ()
     probe_symbols: int = 8
     probe_seed: int = 99
 
@@ -69,6 +73,13 @@ class OfdmAdaptiveConfig(OfdmV2Config):
         lv = np.asarray(self.loading, np.int32)
         assert set(np.unique(lv)).issubset({0, 1, 2, 4})
         return lv
+
+    def resolved_gains(self) -> np.ndarray:
+        n = len(self.data_bin_idx)
+        if not self.gains:
+            return np.ones(n, np.float32)
+        assert len(self.gains) == n, (len(self.gains), n)
+        return np.asarray(self.gains, np.float32)
 
     @property
     def bits_per_symbol(self) -> int:  # type: ignore[override]
@@ -87,15 +98,19 @@ def _class_idx(cfg: OfdmAdaptiveConfig):
 
     Per-symbol bit order: [all BPSK bins' bits ‖ all QPSK bins' bit
     pairs ‖ all 16-QAM bins' quads], each class in ascending bin order —
-    a fixed permutation both ends derive from the shared loading."""
+    a fixed permutation both ends derive from the shared loading.
+    Returns (per-class bins, per-class gains), gains in class order."""
     # NOTE: data_bin_idx / pilot_bin_idx are bin-RELATIVE (0..n_bins),
     # matching ofdm_v2's convention
     lv = cfg.resolved_loading()
+    g = cfg.resolved_gains()
     dbins = cfg.data_bin_idx
     b1 = dbins[lv == 1]
     b2 = dbins[lv == 2]
     b4 = dbins[lv == 4]
-    return (tuple(b1.tolist()), tuple(b2.tolist()), tuple(b4.tolist()))
+    return ((tuple(b1.tolist()), tuple(b2.tolist()), tuple(b4.tolist())),
+            (tuple(g[lv == 1].tolist()), tuple(g[lv == 2].tolist()),
+             tuple(g[lv == 4].tolist())))
 
 
 def _bits_to_qam16(bits: jax.Array) -> jax.Array:
@@ -125,8 +140,9 @@ def _qam16_to_bits(sym: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def modulate_bits_adaptive(cfg: OfdmAdaptiveConfig, bits: jax.Array,
                            n_bits: int) -> jax.Array:
-    """uint8[B, n_bits] -> f32[B, frame_samples] with per-bin loading."""
-    b1, b2, b4 = _class_idx(cfg)
+    """uint8[B, n_bits] -> f32[B, frame_samples] with per-bin loading
+    and water-filling amplitude gains."""
+    (b1, b2, b4), (g1, g2, g4) = _class_idx(cfg)
     n1, n2, n4 = len(b1), len(b2), len(b4)
     bps = cfg.bits_per_symbol
     b = bits.shape[0]
@@ -141,15 +157,18 @@ def modulate_bits_adaptive(cfg: OfdmAdaptiveConfig, bits: jax.Array,
     if n1:
         s1 = (2.0 * sym_bits[..., :n1].astype(jnp.float32) - 1.0
               ).astype(jnp.complex64)
-        subs = subs.at[..., jnp.asarray(b1)].set(s1)
+        subs = subs.at[..., jnp.asarray(b1)].set(
+            s1 * jnp.asarray(g1, jnp.complex64))
         off += n1
     if n2:
         s2 = _bits_to_qpsk(sym_bits[..., off:off + 2 * n2])
-        subs = subs.at[..., jnp.asarray(b2)].set(s2)
+        subs = subs.at[..., jnp.asarray(b2)].set(
+            s2 * jnp.asarray(g2, jnp.complex64))
         off += 2 * n2
     if n4:
         s4 = _bits_to_qam16(sym_bits[..., off:off + 4 * n4])
-        subs = subs.at[..., jnp.asarray(b4)].set(s4)
+        subs = subs.at[..., jnp.asarray(b4)].set(
+            s4 * jnp.asarray(g4, jnp.complex64))
     subs = subs.at[..., jnp.asarray(cfg.pilot_bin_idx)].set(
         jnp.asarray(_tone_pilots(cfg)))
 
@@ -214,15 +233,17 @@ def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
     (2/sqrt(10) - |v|) — the max-log distance difference up to a
     constant factor.
 
-    Every bin's values are weighted by |H|^2: the one-tap EQ divides by
-    H, so post-EQ noise variance is sigma^2/|H|^2 per bin and the true
-    LLR carries an |H|^2 factor.  Without it a -10 dB roll-off bin
-    votes as loudly as a clean one and single Viterbi error events
-    corrupt the block start (measured: shifted length fields on the
-    shaped-channel corpus).  Monotone COMMON scalings don't change
-    Viterbi decisions; per-bin RELATIVE weights do.
+    Every bin's values are weighted by (|H| g)^2: the one-tap EQ
+    divides by H and the gain normalization divides by the bin's
+    water-filling amplitude g, so post-EQ noise variance is
+    sigma^2/(|H| g)^2 per bin and the true LLR carries an (|H| g)^2
+    factor.  Without the |H|^2 part a -10 dB roll-off bin votes as
+    loudly as a clean one and single Viterbi error events corrupt the
+    block start (measured: shifted length fields on the shaped-channel
+    corpus).  Monotone COMMON scalings don't change Viterbi decisions;
+    per-bin RELATIVE weights do.
     """
-    b1, b2, b4 = _class_idx(cfg)
+    (b1, b2, b4), (g1, g2, g4) = _class_idx(cfg)
     bps = cfg.bits_per_symbol
     n_sym = -(-n_bits // bps)
     pad_n = (1 + n_sym) * cfg.sym_len + cfg.preamble_len \
@@ -237,18 +258,22 @@ def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
         w = w / jnp.maximum(jnp.max(w), 1e-12)        # common scale only
         parts = []
         if b1:
-            parts.append((eqc[:, jnp.asarray(b1)].real
-                          * w[jnp.asarray(b1)])[..., None])
+            ga = jnp.asarray(g1)
+            s1 = eqc[:, jnp.asarray(b1)] / ga
+            parts.append((s1.real
+                          * (w[jnp.asarray(b1)] * ga ** 2))[..., None])
         if b2:
-            s2 = eqc[:, jnp.asarray(b2)]
+            ga = jnp.asarray(g2)
+            s2 = eqc[:, jnp.asarray(b2)] / ga
             parts.append(jnp.stack([-s2.imag, -s2.real], axis=-1)
-                         * w[jnp.asarray(b2)][None, :, None])
+                         * (w[jnp.asarray(b2)] * ga ** 2)[None, :, None])
         if b4:
-            s4 = eqc[:, jnp.asarray(b4)]
+            ga = jnp.asarray(g4)
+            s4 = eqc[:, jnp.asarray(b4)] / ga
             parts.append(jnp.stack(
                 [s4.real, thr - jnp.abs(s4.real),
                  s4.imag, thr - jnp.abs(s4.imag)], axis=-1)
-                * w[jnp.asarray(b4)][None, :, None])
+                * (w[jnp.asarray(b4)] * ga ** 2)[None, :, None])
         soft = jnp.concatenate(
             [p.reshape(p.shape[0], -1) for p in parts], axis=-1)
         return soft.reshape(-1)[:n_bits]
@@ -260,7 +285,7 @@ def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
 def demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
                            n_bits: int, starts: jax.Array) -> jax.Array:
     """Demodulate loaded frames at `starts` -> uint8[B, n_bits]."""
-    b1, b2, b4 = _class_idx(cfg)
+    (b1, b2, b4), (g1, g2, g4) = _class_idx(cfg)
     bps = cfg.bits_per_symbol
     n_sym = -(-n_bits // bps)
     pad_n = (1 + n_sym) * cfg.sym_len + cfg.preamble_len \
@@ -272,12 +297,14 @@ def demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
         eqc, _h = _equalized_symbols(cfg, rx_pad, start, n_sym)
         parts = []
         if b1:
-            s1 = eqc[:, jnp.asarray(b1)]
+            s1 = eqc[:, jnp.asarray(b1)] / jnp.asarray(g1)
             parts.append((s1.real > 0).astype(jnp.uint8))
         if b2:
-            parts.append(_qpsk_to_bits(eqc[:, jnp.asarray(b2)]))
+            parts.append(_qpsk_to_bits(
+                eqc[:, jnp.asarray(b2)] / jnp.asarray(g2)))
         if b4:
-            parts.append(_qam16_to_bits(eqc[:, jnp.asarray(b4)]))
+            parts.append(_qam16_to_bits(
+                eqc[:, jnp.asarray(b4)] / jnp.asarray(g4)))
         bits = jnp.concatenate(parts, axis=-1).reshape(-1)
         return bits[:n_bits]
 
@@ -298,7 +325,7 @@ def _probe_syms(cfg: OfdmAdaptiveConfig) -> np.ndarray:
 
 def probe_waveform(cfg: OfdmAdaptiveConfig) -> np.ndarray:
     """chirp ‖ SC pilot ‖ probe_symbols of known QPSK on all data bins."""
-    probe_cfg = dataclasses.replace(cfg, loading=())   # uniform QPSK
+    probe_cfg = dataclasses.replace(cfg, loading=(), gains=())  # uniform QPSK
     bits = jnp.asarray(_probe_syms(cfg)[None])
     return np.asarray(modulate_bits_adaptive(
         probe_cfg, bits, bits.shape[-1])[0])
@@ -308,7 +335,7 @@ def probe_waveform(cfg: OfdmAdaptiveConfig) -> np.ndarray:
 def estimate_bin_snr(cfg: OfdmAdaptiveConfig, rx: jax.Array,
                      start) -> jax.Array:
     """Per-data-bin SNR (linear) from the probe frame at `start`."""
-    probe_cfg = dataclasses.replace(cfg, loading=())
+    probe_cfg = dataclasses.replace(cfg, loading=(), gains=())
     n_sym = cfg.probe_symbols
     pad_n = (1 + n_sym) * cfg.sym_len + cfg.preamble_len \
         + cfg.guard_samples + cfg.n_fft + 8
@@ -365,6 +392,78 @@ def choose_loading(snr_linear: np.ndarray,
     lv[snr_db >= t2] = 2
     lv[snr_db >= t4] = 4
     return tuple(lv.tolist())
+
+
+def quantize_gain(g: float) -> float:
+    """Snap an amplitude gain to the handshake wire grid (0.25 dB
+    steps, int8 range = +-31.75 dB) so transmitter and receiver use the
+    bit-identical value.  pack_gains/unpack_gains round-trip exactly
+    on these values."""
+    q = int(np.clip(np.round(80.0 * np.log10(max(g, 1e-12))), -127, 127))
+    return float(10.0 ** (q / 80.0))
+
+
+def choose_gains(snr_linear: np.ndarray, loading: tuple,
+                 thresholds_db: tuple = (8.5, 14.0, 23.0),
+                 max_gain_db: float = 6.0) -> tuple:
+    """Water-filling (margin-balancing) per-bin transmit power on top
+    of the discrete loading.
+
+    The discrete {0,1,2,4}-bit grid strands margin unevenly: a bin at
+    14.1 dB carries QPSK with 0.1 dB to spare while a 22.9 dB bin
+    carries the same QPSK with 8.9 dB of headroom.  Classic DMT margin
+    maximization fixes this: give each ACTIVE bin power proportional
+    to req(b_k)/SNR_k — after scaling, every active bin sits at its
+    constellation threshold plus the SAME margin, so the weakest bins
+    (where the Viterbi error events start) gain what the strongest
+    donate.  Total transmit power over active bins is conserved
+    (sum g^2 = n_active, the uniform budget), per-bin power is clipped
+    to +-max_gain_db (PAPR / speaker-excursion guard; the water level
+    re-rises among unclipped bins via bisection), and gains are
+    quantized to the handshake grid.  Inactive bins get gain 1.0 as a
+    placeholder (the modulator never writes them).
+    """
+    snr = np.maximum(np.asarray(snr_linear, np.float64), 1e-12)
+    lv = np.asarray(loading, np.int64)
+    assert len(lv) == len(snr), (len(lv), len(snr))
+    active = lv > 0
+    n_act = int(active.sum())
+    if n_act == 0:
+        return tuple([1.0] * len(lv))
+    t1, t2, t4 = thresholds_db
+    req_db = np.where(lv == 1, t1, np.where(lv == 2, t2, t4))
+    req = 10.0 ** (req_db / 10.0)
+    p_des = np.where(active, req / snr, 0.0)
+    p_lo = 10.0 ** (-max_gain_db / 10.0)
+    p_hi = 10.0 ** (max_gain_db / 10.0)
+
+    def total(s: float) -> float:
+        return float(np.clip(s * p_des[active], p_lo, p_hi).sum())
+
+    lo, hi = 1e-9, 1e9
+    for _ in range(60):                    # bisect the water level
+        mid = np.sqrt(lo * hi)
+        if total(mid) < n_act:
+            lo = mid
+        else:
+            hi = mid
+    p = np.where(active, np.clip(lo * p_des, p_lo, p_hi), 1.0)
+    return tuple(quantize_gain(float(np.sqrt(v))) for v in p)
+
+
+def pack_gains(gains: tuple) -> bytes:
+    """Gains -> one signed byte per data bin (0.25 dB steps)."""
+    out = bytearray()
+    for g in gains:
+        q = int(np.clip(np.round(80.0 * np.log10(max(float(g), 1e-12))),
+                        -127, 127))
+        out.append(q & 0xFF)
+    return bytes(out)
+
+
+def unpack_gains(data: bytes, n_bins: int) -> tuple:
+    qs = [(b - 256 if b >= 128 else b) for b in data[:n_bins]]
+    return tuple(float(10.0 ** (q / 80.0)) for q in qs)
 
 
 def pack_loading(loading: tuple) -> bytes:
@@ -429,9 +528,12 @@ class OfdmAdaptiveStreamPhy:
     def __init__(self, cfg: OfdmAdaptiveConfig = OfdmAdaptiveConfig(),
                  loading: tuple | None = None,
                  max_frame_bytes: int = 263,
-                 local_addr: int | None = None):
+                 local_addr: int | None = None,
+                 gains: tuple | None = None):
         if loading is not None:
             cfg = dataclasses.replace(cfg, loading=tuple(loading))
+        if gains is not None:
+            cfg = dataclasses.replace(cfg, gains=tuple(gains))
         assert cfg.bits_per_symbol >= 1, "loading disables every bin"
         self.cfg = cfg
         self.local_addr = local_addr
@@ -638,17 +740,29 @@ def make_reprobe_frame(seq: int, src: int, dst: int) -> Frame:
 
 
 def make_loading_frame(seq: int, src: int, dst: int,
-                       loading: tuple) -> Frame:
-    return Frame.new_data(seq, src, dst,
-                          CTRL_LOADING + pack_loading(loading))
+                       loading: tuple,
+                       gains: tuple | None = None) -> Frame:
+    """LOADING update: the 2-bit/bin loading codes, optionally followed
+    by one byte/bin of water-filling gains (pack_gains)."""
+    body = CTRL_LOADING + pack_loading(loading)
+    if gains is not None:
+        body += pack_gains(gains)
+    return Frame.new_data(seq, src, dst, body)
 
 
 def parse_control(frame: Frame, n_bins: int):
-    """-> ("reprobe", None) | ("loading", tuple) | None."""
+    """-> ("reprobe", None, None) | ("loading", loading, gains|None)
+    | None.  gains is None when the frame carries no gain bytes (a
+    loading-only update keeps unit power)."""
     if frame.data[:2] == CTRL_REPROBE and len(frame.data) == 2:
-        return ("reprobe", None)
+        return ("reprobe", None, None)
     if frame.data[:2] == CTRL_LOADING:
-        return ("loading", unpack_loading(frame.data[2:], n_bins))
+        rest = frame.data[2:]
+        n_lb = -(-n_bins // 4)            # loading bytes, 4 bins/byte
+        loading = unpack_loading(rest[:n_lb], n_bins)
+        gains = (unpack_gains(rest[n_lb:], n_bins)
+                 if len(rest) >= n_lb + n_bins else None)
+        return ("loading", loading, gains)
     return None
 
 
@@ -665,9 +779,12 @@ class OfdmAdaptiveModem:
     """
 
     def __init__(self, cfg: OfdmAdaptiveConfig = OfdmAdaptiveConfig(),
-                 loading: tuple | None = None):
+                 loading: tuple | None = None,
+                 gains: tuple | None = None):
         if loading is not None:
             cfg = dataclasses.replace(cfg, loading=tuple(loading))
+        if gains is not None:
+            cfg = dataclasses.replace(cfg, gains=tuple(gains))
         assert cfg.bits_per_symbol >= 1, "loading disables every bin"
         self.cfg = cfg
 
