@@ -130,7 +130,12 @@ def cmd_decode(args):
             samples = eq
         else:
             print("equalizer: no preamble above quality 0.5 — passthrough")
-    if args.clock_search:
+    if args.equalize_dd:
+        from trackmaker_tpu.dsp.equalizer import decode_capture_dd
+        res = decode_capture_dd(cfg, samples, args.addr,
+                                max_frames=args.max_frames)
+        frames = res.to_frames()
+    elif args.clock_search:
         from trackmaker_tpu.dsp.timing import decode_with_clock_search
         res, ppm = decode_with_clock_search(
             cfg, samples, args.addr, max_frames=args.max_frames)
@@ -173,9 +178,10 @@ def _decode_many(cfg, args):
     from trackmaker_tpu.io import load_audio
     from trackmaker_tpu.phy.decoder import decode_capture_fast
 
-    if args.clock_search or args.timing_gate or args.equalize:
-        print("decode: --clock-search/--timing-gate/--equalize are "
-              "per-capture modes; pass one capture")
+    if (args.clock_search or args.timing_gate or args.equalize
+            or args.equalize_dd):
+        print("decode: --clock-search/--timing-gate/--equalize[-dd] "
+              "are per-capture modes; pass one capture")
         return 2
     rows = []
     for path in args.capture:
@@ -569,6 +575,10 @@ def main(argv=None):
     s.add_argument("--equalize", action="store_true",
                    help="preamble-trained MMSE equalizer front-end "
                         "(echoic/multipath captures)")
+    s.add_argument("--equalize-dd", action="store_true",
+                   help="decision-directed equalized decode (refits "
+                        "the channel on decoded frames; for captures "
+                        "with no clean leading preamble)")
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("encode", parents=[common], help="file -> modulated WAV")

@@ -91,11 +91,17 @@ def _ls_solver_np(cfg: PhyConfig) -> tuple[np.ndarray, np.ndarray,
 
 def estimate_channel(cfg: PhyConfig, rx: jax.Array, anchor: jax.Array):
     """(h[N_CH], lam) — LS channel taps at `anchor` + the measured
-    residual-to-signal ratio used as the MMSE noise loading."""
+    residual-to-signal ratio used as the MMSE noise loading.
+
+    The capture is front-padded by K0+1 zeros so an anchor within K0+1
+    samples of the capture start still aligns its training window (the
+    zeros are genuine silence — the capture boundary); a bare clip used
+    to SHIFT the window for such anchors, training on garbage."""
     m, a, i0, rows = _ls_solver_np(cfg)
-    t = rx.shape[-1]
-    rx_pad = jnp.concatenate([rx, jnp.zeros(rows + 8, jnp.float32)])
-    start = jnp.clip(anchor + i0, 0, t - 1)
+    pad0 = K0 + 1                                    # -i0
+    rx_pad = jnp.concatenate([jnp.zeros(pad0, jnp.float32), rx,
+                              jnp.zeros(rows + 8, jnp.float32)])
+    start = jnp.maximum(anchor + i0 + pad0, 0)
     b = jax.lax.dynamic_slice(rx_pad, (start,), (rows,))
     h = jnp.asarray(m) @ b
     fit = jnp.asarray(a) @ h
@@ -139,18 +145,40 @@ def _apply_fir(rx: jax.Array, g_t: jax.Array) -> jax.Array:
     return eq[:t]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_anchors"))
 def equalize_capture(cfg: PhyConfig, rx: jax.Array,
-                     min_quality: float = 0.5):
+                     min_quality: float = 0.5, n_anchors: int = 4):
     """(rx_eq, info) — MMSE-equalized capture, or the input unchanged
     when no preamble trains above `min_quality`.  info carries
-    (quality, lam, h) for diagnostics (`tm decode --equalize -v`)."""
+    (quality, lam, h) for diagnostics (`tm decode --equalize -v`).
+
+    Training anchor selection is multi-candidate: the top `n_anchors`
+    correlation peaks (non-max-suppressed by a preamble length) are
+    each LS-fit and the one with the LOWEST fit residual wins.  The
+    residual is a checkable proxy for the silent-lead-in assumption:
+    a mid-burst preamble's "silence" region holds the previous frame's
+    tail, the LS fit can't explain it, and lam blows up — so when any
+    candidate DOES follow a real gap, it is chosen even if a mid-burst
+    peak correlates more strongly (e.g. an attenuated first frame)."""
     rx = jnp.asarray(rx, jnp.float32)
     pre = np.asarray(line_coding.preamble_waveform(cfg))
+    l_pre = len(pre)
     corr = sync_mod.auto_xcorr(rx, pre)
-    anchor = jnp.argmax(corr).astype(jnp.int32)
-    quality = corr[anchor]
-    h, lam = estimate_channel(cfg, rx, anchor)
+    t = corr.shape[-1]
+    pos = jnp.arange(t, dtype=jnp.int32)
+    cands, quals = [], []
+    c = corr
+    for _ in range(n_anchors):                      # static peel
+        a = jnp.argmax(c).astype(jnp.int32)
+        cands.append(a)
+        quals.append(c[a])
+        c = jnp.where(jnp.abs(pos - a) < l_pre, -jnp.inf, c)
+    anchors = jnp.stack(cands)
+    quals = jnp.stack(quals)
+    hs, lams = jax.vmap(lambda a: estimate_channel(cfg, rx, a))(anchors)
+    lam_eff = jnp.where(quals >= min_quality, lams, jnp.inf)
+    j = jnp.argmin(lam_eff)
+    h, lam, anchor, quality = hs[j], lams[j], anchors[j], quals[j]
     g_t = _mmse_taps(h, lam)
     eq = _apply_fir(rx, g_t)
     use = quality >= min_quality
@@ -164,3 +192,106 @@ def decode_capture_eq(cfg: PhyConfig, samples, local_addr, **kw):
     from trackmaker_tpu.phy.decoder import decode_capture
     eq, _info = equalize_capture(cfg, jnp.asarray(samples, jnp.float32))
     return decode_capture(cfg, eq, local_addr, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Decision-directed refinement (captures with no clean leading preamble)
+
+
+def refit_channel(cfg: PhyConfig, rx: np.ndarray, frames,
+                  starts) -> tuple[np.ndarray, float]:
+    """(h[N_CH], lam) — LS channel re-estimate trained on decoded
+    frames instead of the preamble + silence model.
+
+    Each decoded frame is re-encoded and only INTERIOR rows are kept:
+    sample i of the window enters the system only when every regressor
+    s[i + K0 - k] lies inside the known re-encoded waveform, so nothing
+    is assumed about what surrounds the frame (silence, another frame's
+    tail, a truncated capture edge — all fine).  This is what the
+    preamble-trained fit cannot offer mid-burst, and with thousands of
+    rows per frame the estimate is far better conditioned than the
+    60-to-860-sample preamble window.  Host-side NumPy: frame lengths
+    vary, the system is [~n_samples, 48] — milliseconds, not worth a
+    retrace per shape."""
+    from trackmaker_tpu.phy.encoder import PhyEncoder
+    enc = PhyEncoder(cfg)
+    a_rows, b_rows = [], []
+    t = len(rx)
+    for f, p in zip(frames, starts):
+        s = np.asarray(enc.encode_frame(f), np.float64)
+        n = len(s)
+        i_lo = N_CH - 1 - K0            # j = i + K0 - k stays in [0, n)
+        i_hi = min(n - 1 - K0, t - 1 - int(p))
+        if i_hi - i_lo + 1 < 4 * N_CH:
+            continue
+        idx = np.arange(i_lo, i_hi + 1)
+        a_rows.append(s[idx[:, None] + K0 - np.arange(N_CH)[None, :]])
+        b_rows.append(np.asarray(rx, np.float64)[int(p) + idx])
+    if not a_rows:
+        raise ValueError("no frame long enough to train on")
+    a = np.concatenate(a_rows)
+    b = np.concatenate(b_rows)
+    ata = a.T @ a + 1e-4 * np.eye(N_CH)
+    h = np.linalg.solve(ata, a.T @ b)
+    res = float(np.mean((a @ h - b) ** 2))
+    sig = max(float(np.mean(b ** 2)), 1e-12)
+    lam = float(np.clip(res / sig, 1e-4, 1.0))
+    return h.astype(np.float32), lam
+
+
+def _mmse_taps_np(h: np.ndarray, lam: float) -> np.ndarray:
+    """NumPy mirror of `_mmse_taps` for host-refit taps."""
+    hf = np.fft.rfft(h, n=N_FFT)
+    g = np.conj(hf) / (np.abs(hf) ** 2 + lam)
+    g_full = np.fft.irfft(g, n=N_FFT)
+    lags = np.arange(-L_HALF, L_HALF + 1) % N_FFT
+    return g_full[lags].astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_frames"))
+def _apply_taps_decode(cfg: PhyConfig, rx: jax.Array, g_t: jax.Array,
+                       local_addr, max_frames: int):
+    from trackmaker_tpu.phy.decoder import decode_capture
+    return decode_capture(cfg, _apply_fir(rx, g_t), local_addr,
+                          max_frames=max_frames)
+
+
+def decode_capture_dd(cfg: PhyConfig, samples, local_addr,
+                      max_frames: int = 8, max_iters: int = 3):
+    """Decision-directed equalized decode.
+
+    Bootstrap: the better of the preamble-trained equalized decode and
+    the stock decode (mid-burst training can make the "equalized"
+    capture WORSE than raw).  Then iterate: refit the channel on every
+    decoded frame's interior (refit_channel — no silence assumption),
+    re-equalize, re-decode; stop when the frame count stops improving.
+    Returns the best DecodedFrames seen.  Each iteration reuses the
+    same jitted apply+decode program (fixed shapes).
+
+    Detection positions from either domain are valid refit anchors: the
+    stock decoder's `start` is the direct-path arrival in raw rx, and
+    the equalized decode's `start` is transmit-aligned by construction
+    of pass 1 — both sit within the fit's K0-tap acausal margin."""
+    from trackmaker_tpu.phy.decoder import decode_capture
+    rx = np.asarray(samples, np.float32)
+    rxj = jnp.asarray(rx)
+    best = decode_capture_eq(cfg, rxj, local_addr, max_frames=max_frames)
+    stock = decode_capture(cfg, rxj, local_addr, max_frames=max_frames)
+    if int(np.asarray(stock.count)) > int(np.asarray(best.count)):
+        best = stock
+    for _ in range(max_iters):
+        valid = np.asarray(best.valid)
+        if not valid.any():
+            break
+        frames = best.to_frames()
+        starts = np.asarray(best.start)[valid]
+        try:
+            h, lam = refit_channel(cfg, rx, frames, starts)
+        except ValueError:
+            break
+        g_t = jnp.asarray(_mmse_taps_np(h, lam))
+        res = _apply_taps_decode(cfg, rxj, g_t, local_addr, max_frames)
+        if int(np.asarray(res.count)) <= int(np.asarray(best.count)):
+            break
+        best = res
+    return best
