@@ -1,9 +1,15 @@
 """PhyEncoder rejects payloads no conforming decoder can return.
 
-A payload over max_frame_data_size encodes fine (the length header is
-16-bit) but the decoder's body cap (decoder.rs:61 — 2x max payload of
-the line-coded body) drops it on the air; the encoder must fail loudly
-at the producer instead."""
+A payload over the DECODER body cap (max_frame_bytes, decoder.rs:61 —
+2x max payload of the line-coded body) encodes fine (the length header
+is 16-bit) but is dropped on the air; the encoder must fail loudly at
+the producer instead.
+
+The cap is NOT max_frame_data_size: the reference's IP path fragments
+at DEFAULT_MTU = 200 > MAX_FRAME_DATA_SIZE = 128 (utils/consts.rs:37,
+68; acoustic_interface.rs:45) and those frames round-trip because the
+decoder accepts bodies up to the 2x cap — the ping / fragmentation
+flow (tests/test_ping.py) depends on this quirk."""
 
 import numpy as np
 import pytest
@@ -16,27 +22,40 @@ from trackmaker_tpu.phy.encoder import PhyEncoder
 def test_oversize_payload_rejected():
     cfg = PhyConfig()
     enc = PhyEncoder(cfg)
-    big = Frame.new_data(0, 1, 2, bytes(cfg.max_frame_data_size + 1))
-    with pytest.raises(ValueError, match="max_frame_data_size"):
+    big = Frame.new_data(0, 1, 2, bytes(cfg.max_frame_bytes + 1))
+    with pytest.raises(ValueError, match="max_frame_bytes"):
         enc.encode_frame(big)
     ok = Frame.new_data(1, 1, 2, bytes(4))
-    with pytest.raises(ValueError, match="max_frame_data_size"):
+    with pytest.raises(ValueError, match="max_frame_bytes"):
         enc.encode_frames([ok, big])
 
 
-def test_max_size_payload_round_trips():
-    """The boundary payload itself must still encode AND decode."""
+def _roundtrip(cfg, payload: bytes):
     import jax.numpy as jnp
     from trackmaker_tpu.phy.decoder import decode_capture
 
-    cfg = PhyConfig()
     enc = PhyEncoder(cfg)
-    f = Frame.new_data(3, 1, 2, bytes(range(256)) * (
-        cfg.max_frame_data_size // 256) + bytes(
-            range(cfg.max_frame_data_size % 256)))
-    assert len(f.data) == cfg.max_frame_data_size
+    f = Frame.new_data(3, 1, 2, payload)
     wave = np.concatenate([enc.encode_frame(f),
                            np.zeros(600, np.float32)])
     res = decode_capture(cfg, jnp.asarray(wave), 2, max_frames=4)
     frames = res.to_frames()
-    assert len(frames) == 1 and frames[0].data == f.data
+    assert len(frames) == 1 and frames[0].data == payload
+
+
+def test_body_cap_payload_round_trips():
+    """The boundary payload (= the decoder body cap) must still encode
+    AND decode."""
+    cfg = PhyConfig()
+    pat = bytes(range(256))
+    n = cfg.max_frame_bytes
+    _roundtrip(cfg, (pat * (n // 256 + 1))[:n])
+
+
+def test_mtu_sized_fragment_round_trips():
+    """A DEFAULT_MTU-sized (200 B > max_frame_data_size = 128) payload
+    round-trips — the reference quirk the IP fragmentation path
+    depends on."""
+    cfg = PhyConfig()
+    assert cfg.max_frame_data_size < 200 <= cfg.max_frame_bytes
+    _roundtrip(cfg, bytes(range(200)))

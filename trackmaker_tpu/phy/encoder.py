@@ -49,14 +49,20 @@ class PhyEncoder:
         return len(self.preamble)
 
     def _check(self, frame: framing.Frame) -> None:
-        # A payload over max_frame_data_size would encode fine (the
-        # length header is 16-bit) but no conforming decoder will ever
-        # return it (the body cap is decoder.rs:61's 2x max payload) —
+        # A payload over the DECODER body cap (max_frame_bytes =
+        # decoder.rs:61's 2x max payload) would encode fine (the length
+        # header is 16-bit) but no conforming decoder ever returns it —
         # fail loudly at the producer instead of silently on the air.
-        if len(frame.data) > self.cfg.max_frame_data_size:
+        # The cap is deliberately NOT max_frame_data_size: the
+        # reference's own IP path ships frames above it (DEFAULT_MTU =
+        # 200 > MAX_FRAME_DATA_SIZE = 128, utils/consts.rs:37,68 +
+        # acoustic_interface.rs:45) and they round-trip because the
+        # decoder accepts bodies up to the 2x cap — a quirk the ping /
+        # fragmentation flow depends on.
+        if len(frame.data) > self.cfg.max_frame_bytes:
             raise ValueError(
-                f"frame payload {len(frame.data)} B exceeds "
-                f"max_frame_data_size={self.cfg.max_frame_data_size}; "
+                f"frame payload {len(frame.data)} B exceeds the decoder "
+                f"body cap max_frame_bytes={self.cfg.max_frame_bytes}; "
                 "fragment at the MAC/transfer layer (link/transfer.py)")
 
     def encode_frame(self, frame: framing.Frame) -> np.ndarray:
