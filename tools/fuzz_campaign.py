@@ -13,6 +13,15 @@ scan (on CPU: 4B5B optimistic two-pass + fallback merge; on TPU it
 would take the speculative kernels — see tools/tpu_spec_soak.py for
 the on-chip campaign).
 
+``--path dd`` soaks the decision-directed equalized decode
+(dsp/equalizer.py:decode_capture_dd) over random 2-3-tap multipath
+channels: the invariants are (a) no hallucinated frames — every
+decoded (seq, payload) was transmitted — and (b) at least as many
+frames as the stock decoder (structural, but the soak would catch a
+refit that corrupts the bootstrap result).  Exact oracle equality is
+NOT the bar here: dd is a beyond-parity recovery path that usually
+decodes MORE than the reference behavior on echoic captures.
+
 Round-1 campaign: 280 trials, 0 mismatches.
 Round-2: tools/tpu_spec_soak.py adds the speculative-path soak.
 """
@@ -68,6 +77,31 @@ def one_trial(coding: str, seed: int, path: str = "exact") -> bool:
     if rng.random() < 0.3:
         wave = wave[: int(len(wave) * rng.uniform(0.5, 0.999))]
 
+    if path == "dd":
+        from trackmaker_tpu.dsp.channel import multipath
+        from trackmaker_tpu.dsp.equalizer import decode_capture_dd
+        nt = int(rng.integers(4, 14))
+        taps = np.zeros(nt, np.float32)
+        taps[0] = 1.0
+        taps[nt - 1] = float(rng.uniform(0.2, 0.55))
+        if rng.random() < 0.5 and nt > 5:
+            taps[int(rng.integers(2, nt - 1))] = float(
+                rng.uniform(0.1, 0.3))
+        wave = np.asarray(multipath(jnp.asarray(wave),
+                                    jnp.asarray(taps)))
+        bucket = 4096                  # bound the compile count
+        while bucket < len(wave):
+            bucket *= 2
+        wave = np.concatenate(
+            [wave, np.zeros(bucket - len(wave), np.float32)])
+        sent = {(f.sequence, f.data) for f in frames if f.dst == 2}
+        stock = decode_capture(cfg, jnp.asarray(wave), 2,
+                               max_frames=24).to_frames()
+        dd = decode_capture_dd(cfg, wave, 2, max_frames=24)
+        got = dd.to_frames()
+        no_hallucination = all((f.sequence, f.data) in sent for f in got)
+        return no_hallucination and len(got) >= len(stock)
+
     want = OracleDecoder(cfg, 2).process_samples(wave)
     # bucket the shape so the in-process compile count stays bounded
     bucket = 4096
@@ -95,7 +129,8 @@ def main():
     ap.add_argument("--seed-base", type=int, default=50_000)
     ap.add_argument("--coding", choices=["manchester", "4b5b", "both"],
                     default="both")
-    ap.add_argument("--path", choices=["exact", "fast"], default="exact")
+    ap.add_argument("--path", choices=["exact", "fast", "dd"],
+                    default="exact")
     args = ap.parse_args()
     codings = (["manchester", "4b5b"] if args.coding == "both"
                else [args.coding])
