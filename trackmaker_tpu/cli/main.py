@@ -328,7 +328,8 @@ def cmd_ofdm_adapt(args):
     uni = len(cfg.data_bin_idx) * 2
     print(f"probe SNR: {10*np.log10(snr.max()):.1f} dB best bin, "
           f"{10*np.log10(max(snr.min(), 1e-12)):.1f} dB worst")
-    print(f"loading: {int((lv == 4).sum())}x16QAM {int((lv == 2).sum())}"
+    print(f"loading: {int((lv == 6).sum())}x64QAM "
+          f"{int((lv == 4).sum())}x16QAM {int((lv == 2).sum())}"
           f"xQPSK {int((lv == 1).sum())}xBPSK {int((lv == 0).sum())}xoff"
           f" -> {modem.bits_per_symbol} bits/sym"
           f" ({modem.bits_per_symbol / uni:.2f}x uniform QPSK)")

@@ -21,7 +21,7 @@ Pipeline:
   pilot ‖ K known uniform-QPSK symbols); the receiver equalizes with
   the v2 smoothed channel estimate and measures per-bin error power ->
   SNR.
-* ``choose_loading`` — SNR-gap thresholds -> bits/bin in {0,1,2,4}.
+* ``choose_loading`` — SNR-gap thresholds -> bits/bin in {0,1,2,4,6}.
 * ``OfdmAdaptiveModem`` — encode/decode with a chosen loading; the
   per-symbol pilot tones and trajectory tracking come from the v2
   receiver design.
@@ -55,7 +55,7 @@ from trackmaker_tpu.phy.ofdm_v2 import (
 
 @dataclasses.dataclass(frozen=True)
 class OfdmAdaptiveConfig(OfdmV2Config):
-    # bits per data bin (aligned with data_bin_idx), each in {0, 1, 2, 4};
+    # bits per data bin (aligned with data_bin_idx), in {0, 1, 2, 4, 6};
     # default: uniform QPSK (equivalent to v2)
     loading: tuple = ()
     # per-data-bin amplitude gains (water-filling, choose_gains);
@@ -71,7 +71,7 @@ class OfdmAdaptiveConfig(OfdmV2Config):
             return np.full(n, 2, np.int32)
         assert len(self.loading) == n, (len(self.loading), n)
         lv = np.asarray(self.loading, np.int32)
-        assert set(np.unique(lv)).issubset({0, 1, 2, 4})
+        assert set(np.unique(lv)).issubset({0, 1, 2, 4, 6})
         return lv
 
     def resolved_gains(self) -> np.ndarray:
@@ -90,6 +90,14 @@ class OfdmAdaptiveConfig(OfdmV2Config):
 _QAM16_LEVELS = np.asarray([-3.0, -1.0, 1.0, 3.0], np.float32)
 _GRAY2 = np.asarray([0, 1, 3, 2], np.int32)        # bits -> level index
 _QAM16_SCALE = 1.0 / np.sqrt(10.0)
+# Gray-coded 64-QAM: 3 bits per axis.  Level index l (amplitude
+# (2l-7)/sqrt(42)) carries Gray code l^(l>>1); _GRAY3 is the INVERSE
+# (bit triple -> level index), so adjacent amplitudes differ in one bit.
+_QAM64_LEVELS = np.asarray([-7., -5., -3., -1., 1., 3., 5., 7.],
+                           np.float32)
+_GRAY3 = np.asarray([0, 1, 3, 2, 7, 6, 4, 5], np.int32)
+_GRAY3_ENC = np.asarray([l ^ (l >> 1) for l in range(8)], np.int32)
+_QAM64_SCALE = 1.0 / np.sqrt(42.0)
 
 
 @functools.lru_cache(maxsize=16)
@@ -97,8 +105,9 @@ def _class_idx(cfg: OfdmAdaptiveConfig):
     """Static per-class bin indices and the bit layout.
 
     Per-symbol bit order: [all BPSK bins' bits ‖ all QPSK bins' bit
-    pairs ‖ all 16-QAM bins' quads], each class in ascending bin order —
-    a fixed permutation both ends derive from the shared loading.
+    pairs ‖ all 16-QAM bins' quads ‖ all 64-QAM bins' six-tuples], each
+    class in ascending bin order — a fixed permutation both ends derive
+    from the shared loading.
     Returns (per-class bins, per-class gains), gains in class order."""
     # NOTE: data_bin_idx / pilot_bin_idx are bin-RELATIVE (0..n_bins),
     # matching ofdm_v2's convention
@@ -108,9 +117,11 @@ def _class_idx(cfg: OfdmAdaptiveConfig):
     b1 = dbins[lv == 1]
     b2 = dbins[lv == 2]
     b4 = dbins[lv == 4]
-    return ((tuple(b1.tolist()), tuple(b2.tolist()), tuple(b4.tolist())),
+    b6 = dbins[lv == 6]
+    return ((tuple(b1.tolist()), tuple(b2.tolist()),
+             tuple(b4.tolist()), tuple(b6.tolist())),
             (tuple(g[lv == 1].tolist()), tuple(g[lv == 2].tolist()),
-             tuple(g[lv == 4].tolist())))
+             tuple(g[lv == 4].tolist()), tuple(g[lv == 6].tolist())))
 
 
 def _bits_to_qam16(bits: jax.Array) -> jax.Array:
@@ -137,13 +148,37 @@ def _qam16_to_bits(sym: jax.Array) -> jax.Array:
     return out.reshape(*sym.shape[:-1], -1).astype(jnp.uint8)
 
 
+def _bits_to_qam64(bits: jax.Array) -> jax.Array:
+    """uint8[..., 6k] -> complex64[..., k] (I bits first, MSB first)."""
+    six = bits.reshape(*bits.shape[:-1], -1, 6).astype(jnp.int32)
+    vi = six[..., 0] * 4 + six[..., 1] * 2 + six[..., 2]
+    vq = six[..., 3] * 4 + six[..., 4] * 2 + six[..., 5]
+    lv = jnp.asarray(_QAM64_LEVELS)
+    gi = jnp.asarray(_GRAY3)[vi]
+    gq = jnp.asarray(_GRAY3)[vq]
+    return (lv[gi] + 1j * lv[gq]) * _QAM64_SCALE
+
+
+def _qam64_to_bits(sym: jax.Array) -> jax.Array:
+    """Hard decision, inverse of _bits_to_qam64."""
+    def axis_bits(v):
+        lvl = jnp.clip(jnp.round((v / _QAM64_SCALE + 7.0) / 2.0),
+                       0, 7).astype(jnp.int32)
+        g = jnp.asarray(_GRAY3_ENC)[lvl]      # level -> Gray bit triple
+        return jnp.stack([g >> 2 & 1, g >> 1 & 1, g & 1], axis=-1)
+    bi = axis_bits(sym.real)
+    bq = axis_bits(sym.imag)
+    out = jnp.concatenate([bi, bq], axis=-1)
+    return out.reshape(*sym.shape[:-1], -1).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def modulate_bits_adaptive(cfg: OfdmAdaptiveConfig, bits: jax.Array,
                            n_bits: int) -> jax.Array:
     """uint8[B, n_bits] -> f32[B, frame_samples] with per-bin loading
     and water-filling amplitude gains."""
-    (b1, b2, b4), (g1, g2, g4) = _class_idx(cfg)
-    n1, n2, n4 = len(b1), len(b2), len(b4)
+    (b1, b2, b4, b6), (g1, g2, g4, g6) = _class_idx(cfg)
+    n1, n2, n4, n6 = len(b1), len(b2), len(b4), len(b6)
     bps = cfg.bits_per_symbol
     b = bits.shape[0]
     n_sym = -(-n_bits // bps)
@@ -169,6 +204,11 @@ def modulate_bits_adaptive(cfg: OfdmAdaptiveConfig, bits: jax.Array,
         s4 = _bits_to_qam16(sym_bits[..., off:off + 4 * n4])
         subs = subs.at[..., jnp.asarray(b4)].set(
             s4 * jnp.asarray(g4, jnp.complex64))
+        off += 4 * n4
+    if n6:
+        s6 = _bits_to_qam64(sym_bits[..., off:off + 6 * n6])
+        subs = subs.at[..., jnp.asarray(b6)].set(
+            s6 * jnp.asarray(g6, jnp.complex64))
     subs = subs.at[..., jnp.asarray(cfg.pilot_bin_idx)].set(
         jnp.asarray(_tone_pilots(cfg)))
 
@@ -243,7 +283,7 @@ def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
     corpus).  Monotone COMMON scalings don't change Viterbi decisions;
     per-bin RELATIVE weights do.
     """
-    (b1, b2, b4), (g1, g2, g4) = _class_idx(cfg)
+    (b1, b2, b4, b6), (g1, g2, g4, g6) = _class_idx(cfg)
     bps = cfg.bits_per_symbol
     n_sym = -(-n_bits // bps)
     pad_n = (1 + n_sym) * cfg.sym_len + cfg.preamble_len \
@@ -251,6 +291,7 @@ def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
     rx_pad = jnp.concatenate(
         [rx.astype(jnp.float32), jnp.zeros(pad_n, jnp.float32)])
     thr = 2.0 * _QAM16_SCALE
+    s64 = _QAM64_SCALE
 
     def one(start):
         eqc, h = _equalized_symbols(cfg, rx_pad, start, n_sym)
@@ -274,6 +315,19 @@ def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
                 [s4.real, thr - jnp.abs(s4.real),
                  s4.imag, thr - jnp.abs(s4.imag)], axis=-1)
                 * (w[jnp.asarray(b4)] * ga ** 2)[None, :, None])
+        if b6:
+            # max-log LLRs for Gray 8-PAM per axis (v = equalized amp):
+            # sign bit = v; middle bit = 4s - |v|; inner bit =
+            # 2s - ||v| - 4s|  (s = 1/sqrt(42))
+            ga = jnp.asarray(g6)
+            s6 = eqc[:, jnp.asarray(b6)] / ga
+
+            def pam8(v):
+                return [v, 4 * s64 - jnp.abs(v),
+                        2 * s64 - jnp.abs(jnp.abs(v) - 4 * s64)]
+            parts.append(jnp.stack(pam8(s6.real) + pam8(s6.imag),
+                                   axis=-1)
+                         * (w[jnp.asarray(b6)] * ga ** 2)[None, :, None])
         soft = jnp.concatenate(
             [p.reshape(p.shape[0], -1) for p in parts], axis=-1)
         return soft.reshape(-1)[:n_bits]
@@ -285,7 +339,7 @@ def soft_demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
 def demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
                            n_bits: int, starts: jax.Array) -> jax.Array:
     """Demodulate loaded frames at `starts` -> uint8[B, n_bits]."""
-    (b1, b2, b4), (g1, g2, g4) = _class_idx(cfg)
+    (b1, b2, b4, b6), (g1, g2, g4, g6) = _class_idx(cfg)
     bps = cfg.bits_per_symbol
     n_sym = -(-n_bits // bps)
     pad_n = (1 + n_sym) * cfg.sym_len + cfg.preamble_len \
@@ -305,6 +359,9 @@ def demodulate_at_adaptive(cfg: OfdmAdaptiveConfig, rx: jax.Array,
         if b4:
             parts.append(_qam16_to_bits(
                 eqc[:, jnp.asarray(b4)] / jnp.asarray(g4)))
+        if b6:
+            parts.append(_qam64_to_bits(
+                eqc[:, jnp.asarray(b6)] / jnp.asarray(g6)))
         bits = jnp.concatenate(parts, axis=-1).reshape(-1)
         return bits[:n_bits]
 
@@ -365,9 +422,9 @@ def estimate_bin_snr(cfg: OfdmAdaptiveConfig, rx: jax.Array,
 
 
 def choose_loading(snr_linear: np.ndarray,
-                   thresholds_db: tuple = (8.5, 14.0, 23.0),
+                   thresholds_db: tuple = (8.5, 14.0, 23.0, 29.5),
                    guard_bins: int = 2) -> tuple:
-    """SNR-gap loading: bits/bin in {0,1,2,4}.
+    """SNR-gap loading: bits/bin in {0,1,2,4,6}.
 
     Each bin is thresholded on the MINIMUM SNR over a +-guard_bins
     window.  Two measured failure modes motivate this (see the tests):
@@ -377,7 +434,9 @@ def choose_loading(snr_linear: np.ndarray,
     derates exactly where the SNR curve is steep (the penalty grows
     with the local slope), while flat in-band regions lose nothing.
     Thresholds sit ~4-6 dB above each constellation's hard-decision
-    cliff."""
+    cliff; the 64-QAM tier is the 16-QAM threshold + 6.5 dB (minimum
+    distance ratio 10*log10(42/10) = 6.2 dB, rounded up).  Pass a
+    3-tuple to cap loading at 16-QAM."""
     snr = np.asarray(snr_linear)
     n = len(snr)
     robust = snr.copy()
@@ -386,11 +445,10 @@ def choose_loading(snr_linear: np.ndarray,
         right = np.concatenate([snr[d:], snr[-d:]])
         robust = np.minimum(robust, np.minimum(left, right))
     snr_db = 10.0 * np.log10(np.maximum(robust, 1e-12))
-    t1, t2, t4 = thresholds_db
+    tiers = (1, 2, 4, 6)[: len(thresholds_db)]
     lv = np.zeros(n, np.int32)
-    lv[snr_db >= t1] = 1
-    lv[snr_db >= t2] = 2
-    lv[snr_db >= t4] = 4
+    for t_db, bits in zip(thresholds_db, tiers):
+        lv[snr_db >= t_db] = bits
     return tuple(lv.tolist())
 
 
@@ -404,7 +462,7 @@ def quantize_gain(g: float) -> float:
 
 
 def choose_gains(snr_linear: np.ndarray, loading: tuple,
-                 thresholds_db: tuple = (8.5, 14.0, 23.0),
+                 thresholds_db: tuple = (8.5, 14.0, 23.0, 29.5),
                  max_gain_db: float = 6.0) -> tuple:
     """Water-filling (margin-balancing) per-bin transmit power on top
     of the discrete loading.
@@ -430,8 +488,10 @@ def choose_gains(snr_linear: np.ndarray, loading: tuple,
     n_act = int(active.sum())
     if n_act == 0:
         return tuple([1.0] * len(lv))
-    t1, t2, t4 = thresholds_db
-    req_db = np.where(lv == 1, t1, np.where(lv == 2, t2, t4))
+    t1, t2, t4 = thresholds_db[:3]
+    t6 = thresholds_db[3] if len(thresholds_db) > 3 else t4 + 6.5
+    req_db = np.where(lv == 1, t1, np.where(lv == 2, t2,
+                      np.where(lv == 4, t4, t6)))
     req = 10.0 ** (req_db / 10.0)
     p_des = np.where(active, req / snr, 0.0)
     p_lo = 10.0 ** (-max_gain_db / 10.0)
@@ -467,25 +527,25 @@ def unpack_gains(data: bytes, n_bins: int) -> tuple:
 
 
 def pack_loading(loading: tuple) -> bytes:
-    """Loading -> compact bytes for the handshake frame: 2-bit code per
-    data bin (0,1,2,4 bits -> codes 0..3), 4 bins/byte, MSB-first."""
-    code = {0: 0, 1: 1, 2: 2, 4: 3}
+    """Loading -> compact bytes for the handshake frame: one nibble
+    code per data bin (0,1,2,4,6 bits -> codes 0..4), 2 bins/byte,
+    high nibble first."""
+    code = {0: 0, 1: 1, 2: 2, 4: 3, 6: 4}
     lv = [code[int(v)] for v in loading]
-    while len(lv) % 4:
+    if len(lv) % 2:
         lv.append(0)
     out = bytearray()
-    for i in range(0, len(lv), 4):
-        out.append((lv[i] << 6) | (lv[i + 1] << 4)
-                   | (lv[i + 2] << 2) | lv[i + 3])
+    for i in range(0, len(lv), 2):
+        out.append((lv[i] << 4) | lv[i + 1])
     return bytes(out)
 
 
 def unpack_loading(data: bytes, n_bins: int) -> tuple:
-    bits = {0: 0, 1: 1, 2: 2, 3: 4}
+    bits = {0: 0, 1: 1, 2: 2, 3: 4, 4: 6}
     lv = []
     for byte in data:
-        for sh in (6, 4, 2, 0):
-            lv.append(bits[(byte >> sh) & 3])
+        lv.append(bits[byte >> 4])
+        lv.append(bits[byte & 0xF])
     return tuple(lv[:n_bins])
 
 
@@ -758,7 +818,7 @@ def parse_control(frame: Frame, n_bins: int):
         return ("reprobe", None, None)
     if frame.data[:2] == CTRL_LOADING:
         rest = frame.data[2:]
-        n_lb = -(-n_bins // 4)            # loading bytes, 4 bins/byte
+        n_lb = -(-n_bins // 2)            # loading bytes, 2 bins/byte
         loading = unpack_loading(rest[:n_lb], n_bins)
         gains = (unpack_gains(rest[n_lb:], n_bins)
                  if len(rest) >= n_lb + n_bins else None)
