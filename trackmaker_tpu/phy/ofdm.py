@@ -221,8 +221,12 @@ def find_preambles(cfg: OfdmConfig, rx: jax.Array,
         out = jnp.where(has & ~done, start, -1)
         return (jnp.where(has, new_cursor, cursor), done | ~has), out
 
+    # carry derives from rx so the scan stays typeable under shard_map
+    # (a constant-initial carry is unvarying while the body output
+    # varies over the mesh axis — same trick as decode_capture's vlen)
+    zero = (rx[0] * 0).astype(jnp.int32)
     (_, _), starts = jax.lax.scan(
-        step, (jnp.int32(0), jnp.asarray(False)), None, length=max_frames,
+        step, (zero, zero > 0), None, length=max_frames,
         unroll=min(8, max_frames))
     return starts
 
