@@ -78,3 +78,21 @@ def test_cli_tx_sr(tmp_path, capsys):
     assert run_cli(["tx", "--input", str(inp), "--output", str(out),
                     "--arq", "sr", "--window", "4"]) == 0
     assert out.read_bytes() == inp.read_bytes()
+
+
+def test_cli_tx_phy_families(tmp_path):
+    """`tm tx --phy` swaps the waveform under the unchanged MAC: the
+    same file transfer runs over OFDM and FSK stream PHYs (adaptive
+    OFDM and PSK are covered by their own MAC suites)."""
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(bytes(range(256)) * 0 + b"phy swap under the mac" * 7)
+    for phy in ("ofdm", "fsk"):
+        out = tmp_path / f"out_{phy}.bin"
+        assert run_cli(["tx", "--input", str(inp), "--output", str(out),
+                        "--phy", phy, "--noise", "0.003"]) == 0
+        assert out.read_bytes() == inp.read_bytes()
+
+
+def test_cli_tx_phy_requires_sw():
+    assert run_cli(["tx", "--input", "x", "--output", "y",
+                    "--phy", "ofdm", "--arq", "gbn"]) == 2

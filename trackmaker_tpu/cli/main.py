@@ -65,16 +65,43 @@ def cmd_test(args):
     return 0 if ok else 1
 
 
+def _phy_factory(name: str):
+    """`tm tx --phy`: local_addr -> stream PHY (None = line-coded).
+
+    The MAC is modem-agnostic (one duck type across every family), so
+    swapping the waveform under a file transfer is one flag."""
+    if name == "line":
+        return None
+    if name == "ofdm":
+        from trackmaker_tpu.phy.ofdm_v2 import OfdmStreamPhyV2
+        return lambda a: OfdmStreamPhyV2(local_addr=a)
+    if name == "ofdm-adapt":
+        from trackmaker_tpu.phy.ofdm_adaptive import OfdmAdaptiveStreamPhy
+        return lambda a: OfdmAdaptiveStreamPhy(local_addr=a)
+    if name == "fsk":
+        from trackmaker_tpu.phy.stream_sc import FskStreamPhy
+        return lambda a: FskStreamPhy(local_addr=a)
+    if name == "psk":
+        from trackmaker_tpu.phy.stream_sc import PskStreamPhy
+        return lambda a: PskStreamPhy(local_addr=a)
+    raise ValueError(name)
+
+
 def cmd_tx(args):
     """File send over the simulated bus (pairs with a local rx).
 
     --arq picks the reliability scheme: the reference's Stop-and-Wait
     (sw, default), or the beyond-parity sliding windows (gbn, sr)."""
+    if args.phy != "line" and args.arq != "sw":
+        print("tx: --phy currently pairs with --arq sw "
+              "(the window senders are line-coded)")
+        return 2
     if args.arq == "sw":
         from trackmaker_tpu.link.transfer import run_file_transfer
         stats = run_file_transfer(args.input, args.output,
                                   noise_std=args.noise,
-                                  max_duration_s=args.timeout)
+                                  max_duration_s=args.timeout,
+                                  phy_factory=_phy_factory(args.phy))
         print(json.dumps(stats, indent=2))
         return 0 if stats["exact"] else 1
     data = open(args.input, "rb").read()
@@ -553,6 +580,10 @@ def main(argv=None):
                         "or Selective-Repeat")
     s.add_argument("--window", type=int, default=8,
                    help="sliding-window size for gbn/sr")
+    s.add_argument("--phy", default="line",
+                   choices=["line", "ofdm", "ofdm-adapt", "fsk", "psk"],
+                   help="waveform family under the MAC (modem-agnostic "
+                        "duck type; --arq sw)")
     s.set_defaults(fn=cmd_tx)
 
     s = sub.add_parser("ping", parents=[common], help="ICMP ping over simulated acoustic")

@@ -25,8 +25,15 @@ def transfer_over_bus(
     seed: int = 0,
     src: int = 1,
     dst: int = 2,
+    phy_factory=None,
 ) -> tuple[bytes, dict]:
     """One-directional file transfer between two simulated nodes.
+
+    `phy_factory` (optional): callable `local_addr -> stream PHY`
+    (encode_frames / process_samples duck type) — swaps the waveform
+    under the unchanged CSMA/ARQ MAC (OFDM, adaptive OFDM, FSK, PSK);
+    None keeps the line-coded default.  Each node gets its OWN
+    instance (stream PHYs carry receive-buffer state).
 
     Returns (received_bytes, stats).
     """
@@ -34,8 +41,10 @@ def transfer_over_bus(
     mac_cfg = mac_cfg or MacConfig()
     bus = SimulatedBus(noise_std=noise_std, seed=seed)
     ep_tx, ep_rx = AudioEndpoint("tx"), AudioEndpoint("rx")
-    sender = CsmaSender(ep_tx, cfg, mac_cfg, src, dst, seed=seed)
-    receiver = CsmaReceiver(ep_rx, cfg, mac_cfg, dst, src)
+    sender = CsmaSender(ep_tx, cfg, mac_cfg, src, dst, seed=seed,
+                        phy=phy_factory(src) if phy_factory else None)
+    receiver = CsmaReceiver(ep_rx, cfg, mac_cfg, dst, src,
+                            phy=phy_factory(dst) if phy_factory else None)
     bus.attach(ep_tx, sender)
     bus.attach(ep_rx, receiver)
 
