@@ -93,6 +93,13 @@ def test_cli_tx_phy_families(tmp_path):
         assert out.read_bytes() == inp.read_bytes()
 
 
-def test_cli_tx_phy_requires_sw():
-    assert run_cli(["tx", "--input", "x", "--output", "y",
-                    "--phy", "ofdm", "--arq", "gbn"]) == 2
+def test_cli_tx_window_arq_over_ofdm(tmp_path):
+    """The window ARQs are modem-agnostic too: Go-Back-N over the OFDM
+    stream PHY round-trips exactly."""
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(b"window arq over ofdm " * 8)
+    out = tmp_path / "out.bin"
+    assert run_cli(["tx", "--input", str(inp), "--output", str(out),
+                    "--phy", "ofdm", "--arq", "gbn",
+                    "--noise", "0.003"]) == 0
+    assert out.read_bytes() == inp.read_bytes()

@@ -92,10 +92,6 @@ def cmd_tx(args):
 
     --arq picks the reliability scheme: the reference's Stop-and-Wait
     (sw, default), or the beyond-parity sliding windows (gbn, sr)."""
-    if args.phy != "line" and args.arq != "sw":
-        print("tx: --phy currently pairs with --arq sw "
-              "(the window senders are line-coded)")
-        return 2
     if args.arq == "sw":
         from trackmaker_tpu.link.transfer import run_file_transfer
         stats = run_file_transfer(args.input, args.output,
@@ -111,7 +107,8 @@ def cmd_tx(args):
         from trackmaker_tpu.link.sr import sr_transfer as xfer
     received, stats = xfer(data, window=args.window,
                            noise_std=args.noise,
-                           max_duration_s=args.timeout)
+                           max_duration_s=args.timeout,
+                           phy_factory=_phy_factory(args.phy))
     with open(args.output, "wb") as f:
         f.write(received)
     stats["exact"] = received == data
@@ -583,7 +580,7 @@ def main(argv=None):
     s.add_argument("--phy", default="line",
                    choices=["line", "ofdm", "ofdm-adapt", "fsk", "psk"],
                    help="waveform family under the MAC (modem-agnostic "
-                        "duck type; --arq sw)")
+                        "duck type, any --arq)")
     s.set_defaults(fn=cmd_tx)
 
     s = sub.add_parser("ping", parents=[common], help="ICMP ping over simulated acoustic")

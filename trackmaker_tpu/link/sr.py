@@ -71,7 +71,7 @@ class SrSender:
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
                  window: int = 8, sample_rate: int = 48_000,
-                 seed: int = 0):
+                 seed: int = 0, phy=None):
         from trackmaker_tpu.phy.decoder import PhyDecoder
         from trackmaker_tpu.phy.encoder import PhyEncoder
         assert window < SEQ_MOD // 2 and window <= SACK_BYTES * 8
@@ -82,8 +82,10 @@ class SrSender:
         self.remote = remote_addr
         self.window = window
         self.sr = sample_rate
-        self.encoder = PhyEncoder(cfg)
-        self.decoder = PhyDecoder(cfg, local_addr, 8)
+        # `phy` (optional): stream-PHY duck type — swaps the waveform
+        # under the window ARQ exactly like the CSMA nodes
+        self.encoder = phy or PhyEncoder(cfg)
+        self.decoder = phy or PhyDecoder(cfg, local_addr, 8)
         self.queue: deque[bytes] = deque()
         self.base = 0                       # oldest unacked seq
         self.next_seq = 0
@@ -96,8 +98,11 @@ class SrSender:
         # the receiver defers its cumulative ACK one max-frame airtime
         # past its last decode (see the receiver class); wait that much
         # beyond the reference 200 ms before declaring the burst lost
-        self._rx_ack_lag = cfg.preamble_len + cfg.samples_for_bits(
-            8 * (7 + cfg.max_frame_data_size)) \
+        max_air = (phy.frame_samples(cfg.max_frame_data_size)
+                   if phy is not None else
+                   cfg.preamble_len + cfg.samples_for_bits(
+                       8 * (7 + cfg.max_frame_data_size)))
+        self._rx_ack_lag = max_air \
             + cfg.inter_frame_gap_samples + self._ms(10)
         # contention backoff (multi-node): consecutive ACK timeouts
         # grow the window like the CSMA sender's cw quirk
@@ -233,7 +238,7 @@ class SrReceiver:
 
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, local_addr: int, remote_addr: int,
-                 sample_rate: int = 48_000):
+                 sample_rate: int = 48_000, phy=None):
         from trackmaker_tpu.phy.decoder import PhyDecoder
         from trackmaker_tpu.phy.encoder import PhyEncoder
         self.ep = endpoint
@@ -242,8 +247,8 @@ class SrReceiver:
         self.local = local_addr
         self.remote = remote_addr
         self.sr = sample_rate
-        self.encoder = PhyEncoder(cfg)
-        self.decoder = PhyDecoder(cfg, local_addr, 16)
+        self.encoder = phy or PhyEncoder(cfg)
+        self.decoder = phy or PhyDecoder(cfg, local_addr, 16)
         self.expected = 0
         self.buffer: dict[int, bytes] = {}
         self.received: list[bytes] = []
@@ -319,7 +324,7 @@ class SrReceiver:
 def sr_transfer(data: bytes, cfg: PhyConfig | None = None,
                 mac_cfg: MacConfig | None = None, window: int = 8,
                 noise_std: float = 0.0, max_duration_s: float = 120.0,
-                seed: int = 0) -> tuple[bytes, dict]:
+                seed: int = 0, phy_factory=None) -> tuple[bytes, dict]:
     """One-directional Selective-Repeat transfer over the simulated bus."""
     from trackmaker_tpu.link.bus import SimulatedBus
     from trackmaker_tpu.link.transfer import chunk_payload
@@ -328,8 +333,10 @@ def sr_transfer(data: bytes, cfg: PhyConfig | None = None,
     mac_cfg = mac_cfg or MacConfig()
     bus = SimulatedBus(noise_std=noise_std, seed=seed)
     ep_tx, ep_rx = AudioEndpoint("sr-tx"), AudioEndpoint("sr-rx")
-    sender = SrSender(ep_tx, cfg, mac_cfg, 1, 2, window=window)
-    receiver = SrReceiver(ep_rx, cfg, mac_cfg, 2, 1)
+    sender = SrSender(ep_tx, cfg, mac_cfg, 1, 2, window=window,
+                          phy=phy_factory(1) if phy_factory else None)
+    receiver = SrReceiver(ep_rx, cfg, mac_cfg, 2, 1,
+                              phy=phy_factory(2) if phy_factory else None)
     bus.attach(ep_tx, sender)
     bus.attach(ep_rx, receiver)
     chunks = chunk_payload(data, cfg.max_frame_data_size)
