@@ -18,3 +18,14 @@ def test_ping_large_payload_fragments():
                                 max_duration_s=60.0)
     assert stats["received"] == 2
     assert stats["loss_pct"] == 0.0
+
+
+def test_ping_over_ofdm_phy():
+    """The IP stack is modem-agnostic: the same ICMP round trip runs
+    with OFDM stream PHYs under the acoustic interfaces."""
+    from trackmaker_tpu.phy.ofdm_v2 import OfdmStreamPhyV2
+    stats = run_ping_simulation(
+        count=2, noise_std=0.003, max_duration_s=60.0,
+        phy_factory=lambda a: OfdmStreamPhyV2(local_addr=a))
+    assert stats["received"] == 2
+    assert stats["loss_pct"] == 0.0

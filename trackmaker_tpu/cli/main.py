@@ -120,7 +120,7 @@ def cmd_ping(args):
     from trackmaker_tpu.net.tools import run_ping_simulation
     stats = run_ping_simulation(
         local_ip=args.source, target_ip=args.target, count=args.count,
-        noise_std=args.noise)
+        noise_std=args.noise, phy_factory=_phy_factory(args.phy))
     print(f"--- {args.target} ping statistics (simulated acoustic) ---")
     print(f"{stats['sent']} transmitted, {stats['received']} received, "
           f"{stats['loss_pct']:.0f}% loss")
@@ -588,6 +588,9 @@ def main(argv=None):
     s.add_argument("--target", default="192.168.1.2")
     s.add_argument("--count", type=int, default=10)
     s.add_argument("--noise", type=float, default=0.0)
+    s.add_argument("--phy", default="line",
+                   choices=["line", "ofdm", "ofdm-adapt", "fsk", "psk"],
+                   help="waveform family under the IP stack")
     s.set_defaults(fn=cmd_ping)
 
     s = sub.add_parser("decode", parents=[common], help="offline decode of WAV/FLAC captures (many files = one batched TPU call)")

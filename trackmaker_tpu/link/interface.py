@@ -37,15 +37,18 @@ class AcousticInterface:
     def __init__(self, endpoint: AudioEndpoint, cfg: PhyConfig,
                  mac_cfg: MacConfig, net_cfg: NetConfig, local_mac: int,
                  sample_rate: int = 48_000, seed: int = 0,
-                 max_frames_per_decode: int = 8):
+                 max_frames_per_decode: int = 8, phy=None):
         self.ep = endpoint
         self.cfg = cfg
         self.mac = mac_cfg
         self.local_mac = local_mac
         self.sr = sample_rate
         self.rng = random.Random(seed)
-        self.encoder = PhyEncoder(cfg)
-        self.decoder = PhyDecoder(cfg, local_mac, max_frames_per_decode)
+        # `phy` (optional): stream-PHY duck type — the packet
+        # interface is modem-agnostic like the CSMA/ARQ nodes
+        self.encoder = phy or PhyEncoder(cfg)
+        self.decoder = phy or PhyDecoder(cfg, local_mac,
+                                         max_frames_per_decode)
         self.fragmenter = IpFragmenter(net_cfg.mtu)
         self.reassembler = IpReassembler()
 

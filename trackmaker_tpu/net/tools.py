@@ -151,8 +151,12 @@ def run_ping_simulation(
     payload_size: int | None = None,
     max_duration_s: float = 60.0,
     seed: int = 0,
+    phy_factory=None,
 ) -> dict:
-    """Full PHY+MAC+NET ICMP round trip in a simulated audio loopback."""
+    """Full PHY+MAC+NET ICMP round trip in a simulated audio loopback.
+
+    `phy_factory` (optional): `local_mac -> stream PHY` — run the whole
+    IP stack over any waveform family (ping over OFDM)."""
     from trackmaker_tpu.core.config import MacConfig, PhyConfig
     from trackmaker_tpu.link.audio import AudioEndpoint
     from trackmaker_tpu.link.bus import SimulatedBus
@@ -167,10 +171,15 @@ def run_ping_simulation(
     arp = ArpTable()
     bus = SimulatedBus(noise_std=noise_std, seed=seed)
     ep_a, ep_b = AudioEndpoint("ping"), AudioEndpoint("host")
-    if_a = AcousticInterface(ep_a, cfg, mac_cfg, net_cfg,
-                             arp.get_mac(local_ip), seed=seed)
-    if_b = AcousticInterface(ep_b, cfg, mac_cfg, net_cfg,
-                             arp.get_mac(target_ip), seed=seed + 1)
+    mac_a, mac_b = arp.get_mac(local_ip), arp.get_mac(target_ip)
+    if_a = AcousticInterface(ep_a, cfg, mac_cfg, net_cfg, mac_a,
+                             seed=seed,
+                             phy=phy_factory(mac_a) if phy_factory
+                             else None)
+    if_b = AcousticInterface(ep_b, cfg, mac_cfg, net_cfg, mac_b,
+                             seed=seed + 1,
+                             phy=phy_factory(mac_b) if phy_factory
+                             else None)
     ping = PingApp(if_a, local_ip, target_ip, net_cfg, arp)
     host = IpHostApp(if_b, target_ip, arp, net_cfg)
     bus.attach(ep_a, ping)
