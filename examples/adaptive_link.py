@@ -84,7 +84,7 @@ def main():
     # monitor fires, and the link renegotiates a derated loading
     # without tearing down (phy/ofdm_adaptive.py retrain protocol)
     from trackmaker_tpu.phy.ofdm_adaptive import (
-        make_loading_frame, parse_control)
+        choose_gains, make_loading_frame, parse_control)
 
     def worse_channel(wave):
         # the roll-off knee drops into the middle of the loaded band
@@ -98,16 +98,19 @@ def main():
     rx2 = worse_channel(np.concatenate(
         [probe_waveform(cfg), np.zeros(800, np.float32)]))
     s2 = int(np.asarray(find_preambles(cfg, jnp.asarray(rx2), 1))[0])
-    load2 = choose_loading(np.asarray(
-        estimate_bin_snr(cfg, jnp.asarray(rx2), s2)))
-    upd = hs_tx.encode_frames([make_loading_frame(1, 2, 1, load2)])
-    kind, negotiated2, _gains2 = parse_control(
+    snr2 = np.asarray(estimate_bin_snr(cfg, jnp.asarray(rx2), s2))
+    load2 = choose_loading(snr2)
+    gains2 = choose_gains(snr2, load2)   # water-filling rides along
+    upd = hs_tx.encode_frames(
+        [make_loading_frame(1, 2, 1, load2, gains2)])
+    kind, negotiated2, ngains2 = parse_control(
         hs_rx.process_samples(worse_channel(np.concatenate(
             [upd, np.zeros(3000, np.float32)])))[0],
         len(cfg.data_bin_idx))
-    tx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated2, local_addr=2)
+    tx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated2,
+                                gains=ngains2, local_addr=2)
     rx_new = OfdmAdaptiveStreamPhy(cfg, loading=negotiated2,
-                                   local_addr=2)
+                                   gains=ngains2, local_addr=2)
     got2 = rx_new.process_samples(worse_channel(np.concatenate(
         [tx2.encode_frames(frames, gap_samples=400),
          np.zeros(3000, np.float32)])))

@@ -266,14 +266,21 @@ def test_live_retrain_on_degradation():
     load1 = choose_loading(np.asarray(estimate_bin_snr(cfg, rxp2, s2)))
     assert sum(load1) < sum(load0)   # derated for the worse channel
 
-    upd = hs_rx.encode_frames([make_loading_frame(10, 2, 1, load1)])
+    from trackmaker_tpu.phy.ofdm_adaptive import choose_gains
+    snr1 = np.asarray(estimate_bin_snr(cfg, rxp2, s2))
+    gains1 = choose_gains(snr1, load1)
+    upd = hs_rx.encode_frames(
+        [make_loading_frame(10, 2, 1, load1, gains1)])
     got_upd = hs_tx.process_samples(bad(pad(upd)))
-    kind, negotiated, _g = parse_control(got_upd[0], nd)
+    kind, negotiated, ngains = parse_control(got_upd[0], nd)
     assert kind == "loading" and negotiated == load1
+    assert ngains == gains1    # water-filling rides the update
 
     # 4. both ends switch; traffic runs clean on the bad channel
-    tx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated, local_addr=1)
-    rx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated, local_addr=2)
+    tx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated,
+                                gains=ngains, local_addr=1)
+    rx2 = OfdmAdaptiveStreamPhy(cfg, loading=negotiated,
+                                gains=ngains, local_addr=2)
     got2 = rx2.process_samples(bad(pad(tx2.encode_frames(frames, 400))))
     assert [(f.sequence, f.data) for f in got2] == [
         (f.sequence, f.data) for f in frames]
