@@ -275,14 +275,18 @@ def bench_ask(rng):
 
 
 def bench_ofdm(rng):
-    """Batched OFDM receiver throughput: 8 captures x 32 frames (a
-    single 1.4 s capture measures launch latency, not throughput)."""
+    """Batched OFDM receiver throughput: 32 captures x 32 frames (a
+    single 1.4 s capture measures launch latency, not throughput;
+    batch 8 still left ~40% of the rate on the table — fixed grid /
+    scan overheads amortize through batch 32, matching the flagship
+    row's batching: 17.4k/25.9k/28.7k x at batch 8/32/64,
+    tools/prof_ofdm.py)."""
     import jax
     import jax.numpy as jnp
     from trackmaker_tpu.core.framing import Frame
     from trackmaker_tpu.phy import ofdm
 
-    n_frames, batch = 32, 8
+    n_frames, batch = 32, 32
     payloads = [rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
                 for _ in range(n_frames)]
     frames = [Frame.new_data(i, 1, 2, p) for i, p in enumerate(payloads)]
@@ -312,7 +316,9 @@ def bench_ofdm(rng):
             f = Frame.from_bits(bits[b, k])
             if f is None or f.data != payloads[k]:
                 return 0.0, None, f"ofdm batch gate failed at b={b} k={k}"
-    ts = _measure(fn, x, iters=_iters_for(40))
+    # ~3.4 ms/iter at batch 32: 150 in-program iters ≈ 0.5 s per
+    # repeat, so a degraded-window 35 ms dispatch RTT is <0.1% bias
+    ts = _measure(fn, x, iters=_iters_for(150))
     xmed, stats = _row(ts, batch * t)
     return xmed, stats, None
 
