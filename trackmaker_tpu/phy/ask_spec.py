@@ -83,6 +83,9 @@ def dense_fire_candidates(cfg: AskConfig, sync: jax.Array,
     return upd_ok & (masked[:t] >= fwd_max)
 
 
+_R = 512  # fetch-row width for aligned window gathers
+
+
 def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
              chain_window: int):
     """Per-candidate successor fields for one capture.
@@ -90,39 +93,129 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
     cand_full: i32[C+1], ascending; slot 0 is the virtual stream-start
     candidate at -(frame_samples+1) so its cursor is exactly 0 (the
     reference's initial zeroed-FIFO state).  Returns i32[5, C+1] rows
-    has/fired/complete/next_peak/succ_idx."""
+    has/fired/complete/next_peak/succ_idx.
+
+    TPU shape (round-3 restructure): the previous per-candidate
+    ``dynamic_slice`` formulation lowered under vmap to per-element
+    gathers — ~10 of 14 ms of the whole receiver for ~5.6M gathered
+    elements.  Row-gathers of 512-lane rows are ~free (measured
+    +0.15 ms for all four windows), so every window is fetched on
+    512-aligned rows via ``jnp.take``; the chain runs on the wider
+    [row_start, row_start + CW + 512) window with the pre-``i0``
+    prefix masked off (masked entries have ok=False → -inf, so they
+    cannot create records or fires — decisions are unchanged, and the
+    ≥CW effective window can only *resolve* chains the old fixed-CW
+    window conformance-flagged; any fire inside a prefix window fires
+    identically in the scan receiver's 4096 window).  Only the
+    440-wide warmup band is realigned exactly, via one-hot f32
+    row-selection matmuls (each output has exactly one 1.0 multiplier
+    — exact at HIGHEST precision; same trick as the attempt kernel's
+    rowsel)."""
     t = rx.shape[-1]
     l_pre = cfg.preamble_len
+    c1 = cand_full.shape[0]
     upd_tables = ask.upd_block_tables(upd_ok)
+    win = chain_window + _R
+    rows_n = win // _R
+    hi = jax.lax.Precision.HIGHEST
 
-    pad = cfg.frame_samples + chain_window + 8
-    rx_pad = jnp.concatenate([rx, jnp.zeros(pad, jnp.float32)])
-    sync_pad = jnp.concatenate(
-        [sync, jnp.full(chain_window + 8, -jnp.inf, jnp.float32)])
-    upd_pad = jnp.concatenate(
-        [upd_ok, jnp.zeros(chain_window + 8, bool)])
-    power_pad = jnp.concatenate([power, jnp.zeros(l_pre + 8, jnp.float32)])
+    # rx_pad is only returned for the (env-gated) per-slot demod path
+    rx_pad = jnp.concatenate(
+        [rx, jnp.zeros(cfg.frame_samples + chain_window + 8, jnp.float32)])
+
+    def as_rows(a, fill, need_rows):
+        nr = (t - 1) // _R + need_rows + 2
+        pad = nr * _R - t
+        return jnp.pad(a, (0, pad), constant_values=fill).reshape(nr, _R), nr
+
+    s_rows, nr_s = as_rows(sync, -jnp.inf, rows_n)
+    u_rows, _ = as_rows(upd_ok, False, rows_n)
+    r_rows, nr_r = as_rows(rx, 0.0, 2)
+    p_rows, _ = as_rows(power, 0.0, 2)
     w_band = jnp.asarray(ask._warmup_band_np(cfg))
 
-    def one(pos):
-        cursor = jnp.minimum(pos + cfg.frame_samples + 1, _BIGI)
-        sync_w, ok_w = ask.warmup_sync_at(
-            cfg, rx_pad, power_pad, w_band, cursor, t)
-        warm_idx = cursor + jnp.arange(l_pre, dtype=jnp.int32)
-        first_warm = jnp.min(jnp.where(ok_w, warm_idx, _BIGI))
-        first_dense, has_dense = ask.first_upd_from(
-            upd_tables, cursor + l_pre)
-        first_dense = jnp.where(has_dense, first_dense, _BIGI)
-        first = jnp.minimum(first_warm, first_dense)
-        has = first < _BIGI
-        i0 = jnp.clip(first, 0, t - 1)
-        peak, fired = ask.run_chain(
-            cfg, sync_pad, upd_pad, chain_window, i0, cursor,
-            sync_w, ok_w)
-        complete = (peak + cfg.frame_samples) < t
-        return has, fired, complete, peak
+    cursor = jnp.minimum(cand_full + cfg.frame_samples + 1, _BIGI)
 
-    has, fired, complete, peak = jax.vmap(one)(cand_full)
+    # --- warmup correlations (exact FIFO-restart partials) ----------
+    # slab/power at [cursor, cursor+440) from two aligned rows, then a
+    # one-hot realign matmul; a padded/BIGI cursor yields an all-zero
+    # one-hot -> zero slab -> ok_w all-False (abs threshold), exactly
+    # like the old out-of-range dynamic_slice reads of the zero pad.
+    rb = jnp.clip(cursor // _R, 0, nr_r - 2)
+    two = jnp.arange(2, dtype=jnp.int32)
+    rw = jnp.take(r_rows, rb[:, None] + two, axis=0).reshape(c1, 2 * _R)
+    pw2 = jnp.take(p_rows, rb[:, None] + two, axis=0).reshape(c1, 2 * _R)
+    o1 = cursor - rb * _R
+    kk = jnp.arange(l_pre, dtype=jnp.int32)[None, :, None]
+    jj = jnp.arange(2 * _R, dtype=jnp.int32)[None, None, :]
+    sel1 = (jj == kk + o1[:, None, None]).astype(jnp.float32)
+    slab = jnp.einsum("ckj,cj->ck", sel1, rw, precision=hi)
+    pw_p = jnp.einsum("ckj,cj->ck", sel1, pw2, precision=hi)
+    sync_w = (slab @ w_band) / cfg.sync_divisor          # [C, l_pre]
+    parng = jnp.arange(l_pre, dtype=jnp.int32)[None, :]
+    pos_valid = cursor[:, None] + parng < t
+    ok_w = ((sync_w > cfg.sync_power_factor * pw_p)
+            & (sync_w > cfg.sync_abs_threshold) & pos_valid)
+
+    first_warm = jnp.min(
+        jnp.where(ok_w, cursor[:, None] + parng, _BIGI), axis=-1)
+    first_dense, has_dense = jax.vmap(
+        lambda c: ask.first_upd_from(upd_tables, c))(cursor + l_pre)
+    first = jnp.minimum(first_warm,
+                        jnp.where(has_dense, first_dense, _BIGI))
+    has = first < _BIGI
+    i0 = jnp.clip(first, 0, t - 1)
+
+    # --- aligned chain windows with masked prefix --------------------
+    wb = jnp.clip(i0 // _R, 0, nr_s - rows_n)
+    rrng = jnp.arange(rows_n, dtype=jnp.int32)
+    sp_w = jnp.take(s_rows, wb[:, None] + rrng, axis=0).reshape(c1, win)
+    ok_wn = jnp.take(u_rows, wb[:, None] + rrng, axis=0).reshape(c1, win)
+    base_w = wb * _R
+    idx = base_w[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+
+    # warmup substitution: the warm band starts at window offset
+    # cursor - base_w <= 511 (base_w >= i0-511 >= cursor-511), so only
+    # the first l_pre + 512 window columns can ever be warm
+    wsub = l_pre + _R
+    jw = jnp.arange(wsub, dtype=jnp.int32)[None, :, None]
+    kw = jnp.arange(l_pre, dtype=jnp.int32)[None, None, :]
+    sel2 = (jw == kw + (cursor - base_w)[:, None, None]).astype(jnp.float32)
+    sw_sub = jnp.einsum("cjk,ck->cj", sel2, sync_w, precision=hi)
+    okw_sub = jnp.einsum("cjk,ck->cj", sel2, ok_w.astype(jnp.float32),
+                         precision=hi) > 0.5
+    in_warm = ((idx[:, :wsub] >= cursor[:, None])
+               & (idx[:, :wsub] < cursor[:, None] + l_pre))
+    sp_full = jnp.concatenate(
+        [jnp.where(in_warm, sw_sub, sp_w[:, :wsub]), sp_w[:, wsub:]],
+        axis=-1)
+    ok_full = jnp.concatenate(
+        [jnp.where(in_warm, okw_sub, ok_wn[:, :wsub]), ok_wn[:, wsub:]],
+        axis=-1)
+
+    ok_m = ok_full & (idx >= i0[:, None])
+    vals = jnp.where(ok_m, sp_full, -jnp.inf)
+
+    def combine(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv > av        # strict: earlier index wins ties
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+    m_incl, rec_incl = jax.lax.associative_scan(
+        combine, (vals, idx), axis=-1)
+    m_excl = jnp.concatenate(
+        [jnp.full((c1, 1), -jnp.inf), m_incl[:, :-1]], axis=-1)
+    rec_excl = jnp.concatenate([idx[:, :1], rec_incl[:, :-1]], axis=-1)
+    upd_now = ok_m & (sp_full > m_excl)
+    fire = ((~upd_now) & (idx > rec_excl + cfg.peak_guard)
+            & (m_excl > -jnp.inf))
+    j = jnp.argmax(fire, axis=-1)[:, None]
+    fired = jnp.take_along_axis(fire, j, axis=-1)[:, 0]
+    peak = jnp.where(fired,
+                     jnp.take_along_axis(rec_excl, j, axis=-1)[:, 0],
+                     rec_incl[:, -1])
+    complete = (peak + cfg.frame_samples) < t
 
     # next_peak -> candidate index (the successor); -1 when the fired
     # peak is not a dense candidate (warmup-region fire) — conformance
