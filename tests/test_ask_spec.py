@@ -192,3 +192,46 @@ def test_spec_vs_oracle():
     for (gid, gbits), (wid, wbits) in zip(got, want):
         assert gid == wid
         assert np.array_equal(gbits, wbits)
+
+
+def test_dense_fire_sliding_max_vs_naive():
+    """The 128-block sliding-max decomposition in dense_fire_candidates
+    must match a naive O(T*w) oracle bit-for-bit (max is exact, so any
+    deviation is an indexing bug), across boundary-straddling offsets."""
+    w = CFG.peak_guard + 1
+    rng = np.random.default_rng(17)
+    for t in (w + 1, 511, 512, 513, 1000, 4096 + 200):
+        sync = rng.normal(0, 1, t).astype(np.float32)
+        upd = rng.random(t) < 0.3
+        got = np.asarray(ask_spec.dense_fire_candidates(
+            CFG, jnp.asarray(sync), jnp.asarray(upd)))
+        masked = np.where(upd, sync, -np.inf)
+        padded = np.concatenate([masked, np.full(w + 1, -np.inf)])
+        want = np.array([
+            upd[r] and masked[r] >= padded[r + 1: r + w + 1].max()
+            for r in range(t)
+        ])
+        assert np.array_equal(got, want), t
+
+
+def test_demod_slots_dense_matches_slot():
+    """The row-gather batched demod must pick bit-identical values to
+    the per-slot strided form (one-hot dot at HIGHEST precision is an
+    exact pick), across row-boundary-straddling peaks."""
+    rng = np.random.default_rng(23)
+    rx = rng.normal(0, 0.3, 30000).astype(np.float32)
+    k, s_per, c_per = ask._demod_dense_tables_np(CFG)
+    s_per = jnp.asarray(s_per)
+    c_per = jnp.asarray(c_per)
+    ds, dc = ask.demod_dense(CFG, jnp.asarray(rx))
+    peaks = jnp.asarray(
+        [0, 1, 43, 44, 45, 87, 1000, 30000 - CFG.frame_samples - 2],
+        jnp.int32)
+    oks = jnp.ones(len(peaks), bool)
+    got = ask.demod_slots_dense(CFG, ds, dc, s_per, c_per, peaks, oks)
+    for i, p in enumerate(np.asarray(peaks)):
+        want = ask.demod_slot_dense(CFG, ds, dc, s_per, c_per,
+                                    jnp.int32(p), jnp.asarray(True))
+        for name in want:
+            assert np.array_equal(np.asarray(want[name]),
+                                  np.asarray(got[name])[i]), (name, p)

@@ -392,6 +392,60 @@ def demod_slot_dense(cfg: AskConfig, ds, dc, s_per, c_per, peak, ok):
     return _demod_decisions(cfg, sums > 0.0, peak, ok)
 
 
+def demod_slots_dense(cfg: AskConfig, ds, dc, s_per, c_per, peaks, oks):
+    """All slots of one capture from the dense arrays at once, the
+    strided picks restructured as row-gathers.
+
+    ``ds`` reshaped to [n, samples_per_bit] rows makes a slot's picks
+    ``ds[q0 + spb*c]`` a CONTIGUOUS run of coded_bits rows at the single
+    column ``q0 % spb`` (row ``q0//spb + c`` for bit c).  Fetching those
+    rows one at a time still pays per-row gather overhead (124k tiny
+    rows measured 2.5 ms/batch-16), so rows group into 8-row SUPER-rows
+    — 3.6x fewer, 352-element fetches — and the residual (row realign,
+    column pick) is one fused double-one-hot einsum: exactly one 1.0
+    per (row, column) pair, so the pick is exact at HIGHEST precision
+    (measured 0.6 ms/batch-16 total).  Picked values are bit-identical
+    to :func:`demod_slot_dense` (pinned by
+    tests/test_ask_spec.py::test_demod_slots_dense_matches_slot)."""
+    spb = cfg.samples_per_bit
+    cb = cfg.coded_bits
+    g = 8                                  # bit-rows per super-row
+    nsup_need = cb // g + 2
+    k = peaks.shape[0]
+    p0 = jnp.clip(peaks + 1, 0)
+    m = jnp.mod(p0, s_per.shape[0])
+    q0 = p0 + cfg.bit_lo - cfg.smooth_half
+    r0 = q0 // spb
+    col = q0 % spb
+    nr = ds.shape[-1] // spb + cb + 2 * g
+    nsup = -(-nr // g)
+
+    def mk(d):
+        pad = nsup * g * spb - d.shape[-1]
+        return jnp.pad(d, (0, pad)).reshape(nsup, g * spb)
+
+    dsr, dcr = mk(ds), mk(dc)
+    s0 = r0 // g
+    sup = s0[:, None] + jnp.arange(nsup_need, dtype=jnp.int32)
+    slab_s = jnp.take(dsr, sup, axis=0).reshape(k, nsup_need * g, spb)
+    slab_c = jnp.take(dcr, sup, axis=0).reshape(k, nsup_need * g, spb)
+    ro = r0 - s0 * g                       # residual rows, in [0, g)
+    ri = jnp.arange(cb, dtype=jnp.int32)[None, :, None]
+    rj = jnp.arange(nsup_need * g, dtype=jnp.int32)[None, None, :]
+    selr = (rj == ri + ro[:, None, None]).astype(jnp.float32)
+    onec = (jnp.arange(spb, dtype=jnp.int32)[None, :]
+            == col[:, None]).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    picks_s = jnp.einsum("kcr,krs,ks->kc", selr, slab_s, onec,
+                         precision=hi)
+    picks_c = jnp.einsum("kcr,krs,ks->kc", selr, slab_c, onec,
+                         precision=hi)
+    sums = (c_per[m][:, None] * picks_s - s_per[m][:, None] * picks_c)
+    return jax.vmap(
+        lambda b, p, o: _demod_decisions(cfg, b, p, o)
+    )(sums > 0.0, peaks, oks)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_frames", "chain_window"))
 def demodulate(
