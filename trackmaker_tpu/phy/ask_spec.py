@@ -114,6 +114,39 @@ def dense_fire_candidates(cfg: AskConfig, sync: jax.Array,
 _R = 512  # fetch-row width for aligned window gathers
 
 
+def _shift_realign(src, s, out_len: int):
+    """``out[c, k] = src[c, k + s[c]]`` exactly, materializing only a
+    small one-hot.
+
+    A direct one-hot [C, out_len, L] costs GB of HBM traffic at these
+    shapes (measured: the sel materialization dominated phase B).
+    Decompose ``s = 8a + b``: the lane part ``b`` is an 8-way select of
+    static shifts (exact — no arithmetic on the values), and the row
+    part ``a`` is a one-hot row matmul over 8-element rows — 64x fewer
+    one-hot elements, still exactly one 1.0 per output row (exact at
+    HIGHEST precision).  Out-of-range shifts (including the huge
+    sentinel cursors) produce an all-zero one-hot -> zeros out.
+    Requires ``out_len % 8 == 0`` and ``src.shape[-1] % 8 == 0``."""
+    c1, l = src.shape
+    assert out_len % 8 == 0 and l % 8 == 0
+    b = jnp.mod(s, 8)
+    a = jnp.floor_divide(s, 8)
+    acc = jnp.zeros_like(src)
+    for i in range(8):
+        sh_i = jnp.concatenate(
+            [src[:, i:], jnp.zeros((c1, i), src.dtype)], axis=-1)
+        acc = jnp.where((b == i)[:, None], sh_i, acc)
+    rows = l // 8
+    out_rows = out_len // 8
+    src8 = acc.reshape(c1, rows, 8)
+    ri = jnp.arange(out_rows, dtype=jnp.int32)[None, :, None]
+    rj = jnp.arange(rows, dtype=jnp.int32)[None, None, :]
+    sel = (rj == ri + a[:, None, None]).astype(src.dtype)
+    return jnp.einsum("crk,ckj->crj", sel, src8,
+                      precision=jax.lax.Precision.HIGHEST
+                      ).reshape(c1, out_len)
+
+
 def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
              chain_window: int):
     """Per-candidate successor fields for one capture.
@@ -145,7 +178,6 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
     upd_tables = ask.upd_block_tables(upd_ok)
     win = chain_window + _R
     rows_n = win // _R
-    hi = jax.lax.Precision.HIGHEST
 
     # rx_pad is only returned for the (env-gated) per-slot demod path
     rx_pad = jnp.concatenate(
@@ -174,11 +206,9 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
     rw = jnp.take(r_rows, rb[:, None] + two, axis=0).reshape(c1, 2 * _R)
     pw2 = jnp.take(p_rows, rb[:, None] + two, axis=0).reshape(c1, 2 * _R)
     o1 = cursor - rb * _R
-    kk = jnp.arange(l_pre, dtype=jnp.int32)[None, :, None]
-    jj = jnp.arange(2 * _R, dtype=jnp.int32)[None, None, :]
-    sel1 = (jj == kk + o1[:, None, None]).astype(jnp.float32)
-    slab = jnp.einsum("ckj,cj->ck", sel1, rw, precision=hi)
-    pw_p = jnp.einsum("ckj,cj->ck", sel1, pw2, precision=hi)
+    pad8 = (-l_pre) % 8
+    slab = _shift_realign(rw, o1, l_pre + pad8)[:, :l_pre]
+    pw_p = _shift_realign(pw2, o1, l_pre + pad8)[:, :l_pre]
     sync_w = (slab @ w_band) / cfg.sync_divisor          # [C, l_pre]
     parng = jnp.arange(l_pre, dtype=jnp.int32)[None, :]
     pos_valid = cursor[:, None] + parng < t
@@ -204,14 +234,23 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
 
     # warmup substitution: the warm band starts at window offset
     # cursor - base_w <= 511 (base_w >= i0-511 >= cursor-511), so only
-    # the first l_pre + 512 window columns can ever be warm
+    # the first l_pre + 512 window columns can ever be warm.  The
+    # realign sw_sub[j] = sync_w[j - sh] runs through _shift_realign
+    # on a 512-offset source (s = 512 - sh >= 1 whenever the band
+    # touches the window; out-of-range shifts -> zeros, and in_warm is
+    # False exactly there)
     wsub = l_pre + _R
-    jw = jnp.arange(wsub, dtype=jnp.int32)[None, :, None]
-    kw = jnp.arange(l_pre, dtype=jnp.int32)[None, None, :]
-    sel2 = (jw == kw + (cursor - base_w)[:, None, None]).astype(jnp.float32)
-    sw_sub = jnp.einsum("cjk,ck->cj", sel2, sync_w, precision=hi)
-    okw_sub = jnp.einsum("cjk,ck->cj", sel2, ok_w.astype(jnp.float32),
-                         precision=hi) > 0.5
+    l2 = 3008                   # covers j + s for every in-use shift
+    zpad = jnp.zeros((c1, _R), jnp.float32)
+    src_s = jnp.concatenate(
+        [zpad, sync_w, jnp.zeros((c1, l2 - _R - l_pre), jnp.float32)],
+        axis=-1)
+    src_o = jnp.concatenate(
+        [zpad, ok_w.astype(jnp.float32),
+         jnp.zeros((c1, l2 - _R - l_pre), jnp.float32)], axis=-1)
+    s2 = _R - (cursor - base_w)
+    sw_sub = _shift_realign(src_s, s2, wsub)
+    okw_sub = _shift_realign(src_o, s2, wsub) > 0.5
     in_warm = ((idx[:, :wsub] >= cursor[:, None])
                & (idx[:, :wsub] < cursor[:, None] + l_pre))
     sp_full = jnp.concatenate(
