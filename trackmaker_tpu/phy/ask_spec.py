@@ -114,37 +114,11 @@ def dense_fire_candidates(cfg: AskConfig, sync: jax.Array,
 _R = 512  # fetch-row width for aligned window gathers
 
 
-def _shift_realign(src, s, out_len: int):
-    """``out[c, k] = src[c, k + s[c]]`` exactly, materializing only a
-    small one-hot.
-
-    A direct one-hot [C, out_len, L] costs GB of HBM traffic at these
-    shapes (measured: the sel materialization dominated phase B).
-    Decompose ``s = 8a + b``: the lane part ``b`` is an 8-way select of
-    static shifts (exact — no arithmetic on the values), and the row
-    part ``a`` is a one-hot row matmul over 8-element rows — 64x fewer
-    one-hot elements, still exactly one 1.0 per output row (exact at
-    HIGHEST precision).  Out-of-range shifts (including the huge
-    sentinel cursors) produce an all-zero one-hot -> zeros out.
-    Requires ``out_len % 8 == 0`` and ``src.shape[-1] % 8 == 0``."""
-    c1, l = src.shape
-    assert out_len % 8 == 0 and l % 8 == 0
-    b = jnp.mod(s, 8)
-    a = jnp.floor_divide(s, 8)
-    acc = jnp.zeros_like(src)
-    for i in range(8):
-        sh_i = jnp.concatenate(
-            [src[:, i:], jnp.zeros((c1, i), src.dtype)], axis=-1)
-        acc = jnp.where((b == i)[:, None], sh_i, acc)
-    rows = l // 8
-    out_rows = out_len // 8
-    src8 = acc.reshape(c1, rows, 8)
-    ri = jnp.arange(out_rows, dtype=jnp.int32)[None, :, None]
-    rj = jnp.arange(rows, dtype=jnp.int32)[None, None, :]
-    sel = (rj == ri + a[:, None, None]).astype(src.dtype)
-    return jnp.einsum("crk,ckj->crj", sel, src8,
-                      precision=jax.lax.Precision.HIGHEST
-                      ).reshape(c1, out_len)
+# out[c, k] = src[c, k + s[c]] exactly, with only a small one-hot
+# materialized (8-way static-shift select + one-hot row matmul —
+# core/realign.py; out-of-range shifts incl. the sentinel cursors
+# yield zeros, exactly where the consumers mask)
+from trackmaker_tpu.core.realign import shift_realign as _shift_realign  # noqa: E402
 
 
 def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
