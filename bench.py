@@ -269,7 +269,10 @@ def bench_ask(rng):
     for b in range(batch):
         if not np.array_equal(bits[b][ok[b]], frames[:, 8:]):
             return 0.0, None, f"ask payload gate failed at b={b}"
-    ts = _measure(fn, x, iters=_iters_for(50))
+    # ~6.5 ms/iter after the gather-free receiver: 100 in-program
+    # iters ≈ 0.65 s per repeat, so a 40 ms degraded-window RTT is
+    # <0.7% bias (at iters=50 it showed up as -15% on this row)
+    ts = _measure(fn, x, iters=_iters_for(100))
     xmed, stats = _row(ts, batch * t)
     return xmed, stats, None
 

@@ -89,26 +89,49 @@ def dense_fire_candidates(cfg: AskConfig, sync: jax.Array,
         swin = jnp.maximum(suf[:t + 1], pre[w - 1: t + w])
         fwd_max = swin[1: t + 1]
         return upd_ok & (masked[:t] >= fwd_max)
-    nb = (t + w) // bsz + 2
+    if w > 2 * bsz:                              # exotic config: 1-D form
+        nb = (t + w) // bsz + 2
+        mp = jnp.pad(masked, (0, nb * bsz - t), constant_values=-jnp.inf)
+        blocks = mp.reshape(nb, bsz)
+        pre = jax.lax.cummax(blocks, axis=1).reshape(-1)
+        suf = jnp.flip(jax.lax.cummax(jnp.flip(blocks, 1), axis=1),
+                       1).reshape(-1)
+        bm = jnp.max(blocks, axis=1)
+        rep_bm = jnp.repeat(bm, bsz)
+        n = t + 1
+        off = jnp.arange(n, dtype=jnp.int32) % bsz
+        swin = jnp.maximum(suf[:n], pre[w - 1: w - 1 + n])
+        n_mid = (w - 2) // bsz
+        for mi in range(n_mid):
+            mid = rep_bm[(mi + 1) * bsz: (mi + 1) * bsz + n]
+            swin = jnp.maximum(
+                swin,
+                jnp.where(off >= (mi + 2) * bsz - w + 1, mid, -jnp.inf))
+        fwd_max = swin[1: t + 1]
+        return upd_ok & (masked[:t] >= fwd_max)
+    # fully 2-D form, no misaligned 1-D slices (each one relayouts the
+    # whole array): for position i = q*B + r the window is (i, i+w],
+    # and with B < w <= 2B every term is a static row/lane split:
+    #   suffix of i+1's block:  r<B-1 -> suf2[q, r+1];  r=B-1 -> suf2[q+1, 0]
+    #   prefix at i+w:          r<2B-w -> pre2[q+1, r+w-B]; else pre2[q+2, r+w-2B]
+    #   middle block max:       bm[q+1], exactly when r in [2B-w, B-1)
+    nb = (t + w) // bsz + 4
     mp = jnp.pad(masked, (0, nb * bsz - t), constant_values=-jnp.inf)
     blocks = mp.reshape(nb, bsz)
-    pre = jax.lax.cummax(blocks, axis=1).reshape(-1)
-    suf = jnp.flip(jax.lax.cummax(jnp.flip(blocks, 1), axis=1),
-                   1).reshape(-1)
+    pre2 = jax.lax.cummax(blocks, axis=1)
+    suf2 = jnp.flip(jax.lax.cummax(jnp.flip(blocks, 1), axis=1), 1)
     bm = jnp.max(blocks, axis=1)
-    rep_bm = jnp.repeat(bm, bsz)
-    # swin[i] = max over [i, i+w-1], i in [0, t]: suffix of i's block,
-    # the fully-covered middle blocks, prefix of the end block
-    n = t + 1
-    off = jnp.arange(n, dtype=jnp.int32) % bsz
-    swin = jnp.maximum(suf[:n], pre[w - 1: w - 1 + n])
-    n_mid = (w - 2) // bsz                       # static; 1 for w=201
-    for mi in range(n_mid):
-        mid = rep_bm[(mi + 1) * bsz: (mi + 1) * bsz + n]
-        swin = jnp.maximum(
-            swin, jnp.where(off >= (mi + 2) * bsz - w + 1, mid, -jnp.inf))
-    fwd_max = swin[1: t + 1]
-    return upd_ok & (masked[:t] >= fwd_max)
+    nq = nb - 2                                   # rows covering [0, t)
+    split = 2 * bsz - w                           # 55 for w=201
+    t1 = jnp.concatenate([suf2[:nq, 1:], suf2[1:nq + 1, :1]], axis=1)
+    t2 = jnp.concatenate([pre2[1:nq + 1, w - bsz:],
+                          pre2[2:nq + 2, :w - bsz]], axis=1)
+    lane = jnp.arange(bsz, dtype=jnp.int32)[None, :]
+    t3 = jnp.where((lane >= split) & (lane < bsz - 1),
+                   bm[1:nq + 1][:, None], -jnp.inf)
+    fwd2 = jnp.maximum(jnp.maximum(t1, t2), t3)
+    hit2 = blocks[:nq] >= fwd2
+    return upd_ok & hit2.reshape(-1)[:t]
 
 
 _R = 512  # fetch-row width for aligned window gathers
