@@ -34,7 +34,10 @@ def shift_realign(src: jax.Array, s: jax.Array, out_len: int) -> jax.Array:
     c1, l = src.shape
     assert out_len % 8 == 0 and l % 8 == 0
     b = jnp.mod(s, 8)
-    a = jnp.floor_divide(s, 8)
+    # a negative s in (-8, 0) would otherwise wrap its lane part (mod)
+    # while the row part shifts by just one row, leaking src values —
+    # force every negative shift to an all-zero one-hot
+    a = jnp.where(s >= 0, jnp.floor_divide(s, 8), jnp.int32(-(2 ** 30)))
     acc = jnp.zeros_like(src)
     for i in range(8):
         sh_i = jnp.concatenate(
