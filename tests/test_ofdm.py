@@ -82,3 +82,63 @@ def test_find_preambles_positions():
     starts = starts[starts >= 0]
     assert len(starts) == 2
     assert abs(int(starts[0]) - 0) <= 2
+
+
+def _find_preambles_scalar_ref(cfg, rx, max_frames):
+    """The pre-round-3 refine form: dynamic_slice window per scan step.
+
+    Kept as the spec for the aligned-row masked-argmax refine in
+    `find_preambles` (the production form avoids the per-element
+    gathers the traced-start slice lowers to under vmap — CLAUDE.md)."""
+    from trackmaker_tpu import sync as sync_mod
+    from trackmaker_tpu.core import blockq
+    from trackmaker_tpu.dsp.osc import chirp_cached
+
+    pre = chirp_cached(cfg.preamble_len, cfg.chirp_lo_hz, cfg.chirp_hi_hz,
+                       cfg.sample_rate)
+    corr = sync_mod.auto_xcorr(rx, pre)
+    hits = corr >= cfg.sync_threshold
+    tables = blockq.block_tables(hits)
+    w = cfg.preamble_len
+    corr_pad = jnp.pad(corr, (0, w))
+
+    def step(carry, _):
+        cursor, done = carry
+        first, has = blockq.first_set_from(tables, cursor)
+        first = jnp.where(has, first, 0)
+        win = jax.lax.dynamic_slice(corr_pad, (first,), (w,))
+        peak = first + jnp.argmax(win)
+        new_cursor = peak + cfg.preamble_len
+        out = jnp.where(has & ~done, peak, -1)
+        return (jnp.where(has, new_cursor, cursor), done | ~has), out
+
+    zero = (rx[0] * 0).astype(jnp.int32)
+    (_, _), starts = jax.lax.scan(step, (zero, zero > 0), None,
+                                  length=max_frames, unroll=1)
+    return starts
+
+
+def test_find_preambles_matches_scalar_reference():
+    """The aligned-row refine must be position-exact (incl. argmax tie
+    order) vs the scalar dynamic_slice form, on real captures and on
+    pure noise (no/at-end/dense hits)."""
+    cfg = OfdmConfig()
+    modem = OfdmModem(cfg)
+    for seed in (0, 1):
+        r = np.random.default_rng(seed)
+        frames = [Frame.new_data(i, 1, 2, r.integers(
+            0, 256, 48, dtype=np.uint8).tobytes()) for i in range(6)]
+        wave = modem.encode_frames(frames,
+                                   gap_samples=int(r.integers(0, 900)))
+        x = jnp.asarray(
+            (wave + r.normal(0, 0.02, len(wave))).astype(np.float32))
+        a = np.asarray(find_preambles(cfg, x, 8))
+        b = np.asarray(_find_preambles_scalar_ref(cfg, x, 8))
+        assert np.array_equal(a, b), (seed, a, b)
+    for seed in (2, 3):
+        r = np.random.default_rng(seed)
+        x = jnp.asarray(r.normal(0, 0.4, int(r.integers(2000, 30000))
+                                 ).astype(np.float32))
+        a = np.asarray(find_preambles(cfg, x, 8))
+        b = np.asarray(_find_preambles_scalar_ref(cfg, x, 8))
+        assert np.array_equal(a, b), (seed, a, b)

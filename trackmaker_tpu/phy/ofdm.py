@@ -207,15 +207,28 @@ def find_preambles(cfg: OfdmConfig, rx: jax.Array,
     # is O(T) x max_frames); each block query touches one 512-lane row
     tables = blockq.block_tables(hits)
     w = cfg.preamble_len
-    corr_pad = jnp.pad(corr, (0, w))
+    # Refine via aligned-row fetch + masked argmax: the previous
+    # dynamic_slice(corr_pad, (first,), (w,)) with a traced start
+    # lowers (under the callers' vmap) to per-element gathers at
+    # ~2-21 ns/element (CLAUDE.md), i.e. ~0.45M gathered elements per
+    # batch-32 call; whole 512-lane row-gathers are ~free.  Masking
+    # lanes to [off, off+w) keeps both the values and argmax's
+    # first-tie order, so the refined peak is exactly unchanged.
+    r_ = 512
+    n_need = (w + r_ - 1) // r_ + 1         # rows covering any offset
+    nrows = -(-(t + w) // r_) + n_need
+    rows = jnp.pad(corr, (0, nrows * r_ - t)).reshape(nrows, r_)
+    lane = jnp.arange(n_need * r_, dtype=jnp.int32)
 
     def step(carry, _):
         cursor, done = carry
         first, has = blockq.first_set_from(tables, cursor)
         first = jnp.where(has, first, 0)   # same slice as argmax-of-none
         # refine: argmax of corr within one preamble of the crossing
-        win = jax.lax.dynamic_slice(corr_pad, (first,), (w,))
-        peak = first + jnp.argmax(win)
+        jb, off = first // r_, first % r_
+        win = jnp.concatenate([rows[jb + i] for i in range(n_need)])
+        ok = (lane >= off) & (lane < off + w)
+        peak = jb * r_ + jnp.argmax(jnp.where(ok, win, -jnp.inf))
         start = peak
         new_cursor = peak + cfg.preamble_len
         out = jnp.where(has & ~done, start, -1)
