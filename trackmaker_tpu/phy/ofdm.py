@@ -137,21 +137,69 @@ def modulate_bits(cfg: OfdmConfig, bits: jax.Array,
     return jnp.concatenate([pre, guard, body], axis=-1)
 
 
+def _windows_spectrum(cfg: OfdmConfig, rx: jax.Array, starts: jax.Array,
+                      n_sym: int) -> jax.Array:
+    """FFT spectra of the pilot + data symbol bodies at each start:
+    f32[T], int32[B] -> complex64[B, 1+n_sym, n_bins].
+
+    Gather-free windowing: the old per-frame
+    ``dynamic_slice(pad, (start + body_off,), (total,))`` with traced
+    starts lowers (under the callers' vmap) to per-element gathers —
+    ~3.3M gathered elements for the batch-32 bench row, measured as
+    1.7 of the 2.65 ms demod stage (tools/prof_ofdm.py; an exact
+    shift_realign replacement still cost ~1 ms in one-hot/select
+    traffic).  Instead the receiver applies the standard OFDM timing
+    back-off: every symbol's FFT window within one frame shares the
+    same offset mod 128 (``sym_len`` is a multiple of 128), so
+    fetching each window at the 128-aligned position — delta in
+    [0, 128) samples EARLY, i.e. inside that symbol's cyclic prefix,
+    never crossing into the previous symbol since delta < cp_len —
+    keeps the fetch to two ~free 512-aligned row-gathers plus a 4-way
+    lane-aligned static select.  The back-off multiplies every bin of
+    pilot and data symbols of a frame by the same phase ramp
+    exp(-2i pi k delta / n_fft), which the per-frame one-tap pilot
+    equalizer cancels exactly; magnitudes are untouched.  In AWGN the
+    statistics are identical, and under multipath the back-off adds
+    tolerance to late echoes (the usual reason receivers do this).
+    test_ofdm.py::test_demodulate_windows_match_slices pins the fetch
+    against dynamic slices at the same back-off positions."""
+    assert cfg.cp_len >= 128 and cfg.sym_len % 128 == 0, (
+        "timing back-off needs >=128 CP and 128-aligned symbol stride")
+    body_off = cfg.preamble_len + cfg.guard_samples
+    nst = 1 + n_sym
+    b = starts.shape[0]
+    t = rx.shape[-1]
+    r_ = 512
+    hi = t + body_off + nst * cfg.sym_len + 2 * r_
+    nrows = -(-hi // r_)
+    rows = jnp.pad(rx.astype(jnp.float32),
+                   (0, nrows * r_ - t)).reshape(nrows, r_)
+    o = starts.astype(jnp.int32) + body_off
+    wpos = (o[:, None] + jnp.arange(nst, dtype=jnp.int32)[None, :]
+            * cfg.sym_len + cfg.cp_len).reshape(-1)     # [B*nst]
+    aligned = (wpos // 128) * 128                       # back-off into CP
+    jb, c4 = aligned // r_, (aligned % r_) // 128
+    n_need = (cfg.n_fft + r_ - 1) // r_ + 1
+    src = rows[jb[:, None] + jnp.arange(n_need, dtype=jnp.int32)[None, :]]
+    src = src.reshape(-1, n_need * r_)
+    body = src[:, :cfg.n_fft]
+    for i in range(1, 4):                               # 128-aligned slices
+        body = jnp.where((c4 == i)[:, None],
+                         src[:, 128 * i: 128 * i + cfg.n_fft], body)
+    spec = jnp.fft.rfft(body, n=cfg.n_fft, axis=-1)
+    return spec[..., cfg.bin_lo:cfg.bin_hi].reshape(b, nst, cfg.n_bins)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def demodulate_soft_at(cfg: OfdmConfig, rx: jax.Array, n_bits: int,
                        starts: jax.Array) -> jax.Array:
     """Soft bit metrics in [-1, 1] (positive = bit 1) for frames whose
     preambles start at `starts` — feeds the soft-decision Viterbi."""
     n_sym = cfg.n_symbols(n_bits)
-    total = (1 + n_sym) * cfg.sym_len
-    body_off = cfg.preamble_len + cfg.guard_samples
-    pad = jnp.concatenate([rx.astype(jnp.float32),
-                           jnp.zeros(total + body_off + 8, jnp.float32)])
+    all_spec = _windows_spectrum(cfg, rx, jnp.asarray(starts, jnp.int32),
+                                 n_sym)
 
-    def one(start):
-        seg = jax.lax.dynamic_slice(pad, (start + body_off,), (total,))
-        syms = seg.reshape(1 + n_sym, cfg.sym_len)
-        spec = _time_to_spectrum(cfg, syms)
+    def one(spec):
         pilot_rx = spec[0]
         h = pilot_rx * jnp.conj(jnp.asarray(_pilot_symbols(cfg)))
         h = jnp.where(jnp.abs(h) < 1e-12, 1.0 + 0j, h)
@@ -162,7 +210,7 @@ def demodulate_soft_at(cfg: OfdmConfig, rx: jax.Array, n_bits: int,
         soft = jnp.stack([-eqf.imag, -eqf.real], axis=-1).reshape(-1)
         return jnp.clip(soft * np.sqrt(2.0), -1.0, 1.0)[:n_bits]
 
-    return jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+    return jax.vmap(one)(all_spec)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -172,15 +220,10 @@ def demodulate_at(cfg: OfdmConfig, rx: jax.Array, n_bits: int,
     rx[T] -> uint8[B, n_bits].  Equalizes each bin by the pilot estimate
     (one complex tap), so flat-ish channel gain/phase/echo is absorbed."""
     n_sym = cfg.n_symbols(n_bits)
-    total = (1 + n_sym) * cfg.sym_len
-    body_off = cfg.preamble_len + cfg.guard_samples
-    pad = jnp.concatenate([rx.astype(jnp.float32),
-                           jnp.zeros(total + body_off + 8, jnp.float32)])
+    all_spec = _windows_spectrum(cfg, rx, jnp.asarray(starts, jnp.int32),
+                                 n_sym)
 
-    def one(start):
-        seg = jax.lax.dynamic_slice(pad, (start + body_off,), (total,))
-        syms = seg.reshape(1 + n_sym, cfg.sym_len)
-        spec = _time_to_spectrum(cfg, syms)           # (1+n_sym, n_bins)
+    def one(spec):
         pilot_rx = spec[0]
         h = pilot_rx * jnp.conj(jnp.asarray(_pilot_symbols(cfg)))
         h = jnp.where(jnp.abs(h) < 1e-12, 1.0 + 0j, h)
@@ -188,7 +231,7 @@ def demodulate_at(cfg: OfdmConfig, rx: jax.Array, n_bits: int,
         bits = _qpsk_to_bits(eq.reshape(-1))
         return bits[:n_bits]
 
-    return jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+    return jax.vmap(one)(all_spec)
 
 
 def find_preambles(cfg: OfdmConfig, rx: jax.Array,
