@@ -40,6 +40,46 @@ import pytest  # noqa: E402
 
 _mods_seen: set[str] = set()
 
+_counts = {"passed": 0, "failed": 0, "skipped": 0, "errors": 0}
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call":
+        if report.passed:
+            _counts["passed"] += 1
+        elif report.failed:
+            _counts["failed"] += 1
+        elif report.skipped:
+            _counts["skipped"] += 1
+    elif report.failed:  # setup/teardown error
+        _counts["errors"] += 1
+    elif report.skipped and report.when == "setup":
+        _counts["skipped"] += 1
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Write a self-proving run summary BEFORE interpreter teardown.
+
+    This environment's exit-time crash family (stale XLA:CPU AOT cache /
+    TPU-plugin teardown — CLAUDE.md) can kill the process after the last
+    test but before pytest's terminal summary flushes, leaving a run
+    with every dot green but no "N passed" line.  This hook runs inside
+    the session, so `TESTS_LAST_RUN.json` survives the crash and is the
+    suite's citable artifact (VERDICT r3 item 8)."""
+    import json
+    import time
+
+    out = dict(_counts)
+    out["exitstatus"] = int(getattr(exitstatus, "value", exitstatus))
+    out["when"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "TESTS_LAST_RUN.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+        f.flush()
+        os.fsync(f.fileno())
+
 
 @pytest.fixture(autouse=True)
 def _clear_jax_caches_per_module(request):

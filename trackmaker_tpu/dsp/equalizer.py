@@ -187,11 +187,18 @@ def equalize_capture(cfg: PhyConfig, rx: jax.Array,
                      anchor=anchor)
 
 
-def decode_capture_eq(cfg: PhyConfig, samples, local_addr, **kw):
-    """Equalize, then decode with the stock (oracle-parity) decoder."""
-    from trackmaker_tpu.phy.decoder import decode_capture
+def decode_capture_eq(cfg: PhyConfig, samples, local_addr,
+                      max_frames: int = 64):
+    """Equalize, then decode on the fastest sound path.
+
+    The equalizer is a pure FIR front-end, so it composes with
+    :func:`trackmaker_tpu.phy.decoder.decode_capture_fast` — the Pallas
+    speculative decoder on TPU (~4x the exact scan; exact re-decode on
+    overflow/nonconformance), the oracle-parity scan on CPU.  Results
+    equal the exact path up to slot compaction."""
+    from trackmaker_tpu.phy.decoder import decode_capture_fast
     eq, _info = equalize_capture(cfg, jnp.asarray(samples, jnp.float32))
-    return decode_capture(cfg, eq, local_addr, **kw)
+    return decode_capture_fast(cfg, eq, local_addr, max_frames=max_frames)
 
 
 # ---------------------------------------------------------------------------
@@ -248,12 +255,17 @@ def _mmse_taps_np(h: np.ndarray, lam: float) -> np.ndarray:
     return g_full[lags].astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_frames"))
+_apply_fir_jit = jax.jit(_apply_fir)
+
+
 def _apply_taps_decode(cfg: PhyConfig, rx: jax.Array, g_t: jax.Array,
                        local_addr, max_frames: int):
-    from trackmaker_tpu.phy.decoder import decode_capture
-    return decode_capture(cfg, _apply_fir(rx, g_t), local_addr,
-                          max_frames=max_frames)
+    """Apply refit taps, then decode on the fastest sound path (the
+    speculative Pallas decoder on TPU — it multiplies through every
+    decision-directed iteration, VERDICT r3 item 5)."""
+    from trackmaker_tpu.phy.decoder import decode_capture_fast
+    return decode_capture_fast(cfg, _apply_fir_jit(rx, g_t), local_addr,
+                               max_frames=max_frames)
 
 
 def decode_capture_dd(cfg: PhyConfig, samples, local_addr,
