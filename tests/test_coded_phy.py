@@ -271,3 +271,49 @@ def test_coded_4b5b_corrects_what_uncoded_loses():
                       for f in got))
     assert ok_c == len(frames), (ok_c, len(frames))
     assert ok_u < len(frames), ok_u
+
+
+@pytest.mark.parametrize("kind,rate34", [
+    ("manchester", False), ("manchester", True),
+    ("fourb5b", False), ("fourb5b", True)])
+def test_batched_decode_matches_streaming(kind, rate34):
+    """The batched TPU decode (batched_decode_fn: pattern sync + soft
+    demod + Viterbi, one fixed-shape program) must recover exactly the
+    frames the streaming `process_samples` facade does, on noisy
+    multi-frame captures with random lead-in."""
+    from trackmaker_tpu.core.config import FOUR_B_FIVE_B
+    from trackmaker_tpu.phy.coded import CodedFourB5BPhy
+
+    if kind == "manchester":
+        phy = CodedManchesterPhy(CFG, local_addr=2, rate34=rate34)
+    else:
+        phy = CodedFourB5BPhy(
+            PhyConfig(line_coding=FOUR_B_FIVE_B,
+                      correlation_threshold=0.45),
+            local_addr=2, rate34=rate34)
+    rng = np.random.default_rng(11)
+    n, plen = 5, 48
+    frames = [Frame.new_data(i, 1, 2,
+                             rng.integers(0, 256, plen,
+                                          dtype=np.uint8).tobytes())
+              for i in range(n)]
+    caps = []
+    want = []
+    for b in range(2):
+        wave = phy.encode_frames(frames, gap_samples=257 + 31 * b)
+        lead = int(rng.integers(0, 300))
+        x = np.concatenate([np.zeros(lead, np.float32), wave,
+                            np.zeros(400, np.float32)])
+        x = (x + rng.normal(0, 0.12, len(x))).astype(np.float32)
+        caps.append(x)
+        phy.reset()
+        want.append([(f.sequence, f.data) for f in
+                     phy.process_samples(x)])
+        assert len(want[-1]) == n     # stream decode itself must work
+    t = max(len(c) for c in caps)
+    batch = np.zeros((2, t), np.float32)
+    for b, c in enumerate(caps):
+        batch[b, :len(c)] = c
+    got = phy.decode_equal_frames(batch, n + 2, plen)
+    for b in range(2):
+        assert [(f.sequence, f.data) for f in got[b]] == want[b]

@@ -123,9 +123,10 @@ def _find_preambles_scalar_ref(cfg, rx, max_frames):
 
 
 def test_demodulate_windows_match_slices():
-    """The gather-free windowed spectrum (aligned 2-row fetch + 4-way
-    128-lane select) must be bit-exact vs dynamic slices taken at the
-    same timing-back-off positions, including at -1 sentinel starts."""
+    """The gather-free windowed spectrum (aligned 2-row fetch +
+    hierarchical 4x4 lane-shifted select) must be bit-exact vs dynamic
+    slices taken at the same 32-step timing-back-off positions,
+    including at -1 sentinel starts."""
     from trackmaker_tpu.phy.ofdm import _windows_spectrum
 
     cfg = OfdmConfig()
@@ -141,7 +142,7 @@ def test_demodulate_windows_match_slices():
         def one(start):
             def sym(k):
                 wpos = start + body_off + k * cfg.sym_len + cfg.cp_len
-                aligned = (wpos // 128) * 128     # the CP back-off
+                aligned = (wpos // 32) * 32       # the CP back-off
                 return jax.lax.dynamic_slice(pad, (aligned,),
                                              (cfg.n_fft,))
             bodies = jnp.stack([sym(k) for k in range(nst)])
@@ -164,8 +165,78 @@ def test_demodulate_windows_match_slices():
         assert np.array_equal(a, b), (seed, np.abs(a - b).max())
 
 
+def test_ofdm_multipath_echo():
+    """Late-echo guard of the 32-step back-off: with sync locked on
+    the first arrival, a window backed off delta < 32 samples into the
+    CP still tolerates echo delay up to cp_len - 31 = 97 samples.  The
+    round-3 128-step back-off left a 1-sample worst case — an echo at
+    delay 60 flipped bits whenever the frame arrived at the wrong
+    phase mod 128 (ADVICE r3, medium).  Sweep lead-ins so the window
+    offset covers all residues; every decode must be exact."""
+    modem = OfdmModem()
+    frames = [Frame.new_data(i, 1, 2, bytes([40 + i]) * 64)
+              for i in range(3)]
+    taps = np.zeros(61, np.float32)
+    taps[0] = 1.0
+    taps[60] = 0.45                      # echo 60 samples late
+    r = np.random.default_rng(9)
+    for lead in (0, 1, 37, 64, 96, 127):
+        wave = modem.encode_frames(frames, gap_samples=517)
+        x = np.concatenate([np.zeros(lead, np.float32), wave])
+        ech = np.asarray(channel.multipath(jnp.asarray(x),
+                                           jnp.asarray(taps)))
+        ech = (ech + r.normal(0, 0.01, len(ech))).astype(np.float32)
+        got = [f.data for f in modem.decode(ech, 7 + 64, max_frames=3)]
+        assert got == [f.data for f in frames], (lead, len(got))
+
+
+def test_unaligned_config_fallback():
+    """Configs failing the back-off preconditions (cp_len < 32 or
+    sym_len % 32 != 0) must still decode exactly via the dynamic-slice
+    fallback (ADVICE r3: the round-3 assert made cp_len=24 raise)."""
+    cfg = OfdmConfig(cp_len=24)
+    modem = OfdmModem(cfg)
+    frames = [Frame.new_data(i, 1, 2, bytes([7 + i]) * 48)
+              for i in range(3)]
+    wave = modem.encode_frames(frames, gap_samples=400)
+    r = np.random.default_rng(3)
+    x = (np.concatenate([np.zeros(11, np.float32), wave])
+         + r.normal(0, 0.01, len(wave) + 11)).astype(np.float32)
+    got = [f.data for f in modem.decode(x, 7 + 48, max_frames=3)]
+    assert got == [f.data for f in frames]
+
+
+def test_ber_threshold_near_cliff():
+    """Statistical sensitivity pin at 17 dB (below the 22 dB
+    exact-match test): the raw QPSK BER across seeds must stay under
+    2e-3.  A future receiver regression below 22 dB moves this by
+    orders of magnitude long before the exact-match test notices
+    (ADVICE r3, low)."""
+    from trackmaker_tpu.core import bitops
+    from trackmaker_tpu.phy.ofdm import demodulate_at, modulate_bits
+
+    cfg = OfdmConfig()
+    modem = OfdmModem(cfg)
+    frames = [Frame.new_data(i, 1, 2, bytes([i]) * 96) for i in range(6)]
+    tx_bits = np.stack([bitops.bytes_to_bits_host(f.to_bytes())
+                        for f in frames])
+    n_bits = tx_bits.shape[-1]
+    wave = modem.encode_frames(frames, gap_samples=500)
+    errs = tot = 0
+    for seed in range(6):
+        key = jax.random.PRNGKey(100 + seed)
+        noisy = np.asarray(channel.awgn(key, jnp.asarray(wave) * 0.7,
+                                        snr_db=17.0))
+        starts = find_preambles(cfg, jnp.asarray(noisy), 6)
+        bits = np.asarray(demodulate_at(cfg, jnp.asarray(noisy), n_bits,
+                                        starts))
+        errs += int((bits != tx_bits).sum())
+        tot += bits.size
+    assert tot > 0 and errs / tot < 2e-3, (errs, tot)
+
+
 def test_demodulate_backoff_phase_is_absorbed():
-    """The 128-sample timing back-off rides a phase ramp into every
+    """The 32-step timing back-off rides a phase ramp into every
     bin; the pilot equalizer must cancel it: demodulated payload bits
     stay exact on clean and noisy captures at misaligned starts."""
     cfg = OfdmConfig()

@@ -46,3 +46,30 @@ def test_kernel_detects_preamble_peak():
     assert corr[1000] > 0.999
     # low-energy clamp: silence regions are exactly 0
     assert corr[:100].max() == 0.0
+
+
+def test_batched_hits_match_vmapped():
+    """The batch-folded (bc, lag-tile) 2-D-grid hits kernel must be
+    row-for-row identical to the vmapped 1-capture kernel — positions,
+    counts, and bitcast correlation values — including at batch sizes
+    that need capture padding (b % bc != 0)."""
+    from trackmaker_tpu.sync.pallas_xcorr import (
+        pallas_xcorr_hits, pallas_xcorr_hits_batched)
+    import jax
+
+    cfg = PhyConfig()
+    pre = preamble_waveform(cfg)
+    rng = np.random.default_rng(2)
+    t, b = 40_000, 5
+    x = rng.normal(0, 0.3, (b, t)).astype(np.float32)
+    for row in range(b):                    # plant real preambles
+        for p in (1000 + 531 * row, 17000 + 113 * row, t - len(pre) - 7):
+            x[row, p:p + len(pre)] += pre
+    xj = jnp.asarray(x)
+    _, want = jax.vmap(lambda s: pallas_xcorr_hits(
+        s, pre, cfg.correlation_threshold, blk=8192,
+        interpret=True, emit_corr=False))(xj)
+    got = pallas_xcorr_hits_batched(
+        xj, pre, cfg.correlation_threshold, blk=8192, bc=4,
+        interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))

@@ -153,6 +153,91 @@ class _CodedPhyBase:
         block starting at sample `start` (static max size)."""
         raise NotImplementedError
 
+    def _soft_kept_traced(self, padded: jax.Array, n_kept_max: int,
+                          start: jax.Array) -> jax.Array:
+        """Traceable form of :meth:`_soft_kept` (jnp in, jnp out) for
+        the batched decoder; `start` may be a traced scalar."""
+        raise NotImplementedError
+
+    # -- batched TPU decode (equal-length frames) ------------------------
+
+    def batched_decode_fn(self, n_frames: int, payload_len: int):
+        """Build a jittable ``x[B, T] -> (starts[B, F], bits[B, F,
+        56 + 8*payload_len])`` batch decoder for equal-length coded
+        frames: pattern sync (block-bitmap crossings + masked-argmax
+        refine), soft demod per block, deinterleave (static inverse
+        permutation), [depuncture,] and the vectorized-ACS Viterbi —
+        one fixed-shape program, vmapped over captures and frames.
+        This is the TPU path the bench's coded rows measure (VERDICT
+        r3 item 2); the streaming `process_samples` facade stays the
+        MAC-side spec (tests pin the two against each other)."""
+        from trackmaker_tpu.sync import find_pattern_starts
+
+        cfg = self.cfg
+        kept_h, kept_p = self.hdr_kept, self._kept_payload(payload_len)
+        hdr_wire = self._wire_samples(kept_h)
+        pay_wire = self._wire_samples(kept_p)
+        pay_coded = self._payload_coded(payload_len)
+        n_pay_bits = 8 * payload_len
+        inv_h = np.argsort(block_interleaver(kept_h))
+        inv_p = np.argsort(block_interleaver(kept_p))
+        pre_np = np.asarray(self.pre)
+        tail = (self.preamble_len + hdr_wire + pay_wire
+                + 16 * cfg.samples_per_level + 64)
+
+        def decode_block(soft, inv, n_coded, n_bits):
+            deint = soft[..., jnp.asarray(inv)]
+            if self.rate34:
+                deint = depuncture_34(deint, n_coded)
+            return viterbi_decode(deint, n_bits, soft=True)
+
+        frame_len = self.frame_samples(payload_len)
+
+        def one(rx):
+            starts = find_pattern_starts(
+                rx, pre_np, cfg.correlation_threshold, n_frames,
+                min_sep=frame_len)
+            pad = jnp.concatenate(
+                [rx.astype(jnp.float32), jnp.zeros(tail, jnp.float32)])
+            body = jnp.maximum(starts, 0) + self.preamble_len
+
+            def frame(b):
+                sh = self._soft_kept_traced(pad, kept_h, b)
+                hdr = decode_block(sh[:kept_h], inv_h,
+                                   self.HDR_CODED, self.HDR_BITS)
+                sp = self._soft_kept_traced(pad, kept_p, b + hdr_wire)
+                pay = decode_block(sp[:kept_p], inv_p,
+                                   pay_coded, n_pay_bits)
+                return jnp.concatenate([hdr, pay])
+
+            return starts, jax.vmap(frame)(body)
+
+        return jax.jit(jax.vmap(one))
+
+    def decode_equal_frames(self, caps: np.ndarray, n_frames: int,
+                            payload_len: int) -> list[list[Frame]]:
+        """Host facade over :meth:`batched_decode_fn`: decode a batch
+        of captures each holding `n_frames` equal-length frames;
+        returns per-capture CRC-valid Frame lists."""
+        fn = self.batched_decode_fn(n_frames, payload_len)
+        starts, bits = fn(jnp.asarray(caps, jnp.float32))
+        starts, bits = np.asarray(starts), np.asarray(bits)
+        out: list[list[Frame]] = []
+        for b in range(bits.shape[0]):
+            row = []
+            for k in range(bits.shape[1]):
+                if starts[b, k] < 0:
+                    continue
+                f = Frame.from_bits(bits[b, k])
+                if f is None:
+                    continue
+                if (self.local_addr is not None
+                        and f.dst != self.local_addr):
+                    continue
+                row.append(f)
+            out.append(row)
+        return out
+
     # -- encoder side --------------------------------------------------
 
     def _encode_block(self, bits: np.ndarray) -> np.ndarray:
@@ -291,6 +376,10 @@ class CodedManchesterPhy(_CodedPhyBase):
             self.cfg.samples_per_level, padded, n_kept_max,
             jnp.int32(start)))
 
+    def _soft_kept_traced(self, padded, n_kept_max, start):
+        return _soft_bits(self.cfg.samples_per_level, padded,
+                          n_kept_max, start.astype(jnp.int32))
+
 
 class CodedFourB5BPhy(_CodedPhyBase):
     """Streaming coded 4B5B+NRZI PHY (MAC duck type).
@@ -329,3 +418,8 @@ class CodedFourB5BPhy(_CodedPhyBase):
         return np.asarray(_soft_bits_4b5b(
             self.cfg.samples_per_level, padded, self._n_sym(n_kept_max),
             jnp.int32(start)))
+
+    def _soft_kept_traced(self, padded, n_kept_max, start):
+        return _soft_bits_4b5b(
+            self.cfg.samples_per_level, padded, self._n_sym(n_kept_max),
+            start.astype(jnp.int32))[:n_kept_max]

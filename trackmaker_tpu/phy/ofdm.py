@@ -150,42 +150,74 @@ def _windows_spectrum(cfg: OfdmConfig, rx: jax.Array, starts: jax.Array,
     shift_realign replacement still cost ~1 ms in one-hot/select
     traffic).  Instead the receiver applies the standard OFDM timing
     back-off: every symbol's FFT window within one frame shares the
-    same offset mod 128 (``sym_len`` is a multiple of 128), so
-    fetching each window at the 128-aligned position — delta in
-    [0, 128) samples EARLY, i.e. inside that symbol's cyclic prefix,
-    never crossing into the previous symbol since delta < cp_len —
-    keeps the fetch to two ~free 512-aligned row-gathers plus a 4-way
-    lane-aligned static select.  The back-off multiplies every bin of
-    pilot and data symbols of a frame by the same phase ramp
+    same offset mod 32 (``sym_len`` is a multiple of 32), so fetching
+    each window at the 32-aligned position — delta in [0, 32) samples
+    EARLY, i.e. inside that symbol's cyclic prefix, never crossing
+    into the previous symbol since delta < cp_len — keeps the fetch
+    to two ~free 512-aligned row-gathers plus a hierarchical 4x4
+    static select (two levels of 3 lane-shifted ``where`` passes; a
+    flat 16-way select would pay 15).  The back-off multiplies every
+    bin of pilot and data symbols of a frame by the same phase ramp
     exp(-2i pi k delta / n_fft), which the per-frame one-tap pilot
     equalizer cancels exactly; magnitudes are untouched.  In AWGN the
-    statistics are identical, and under multipath the back-off adds
-    tolerance to late echoes (the usual reason receivers do this).
+    statistics are identical.  Under multipath the back-off COSTS
+    late-echo guard when sync locks the first arrival: a window
+    starting delta early tolerates echo delay cp_len - delta instead
+    of cp_len, which is why the granularity is 32 and not 128 (the
+    round-3 form left a worst case of cp_len - 127 = 1 sample; this
+    one keeps >= cp_len - 31 = 97 at the default cp).
     test_ofdm.py::test_demodulate_windows_match_slices pins the fetch
-    against dynamic slices at the same back-off positions."""
-    assert cfg.cp_len >= 128 and cfg.sym_len % 128 == 0, (
-        "timing back-off needs >=128 CP and 128-aligned symbol stride")
+    against dynamic slices at the same back-off positions, and
+    test_ofdm.py::test_ofdm_multipath_echo covers the echo guard.
+
+    Configs that don't satisfy the alignment preconditions (cp_len >=
+    32 and sym_len % 32 == 0 — e.g. a custom cp_len=24) fall back to
+    the exact per-frame dynamic-slice fetch at the nominal (zero
+    back-off) window positions: correct for any config, just not on
+    the gather-free fast path."""
     body_off = cfg.preamble_len + cfg.guard_samples
     nst = 1 + n_sym
     b = starts.shape[0]
     t = rx.shape[-1]
+    o = starts.astype(jnp.int32) + body_off
+    if not (cfg.cp_len >= 32 and cfg.sym_len % 32 == 0):
+        # exact fallback: nominal windows via per-frame dynamic slices
+        pad = jnp.concatenate([
+            rx.astype(jnp.float32),
+            jnp.zeros(body_off + nst * cfg.sym_len + cfg.n_fft + 8,
+                      jnp.float32)])
+
+        def one(start):
+            seg = jax.lax.dynamic_slice(
+                pad, (jnp.maximum(start, 0),), (nst * cfg.sym_len,))
+            body = seg.reshape(nst, cfg.sym_len)[:, cfg.cp_len:]
+            return jnp.fft.rfft(body, n=cfg.n_fft, axis=-1)
+
+        spec = jax.vmap(one)(o)
+        return spec[..., cfg.bin_lo:cfg.bin_hi]
     r_ = 512
     hi = t + body_off + nst * cfg.sym_len + 2 * r_
     nrows = -(-hi // r_)
     rows = jnp.pad(rx.astype(jnp.float32),
                    (0, nrows * r_ - t)).reshape(nrows, r_)
-    o = starts.astype(jnp.int32) + body_off
     wpos = (o[:, None] + jnp.arange(nst, dtype=jnp.int32)[None, :]
             * cfg.sym_len + cfg.cp_len).reshape(-1)     # [B*nst]
-    aligned = (wpos // 128) * 128                       # back-off into CP
-    jb, c4 = aligned // r_, (aligned % r_) // 128
+    aligned = (wpos // 32) * 32                         # back-off into CP
+    jb = aligned // r_
+    c4 = (aligned % r_) // 128                          # coarse: 128-step
+    f4 = (aligned % 128) // 32                          # fine: 32-step
     n_need = (cfg.n_fft + r_ - 1) // r_ + 1
     src = rows[jb[:, None] + jnp.arange(n_need, dtype=jnp.int32)[None, :]]
     src = src.reshape(-1, n_need * r_)
-    body = src[:, :cfg.n_fft]
+    wfft = cfg.n_fft + 96                               # covers fine shifts
+    wide = src[:, :wfft]
     for i in range(1, 4):                               # 128-aligned slices
-        body = jnp.where((c4 == i)[:, None],
-                         src[:, 128 * i: 128 * i + cfg.n_fft], body)
+        wide = jnp.where((c4 == i)[:, None],
+                         src[:, 128 * i: 128 * i + wfft], wide)
+    body = wide[:, :cfg.n_fft]
+    for j in range(1, 4):                               # 32-aligned slices
+        body = jnp.where((f4 == j)[:, None],
+                         wide[:, 32 * j: 32 * j + cfg.n_fft], body)
     spec = jnp.fft.rfft(body, n=cfg.n_fft, axis=-1)
     return spec[..., cfg.bin_lo:cfg.bin_hi].reshape(b, nst, cfg.n_bins)
 

@@ -633,37 +633,82 @@ def _spec_walk_smem(fields, start_cursor, scan_limit, max_frames: int,
     return keep, attempted, cur_f, done, pending
 
 
-def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB):
+def _pick_i32(vals: jax.Array, valid: jax.Array,
+              onehot: jax.Array) -> jax.Array:
+    """Rank-compact int32 values through a one-hot slot matrix with the
+    16-bit-halves trick: a single f32 einsum is only integer-exact
+    below 2^24, and flat long-capture positions reach 2^25 (600 s at
+    48 kHz = 28.8M samples — the same hazard _spec_compact.pick_pos
+    guards against)."""
+    v = jnp.where(valid, vals, 0)
+    lo = jnp.einsum("...i,...ic->...c",
+                    (v & 0xFFFF).astype(jnp.float32), onehot)
+    hi = jnp.einsum("...i,...ic->...c",
+                    (v >> 16).astype(jnp.float32), onehot)
+    return (hi.astype(jnp.int32) << 16) + lo.astype(jnp.int32)
+
+
+def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
+                      group: int = 16, s1: int = 8):
     """(cand, corr_at_cand, n_valid, overflow) from the xcorr kernel's
     fused per-128-lag-row hit extraction (sync/pallas_xcorr.py:
     pallas_xcorr_hits) — the same candidate contract as
-    :func:`_extract_candidates`, but the rank compaction runs on
-    T/32 elements instead of the full dense bitmap, and the per-hit
-    correlation values (bitcast in columns rpb+1..2*rpb) compact
-    alongside so the dense correlation array never needs to exist.
-    Overflow granularity changes from >RPB hits per 512-lag block to
-    >rpb per 128-lag row — both directions conservative (flagged rows
-    re-decode exactly)."""
-    starts = rows[..., :rpb].reshape(*rows.shape[:-2], -1)
+    :func:`_extract_candidates`, but hierarchical: stage 1 compacts
+    each `group`-row block's `group*rpb` slots to `s1`, stage 2
+    rank-compacts the survivors globally.  The flat single-stage form
+    built a (B, R*rpb, n_cand) one-hot — 222 MB of f32 traffic on the
+    flagship shape, ~0.6 ms of the 3.6 ms decode (tools/prof_fused.py
+    r4); the two-stage form touches ~5x less.  Overflow adds one
+    condition — more than `s1` extracted hits inside one
+    group*128-lag span (2048 lags = 43 ms of audio at the defaults) —
+    conservative like the others: flagged captures re-decode exactly.
+    Position compaction uses 16-bit-halves einsums (integer-exact past
+    2^24, where flat 600 s captures live)."""
+    lead = rows.shape[:-2]
+    r = rows.shape[-2]
+    starts = rows[..., :rpb]
     cvals = jax.lax.bitcast_convert_type(
-        rows[..., rpb + 1:2 * rpb + 1], jnp.float32
-    ).reshape(*rows.shape[:-2], -1)
+        rows[..., rpb + 1:2 * rpb + 1], jnp.float32)
     counts = rows[..., rpb]
-    valid = starts < _BIGI
+    ng = -(-r // group)
+    pad_r = ng * group - r
+    if pad_r:
+        pc = [(0, 0)] * len(lead)
+        starts = jnp.pad(starts, pc + [(0, pad_r), (0, 0)],
+                         constant_values=_BIGI)
+        cvals = jnp.pad(cvals, pc + [(0, pad_r), (0, 0)])
+        counts = jnp.pad(counts, pc + [(0, pad_r)])
+
+    # stage 1: per-group rank compaction to s1 slots
+    sg = starts.reshape(*lead, ng, group * rpb)
+    cg = cvals.reshape(*lead, ng, group * rpb)
+    vg = sg < _BIGI
+    rank1 = jnp.cumsum(vg.astype(jnp.int32), axis=-1) - 1
+    oh1 = (vg[..., None]
+           & (rank1[..., None] == jnp.arange(s1, dtype=jnp.int32))
+           ).astype(jnp.float32)
+    grp_n = jnp.sum(vg.astype(jnp.int32), axis=-1)
+    s_c = _pick_i32(sg, vg, oh1)
+    c_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, cg, 0.0), oh1)
+    s_c = jnp.where(jnp.arange(s1) < grp_n[..., None], s_c, _BIGI)
+
+    # stage 2: global rank compaction of the survivors
+    flat = s_c.reshape(*lead, ng * s1)
+    cflat = c_c.reshape(*lead, ng * s1)
+    valid = flat < _BIGI
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
     onehot = (valid[..., None]
               & (rank[..., None] == jnp.arange(n_cand, dtype=jnp.int32))
               ).astype(jnp.float32)
-    cand = jnp.einsum("...i,...ic->...c",
-                      jnp.where(valid, starts, 0).astype(jnp.float32),
-                      onehot)
+    cand = _pick_i32(flat, valid, onehot)
     corr_c = jnp.einsum("...i,...ic->...c",
-                        jnp.where(valid, cvals, 0.0), onehot)
+                        jnp.where(valid, cflat, 0.0), onehot)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
-    overflow = jnp.any(counts > rpb, axis=-1) | (
-        jnp.sum(counts, axis=-1) > n_cand)
+    overflow = (jnp.any(counts > rpb, axis=-1)
+                | jnp.any(grp_n > s1, axis=-1)
+                | (jnp.sum(counts, axis=-1) > n_cand))
     cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
-                     cand.astype(jnp.int32), _BIGI)
+                     cand, _BIGI)
     return cand, corr_c, n_valid, overflow
 
 
@@ -764,7 +809,8 @@ def _spec_phase_a(
                                  2 * cfg.sync_margin + 1)
 
     from trackmaker_tpu import sync as sync_mod
-    from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits
+    from trackmaker_tpu.sync.pallas_xcorr import (
+        pallas_xcorr_hits, pallas_xcorr_hits_batched)
     # lag-tile sweep (fused in-program timing, tools/prof_fused.py):
     # 433k-sample rows measured 4.83/4.24/3.91/4.83 ms at blk
     # 8k/16k/32k/64k, 275k rows 4.09/3.71/3.88/4.20 — 32k wins only
@@ -776,10 +822,14 @@ def _spec_phase_a(
     else:
         xc_blk = 8192
     if flat_blocks is None:
-        _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
-            s, pre_np, cfg.correlation_threshold, blk=xc_blk,
-            interpret=interpret, use_bf16=sync_mod.bf16_enabled(),
-            emit_corr=False))(x)
+        # batch-folded 2-D grid: the vmapped 1-capture kernel pays the
+        # ~1.7 us fixed grid-step cost per 1 capture x blk lags; folding
+        # bc=8 captures into each step cut the flagship xcorr stage
+        # 1.24 -> 0.40 ms (tools/prof_xcorr_b.py sweep, r4)
+        rows = pallas_xcorr_hits_batched(
+            x, pre_np, cfg.correlation_threshold, blk=xc_blk,
+            bc=8, interpret=interpret,
+            use_bf16=sync_mod.bf16_enabled())
         cand, corr_cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
     else:
         _, rows = pallas_xcorr_hits(
