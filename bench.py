@@ -23,11 +23,32 @@ gated — a regression in any of them shows up here, not just prose):
                    so the full-size row fits the budget; the adaptive
                    iteration counts absorb a degraded tunnel window)
   ask              ASK/chirp modem demod (BASELINE config 1)
-  ofdm             OFDM (DMT) round-trip decode
+  ofdm_v2          the production OFDM receiver (Schmidl-Cox timing,
+                   pilot-tone tracking — what the MAC ships; replaced
+                   the v1 row per VERDICT r3 item 2)
+  coded_manchester Viterbi-coded Manchester (rate-1/2 K=7 soft decode)
+  ofdm_adaptive    loading-aware coded OFDM (adaptive PHY's demap +
+                   soft Viterbi)
+  equalized_b32    MMSE-equalized capture -> speculative decode on a
+                   multipath channel (VERDICT r3 item 5)
 
-`stats` carries per-row {median, n, spread} over n quick repeats
-(spread = (max-min)/median): the tunnel's health swings ~±20% between
-windows (docs/BENCHMARKS.md), so a single reading is not evidence.
+`stats` carries per-row {median, n, spread, frames_per_sec,
+samples_per_frame} over n quick repeats (spread = (max-min)/median):
+the tunnel's health swings ~±20% between windows (docs/BENCHMARKS.md),
+so a single reading is not evidence.  frames_per_sec settles
+per-sample vs per-frame comparisons (BASELINE.json names "frames
+decoded/sec" — VERDICT r3 item 3): spectrally denser line codes carry
+more frames per sample, so per-sample multiples under-rank them.
+
+`latency_ms` reports the ONLINE operating point (VERDICT r3 item 4):
+link/stream.py's StreamingDecodePipeline driven with 25 ms chunks —
+chunk-in -> frame-out p50/p99 per decoded frame, where chunk-in is
+when the chunk holding the frame's last sample was pushed and the
+quantity includes the pipeline's burst-close buffering (in chunk
+periods) plus the emitting push's wall time.  The per-dispatch tunnel
+RTT is disclosed alongside (`rtt_ms`): it inflates the wall component
+by one round trip per decode dispatch and is a property of this
+remote-chip harness, not of the decoder.
 """
 
 import json
@@ -107,14 +128,24 @@ def _measure(fn, x, iters, repeats=3):
     return sorted(ts)
 
 
-def _row(ts, samples_per_iter):
-    """(median realtime multiple, stats dict) from repeat timings."""
+def _row(ts, samples_per_iter, frames_per_iter=None):
+    """(median realtime multiple, stats dict) from repeat timings.
+
+    With `frames_per_iter` the stats also carry frames_per_sec and
+    samples_per_frame (BASELINE.json's metric names frames/s; the
+    per-sample multiple under-ranks spectrally dense line codes —
+    VERDICT r3 item 3)."""
     med = ts[len(ts) // 2]
     xs = [samples_per_iter / dt / 48_000.0 for dt in ts]
     xmed = samples_per_iter / med / 48_000.0
     spread = (max(xs) - min(xs)) / xmed if xmed > 0 else 0.0
-    return xmed, {"median": round(xmed, 1), "n": len(ts),
-                  "spread": round(spread, 3)}
+    out = {"median": round(xmed, 1), "n": len(ts),
+           "spread": round(spread, 3)}
+    if frames_per_iter:
+        out["frames_per_sec"] = round(frames_per_iter / med, 1)
+        out["samples_per_frame"] = round(
+            samples_per_iter / frames_per_iter, 1)
+    return xmed, out
 
 
 def _iters_for(base):
@@ -182,7 +213,7 @@ def bench_line_coded(cfg, rng):
         fn = (lambda x: _batched_fn(
             cfg, n_frames + 8, cfg.line_coding != MANCHESTER)(x, 2))
     ts = _measure(fn, x, iters=_iters_for(100))
-    xmed, stats = _row(ts, batch * t)
+    xmed, stats = _row(ts, batch * t, batch * n_frames)
     return xmed, stats, None
 
 
@@ -233,7 +264,7 @@ def bench_blocked(cfg, rng, seconds=600):
     else:
         fn = (lambda x: _decode_blocked_jit(cfg, x, 2, n_blocks, 8, t))
     ts = _measure(fn, x, iters=iters)
-    xmed, stats = _row(ts, t)
+    xmed, stats = _row(ts, t, n_frames)
     return xmed, stats, None
 
 
@@ -273,27 +304,29 @@ def bench_ask(rng):
     # iters ≈ 0.65 s per repeat, so a 40 ms degraded-window RTT is
     # <0.7% bias (at iters=50 it showed up as -15% on this row)
     ts = _measure(fn, x, iters=_iters_for(100))
-    xmed, stats = _row(ts, batch * t)
+    xmed, stats = _row(ts, batch * t, batch * n_frames)
     return xmed, stats, None
 
 
-def bench_ofdm(rng):
-    """Batched OFDM receiver throughput: 32 captures x 32 frames (a
-    single 1.4 s capture measures launch latency, not throughput;
-    batch 8 still left ~40% of the rate on the table — fixed grid /
-    scan overheads amortize through batch 32, matching the flagship
-    row's batching: 17.4k/25.9k/28.7k x at batch 8/32/64,
-    tools/prof_ofdm.py)."""
+def bench_ofdm_v2(rng):
+    """Batched v2 OFDM receiver throughput (the receiver the MAC
+    actually ships: Schmidl-Cox fine timing, smoothed channel
+    estimate, pilot-tone CPE/slope tracking — phy/ofdm_v2.py).
+    Replaces the round-3 v1 row per VERDICT r3 item 2: the 78,696x v1
+    headline certified the weakest receiver."""
     import jax
     import jax.numpy as jnp
     from trackmaker_tpu.core.framing import Frame
     from trackmaker_tpu.phy import ofdm
+    from trackmaker_tpu.phy.ofdm_v2 import (
+        OfdmModemV2, OfdmV2Config, demodulate_at_v2)
 
     n_frames, batch = 32, 32
     payloads = [rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
                 for _ in range(n_frames)]
     frames = [Frame.new_data(i, 1, 2, p) for i, p in enumerate(payloads)]
-    modem = ofdm.OfdmModem()
+    cfg = OfdmV2Config()
+    modem = OfdmModemV2(cfg)
     wave = modem.encode_frames(frames, gap_samples=400)
     t = len(wave)
     caps = np.stack([
@@ -304,26 +337,219 @@ def bench_ofdm(rng):
     got = [f.data for f in modem.decode(caps[0], 7 + 64,
                                         max_frames=n_frames)]
     if got != payloads:
-        return 0.0, None, f"ofdm gate failed: {len(got)}/{n_frames}"
+        return 0.0, None, f"ofdm_v2 gate failed: {len(got)}/{n_frames}"
 
-    cfg = modem.cfg
     n_bits = (7 + 64) * 8
-    fn = jax.jit(jax.vmap(lambda rx: ofdm.demodulate_at(
+    fn = jax.jit(jax.vmap(lambda rx: demodulate_at_v2(
         cfg, rx, n_bits, ofdm.find_preambles(cfg, rx, n_frames))))
     x = jnp.asarray(caps)
-    # payload-gate the batched path itself: every row's demodulated
-    # bits must reassemble into the exact transmitted frames
     bits = np.asarray(fn(x))
     for b in range(batch):
         for k in range(n_frames):
             f = Frame.from_bits(bits[b, k])
             if f is None or f.data != payloads[k]:
-                return 0.0, None, f"ofdm batch gate failed at b={b} k={k}"
-    # ~3.4 ms/iter at batch 32: 150 in-program iters ≈ 0.5 s per
-    # repeat, so a degraded-window 35 ms dispatch RTT is <0.1% bias
-    ts = _measure(fn, x, iters=_iters_for(150))
-    xmed, stats = _row(ts, batch * t)
+                return 0.0, None, \
+                    f"ofdm_v2 batch gate failed at b={b} k={k}"
+    ts = _measure(fn, x, iters=_iters_for(100))
+    xmed, stats = _row(ts, batch * t, batch * n_frames)
     return xmed, stats, None
+
+
+def bench_coded_manchester(rng):
+    """Batched Viterbi-coded Manchester decode (phy/coded.py
+    batched_decode_fn: pattern sync + soft demod + rate-1/2 K=7 soft
+    Viterbi) — the coded PHY had no measured TPU row before r4."""
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.config import PhyConfig
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.phy.coded import CodedManchesterPhy
+
+    n_frames, batch, plen = 32, 8, 64
+    phy = CodedManchesterPhy(PhyConfig(), local_addr=2)
+    frames = [Frame.new_data(i, 1, 2,
+                             rng.integers(0, 256, plen,
+                                          dtype=np.uint8).tobytes())
+              for i in range(n_frames)]
+    wave = phy.encode_frames(frames, gap_samples=300)
+    t = len(wave)
+    caps = np.stack([
+        (wave + rng.normal(0, 0.05, t)).astype(np.float32)
+        for _ in range(batch)
+    ])
+    got = phy.decode_equal_frames(caps, n_frames, plen)
+    for b in range(batch):
+        if [(f.sequence, f.data) for f in got[b]] != [
+                (f.sequence, f.data) for f in frames]:
+            return 0.0, None, \
+                f"coded gate failed at b={b}: {len(got[b])}/{n_frames}"
+    fn = phy.batched_decode_fn(n_frames, plen)
+    x = jnp.asarray(caps)
+    ts = _measure(fn, x, iters=_iters_for(40))
+    xmed, stats = _row(ts, batch * t, batch * n_frames)
+    return xmed, stats, None
+
+
+def bench_ofdm_adaptive(rng):
+    """Batched adaptive coded OFDM decode (phy/ofdm_adaptive.py
+    batched_decode_fn: chirp sync + loading-aware soft demap + soft
+    Viterbi) at the default uniform-QPSK loading."""
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.phy.ofdm_adaptive import OfdmAdaptiveStreamPhy
+
+    n_frames, batch, plen = 16, 8, 64
+    phy = OfdmAdaptiveStreamPhy(local_addr=2)
+    frames = [Frame.new_data(i, 1, 2,
+                             rng.integers(0, 256, plen,
+                                          dtype=np.uint8).tobytes())
+              for i in range(n_frames)]
+    wave = phy.encode_frames(frames, gap_samples=300)
+    t = len(wave)
+    caps = np.stack([
+        (wave + rng.normal(0, 0.01, t)).astype(np.float32)
+        for _ in range(batch)
+    ])
+    got = phy.decode_equal_frames(caps, n_frames, plen)
+    for b in range(batch):
+        if [(f.sequence, f.data) for f in got[b]] != [
+                (f.sequence, f.data) for f in frames]:
+            return 0.0, None, \
+                f"adaptive gate failed at b={b}: {len(got[b])}/{n_frames}"
+    fn = phy.batched_decode_fn(n_frames, plen)
+    x = jnp.asarray(caps)
+    ts = _measure(fn, x, iters=_iters_for(40))
+    xmed, stats = _row(ts, batch * t, batch * n_frames)
+    return xmed, stats, None
+
+
+def bench_equalized(cfg, rng):
+    """MMSE-equalized decode on a 2-path channel, composed with the
+    speculative decoder (VERDICT r3 item 5): equalize_capture (vmapped)
+    + decode_capture_spec in ONE program, payload-gated."""
+    import jax
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.dsp import channel
+    from trackmaker_tpu.dsp.equalizer import equalize_capture
+    from trackmaker_tpu.phy.decoder import _spec_supported
+    from trackmaker_tpu.phy.encoder import PhyEncoder
+
+    n_frames, batch = 64, 32
+    frames = [
+        Frame.new_data(i & 0xFF, 1, 2,
+                       rng.integers(0, 256, 128, dtype=np.uint8).tobytes())
+        for i in range(n_frames)
+    ]
+    wave = PhyEncoder(cfg).encode_frames(frames, gap_samples=200)
+    taps = jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.45])
+    ech = np.asarray(channel.multipath(jnp.asarray(wave), taps))
+    t = len(ech)
+    caps = np.stack([
+        ech + rng.normal(0, 0.02, t).astype(np.float32)
+        for _ in range(batch)
+    ])
+    x = jnp.asarray(caps)
+
+    if _spec_supported(cfg):
+        from trackmaker_tpu.phy.pallas_decode import decode_capture_spec
+        def fn(xb):
+            eq = jax.vmap(lambda r: equalize_capture(cfg, r)[0])(xb)
+            return decode_capture_spec(cfg, eq, 2,
+                                       max_frames=n_frames + 8)[0]
+        fn = jax.jit(fn)
+    else:
+        from trackmaker_tpu.phy.decoder import decode_capture
+        def fn(xb):
+            eq = jax.vmap(lambda r: equalize_capture(cfg, r)[0])(xb)
+            return jax.vmap(lambda r: decode_capture(
+                cfg, r, 2, max_frames=n_frames + 8))(eq)
+        fn = jax.jit(fn)
+    res = fn(x)
+    valid = np.asarray(res.valid)
+    fb = np.asarray(res.frame_bytes)
+    for b in range(batch):
+        ks = np.nonzero(valid[b])[0]
+        if len(ks) != n_frames:
+            return 0.0, None, \
+                f"equalized gate failed at b={b}: {len(ks)}/{n_frames}"
+        for k, f in zip(ks, frames):
+            if fb[b, k, 7:7 + 128].tobytes() != f.data:
+                return 0.0, None, f"equalized payload gate b={b} k={k}"
+    ts = _measure(fn, x, iters=_iters_for(60))
+    xmed, stats = _row(ts, batch * t, batch * n_frames)
+    return xmed, stats, None
+
+
+def bench_latency(cfg, rng):
+    """Streaming chunk-in -> frame-out latency (VERDICT r3 item 4).
+
+    Drives link/stream.py's StreamingDecodePipeline with 25 ms chunks;
+    for each decoded frame, latency = (emit_chunk - arrival_chunk) *
+    25 ms + the emitting push's wall time, where arrival_chunk is the
+    chunk carrying the frame's last sample (so the pipeline's
+    burst-close buffering counts, as it would against a live ring).
+    Returns a dict, not a throughput row.  The tunnel's per-dispatch
+    RTT is measured separately and disclosed: each decode dispatch
+    pays one round trip that an on-host deployment would not."""
+    import jax
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.link.stream import StreamingDecodePipeline
+    from trackmaker_tpu.phy.encoder import PhyEncoder
+
+    chunk = 1200                            # 25 ms at 48 kHz
+    n_frames = 12
+    enc = PhyEncoder(cfg)
+    total = 48_000 * 6
+    wave = np.zeros(total, np.float32)
+    arrival = {}                            # seq -> arrival chunk idx
+    step = total // (n_frames + 1)
+    for i in range(n_frames):
+        w = np.asarray(enc.encode_frame(
+            Frame.new_data(i, 1, 2, bytes([i]) * 64)))
+        p = (i + 1) * step
+        wave[p:p + len(w)] = w
+        arrival[i] = (p + len(w)) // chunk
+    wave += rng.normal(0, 0.03, total).astype(np.float32)
+
+    # RTT probe: a no-op jit round trip (median of 5)
+    noop = jax.jit(lambda v: v + 1.0)
+    v = jnp.float32(0.0)
+    np.asarray(noop(v))
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(noop(v))
+        rtts.append(time.time() - t0)
+    rtt_ms = sorted(rtts)[2] * 1000.0
+
+    pipe = StreamingDecodePipeline(cfg, 2)
+    # warm pass compiles the bucket programs, then reset for the run
+    for i in range(0, total, chunk):
+        pipe.push(wave[i:i + chunk])
+    pipe.flush()
+    pipe = StreamingDecodePipeline(cfg, 2)
+    lat = []
+    got = 0
+    for ci, i in enumerate(range(0, total, chunk)):
+        t0 = time.time()
+        frames = pipe.push(wave[i:i + chunk])
+        dt_ms = (time.time() - t0) * 1000.0
+        for f in frames:
+            got += 1
+            lat.append((ci - arrival[f.sequence]) * 25.0 + dt_ms)
+    got += len(pipe.flush())
+    if got != n_frames:
+        return None, f"latency gate failed: {got}/{n_frames} frames"
+    lat.sort()
+    return {
+        "p50": round(lat[len(lat) // 2], 1),
+        "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1),
+        "n_frames": len(lat),
+        "chunk_ms": 25.0,
+        "rtt_ms": round(rtt_ms, 1),
+        "reference_ms": "70-150 (report.md:529)",
+    }, None
 
 
 def main():
@@ -339,6 +565,7 @@ def main():
     stats = {}
     errors = {}
     skipped = []
+    latency = {}
     state = {"backend": "?", "current": "backend-init"}
     done = threading.Event()
 
@@ -352,6 +579,8 @@ def main():
             "workloads": workloads,
             "stats": stats,
         }
+        if latency:
+            out["latency_ms"] = latency
         if skipped:
             out["skipped_budget"] = skipped
         errs = dict(errors)
@@ -377,13 +606,18 @@ def main():
                 PhyConfig(line_coding=FOUR_B_FIVE_B), rng)),
             ("blocked_600s", lambda: bench_blocked(PhyConfig(), rng)),
             ("ask", lambda: bench_ask(rng)),
-            ("ofdm", lambda: bench_ofdm(rng)),
+            ("ofdm_v2", lambda: bench_ofdm_v2(rng)),
+            ("coded_manchester", lambda: bench_coded_manchester(rng)),
+            ("ofdm_adaptive", lambda: bench_ofdm_adaptive(rng)),
+            ("equalized_b32", lambda: bench_equalized(PhyConfig(), rng)),
         ]
         # rough warm-cache per-row floor (gate + 2-iter minimum timing);
         # with a cold .jax_cache add compile time, which _iters_for
         # absorbs by shrinking the timing loops
         reserve = {"manchester_b32": 0, "fourb5b_b32": 35,
-                   "blocked_600s": 45, "ask": 30, "ofdm": 30}
+                   "blocked_600s": 45, "ask": 30, "ofdm_v2": 30,
+                   "coded_manchester": 30, "ofdm_adaptive": 30,
+                   "equalized_b32": 30}
         for name, fn in rows:
             if name != "manchester_b32" and _remaining() < reserve[name]:
                 skipped.append(name)
@@ -398,6 +632,21 @@ def main():
                 stats[name] = st
             if err:
                 errors[name] = err
+        # latency is an operating point, not a throughput row: measure
+        # it last (cheap: one stream drive + a few dispatches) but
+        # never skip it silently — a missing entry reads as a gap
+        state["current"] = "latency_stream"
+        if _remaining() > 25:
+            try:
+                lat, err = bench_latency(PhyConfig(), rng)
+                if lat:
+                    latency.update(lat)
+                if err:
+                    errors["latency_stream"] = err
+            except Exception as e:  # noqa: BLE001
+                errors["latency_stream"] = repr(e)[:120]
+        else:
+            skipped.append("latency_stream")
         state["current"] = None
         done.set()
 

@@ -325,3 +325,39 @@ def test_qam64_tier_lifts_throughput_on_strong_channel():
                     rng, 0.0006)
     got = rx_phy.process_samples(noisy)
     assert [f.data for f in got] == payloads
+
+
+def test_batched_decode_matches_streaming():
+    """The batched TPU decode (batched_decode_fn) must recover exactly
+    the frames the streaming `process_samples` facade does on noisy
+    equal-length captures (default loading)."""
+    import numpy as np
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.phy.ofdm_adaptive import OfdmAdaptiveStreamPhy
+
+    phy = OfdmAdaptiveStreamPhy(local_addr=2)
+    rng = np.random.default_rng(4)
+    n, plen = 4, 48
+    frames = [Frame.new_data(i, 1, 2,
+                             rng.integers(0, 256, plen,
+                                          dtype=np.uint8).tobytes())
+              for i in range(n)]
+    caps, want = [], []
+    for b in range(2):
+        wave = phy.encode_frames(frames, gap_samples=301 + 64 * b)
+        lead = int(rng.integers(0, 200))
+        x = np.concatenate([np.zeros(lead, np.float32), wave,
+                            np.zeros(300, np.float32)])
+        x = (x + rng.normal(0, 0.02, len(x))).astype(np.float32)
+        caps.append(x)
+        phy.reset()
+        want.append([(f.sequence, f.data)
+                     for f in phy.process_samples(x)])
+        assert len(want[-1]) == n
+    t = max(len(c) for c in caps)
+    batch = np.zeros((2, t), np.float32)
+    for b, c in enumerate(caps):
+        batch[b, :len(c)] = c
+    got = phy.decode_equal_frames(batch, n, plen)
+    for b in range(2):
+        assert [(f.sequence, f.data) for f in got[b]] == want[b]

@@ -135,8 +135,8 @@ def _attempt_sum_fn():
                 (1, 128 * BROWS, 128), lambda bb, *_: (bb, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, NR, DROW), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((pdm.ATTEMPT_PIPE, NR, DROW), jnp.float32),
+                pltpu.SemaphoreType.DMA((pdm.ATTEMPT_PIPE,)),
             ],
         )
         out = pl.pallas_call(

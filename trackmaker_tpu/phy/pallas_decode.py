@@ -822,14 +822,16 @@ def _spec_phase_a(
     else:
         xc_blk = 8192
     if flat_blocks is None:
-        # batch-folded 2-D grid: the vmapped 1-capture kernel pays the
-        # ~1.7 us fixed grid-step cost per 1 capture x blk lags; folding
-        # bc=8 captures into each step cut the flagship xcorr stage
-        # 1.24 -> 0.40 ms (tools/prof_xcorr_b.py sweep, r4)
-        rows = pallas_xcorr_hits_batched(
-            x, pre_np, cfg.correlation_threshold, blk=xc_blk,
-            bc=8, interpret=interpret,
-            use_bf16=sync_mod.bf16_enabled())
+        # vmapped 1-capture kernel: measured FASTER than a batch-folded
+        # (bc, lag-tile) 2-D grid (1.14 vs 2.40 ms at batch 32 —
+        # tools/prof_xcorr_b.py r4 sweep; Mosaic schedules the many
+        # small steps better than one bc-unrolled body), and a thin
+        # nch-row x1 stream changed nothing (the kernel is
+        # overhead/VPU-bound, not HBM-bound, at these shapes)
+        _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
+            s, pre_np, cfg.correlation_threshold, blk=xc_blk,
+            interpret=interpret, use_bf16=sync_mod.bf16_enabled(),
+            emit_corr=False))(x)
         cand, corr_cand, n_valid, overflow = _compact_hit_rows(rows, n_cand)
     else:
         _, rows = pallas_xcorr_hits(
