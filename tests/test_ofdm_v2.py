@@ -112,3 +112,55 @@ def test_v2_sc_pilot_halves_identical():
              cfg.preamble_len + cfg.guard_samples + cfg.sym_len]
     half = cfg.n_fft // 2
     np.testing.assert_allclose(body[:half], body[half:], atol=1e-5)
+
+
+def test_sc_refine_matches_direct_form():
+    """The gather-free banded-matmul Schmidl-Cox refine must pick the
+    same fine-timing positions as the direct per-frame window-stack
+    form (the round-3 implementation, reproduced here in NumPy) on
+    noisy multi-frame captures at random lead-ins."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trackmaker_tpu.core.framing import Frame
+    from trackmaker_tpu.phy.ofdm import find_preambles
+    from trackmaker_tpu.phy.ofdm_v2 import (
+        OfdmModemV2, OfdmV2Config, _sc_refine)
+
+    cfg = OfdmV2Config()
+    modem = OfdmModemV2(cfg)
+    body_off = cfg.preamble_len + cfg.guard_samples
+    half = cfg.n_fft // 2
+    s = cfg.sc_search
+
+    def direct(rx, starts):
+        pad = np.concatenate(
+            [rx, np.zeros(body_off + cfg.cp_len + 2 * s + cfg.n_fft + 8,
+                          np.float32)]).astype(np.float32)
+        out = []
+        for st in starts:
+            base = max(st + body_off + cfg.cp_len - s, 0)
+            seg = pad[base: base + 2 * s + cfg.n_fft]
+            m = np.empty(2 * s)
+            for d in range(2 * s):
+                a = seg[d: d + half]
+                b = seg[d + half: d + 2 * half]
+                p = np.sum(a * b, dtype=np.float32)
+                r = np.sum(b * b, dtype=np.float32)
+                m[d] = (p * p) / max(r * r, 1e-12)
+            d_star = int(np.argmax(m))
+            out.append(base + d_star - cfg.cp_len - body_off)
+        return np.asarray(out)
+
+    rng = np.random.default_rng(8)
+    frames = [Frame.new_data(i, 1, 2, bytes([i]) * 64) for i in range(4)]
+    for lead in (0, 5, 31, 97, 200):
+        wave = modem.encode_frames(frames, gap_samples=333)
+        x = np.concatenate([np.zeros(lead, np.float32), wave])
+        x = (x + rng.normal(0, 0.02, len(x))).astype(np.float32)
+        starts = np.asarray(find_preambles(cfg, jnp.asarray(x), 4))
+        starts = starts[starts >= 0]
+        assert len(starts) == 4
+        got = np.asarray(_sc_refine(cfg, jnp.asarray(x),
+                                    jnp.asarray(starts, jnp.int32)))
+        want = direct(x, starts)
+        assert np.array_equal(got, want), (lead, got, want)

@@ -132,7 +132,7 @@ def _attempt_sum_fn():
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_specs=pl.BlockSpec(
-                (1, 128 * BROWS, 128), lambda bb, *_: (bb, 0, 0),
+                (1, 128, BROWS, 128), lambda bb, *_: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((pdm.ATTEMPT_PIPE, NR, DROW), jnp.float32),
@@ -142,7 +142,7 @@ def _attempt_sum_fn():
         out = pl.pallas_call(
             ft.partial(_attempt_kernel, n_cand=128, t_max=tt,
                        sync_e=sync_e),
-            out_shape=jax.ShapeDtypeStruct((b, 128 * BROWS, 128),
+            out_shape=jax.ShapeDtypeStruct((b, 128, BROWS, 128),
                                            jnp.float32),
             grid_spec=grid_spec,
         )(cand, vlens, n_valid.astype(jnp.int32), x384,

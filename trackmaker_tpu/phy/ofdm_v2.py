@@ -47,6 +47,7 @@ from trackmaker_tpu.phy.ofdm import (
     _qpsk_to_bits,
     _spectrum_to_time,
     _time_to_spectrum,
+    _windows_spectrum,
     find_preambles,
 )
 
@@ -137,6 +138,67 @@ def _smooth_complex(h: jax.Array, win: int) -> jax.Array:
     return out[..., :n]
 
 
+def _sc_refine(cfg: OfdmV2Config, rx: jax.Array,
+               starts: jax.Array) -> jax.Array:
+    """Batched gather-free Schmidl-Cox fine timing: int[B] chirp-start
+    estimates -> int[B] refined starts.
+
+    The round-3 form computed the metric per frame from a traced-start
+    ``dynamic_slice`` plus a (2s, half) fancy-index window stack —
+    per-element gathers under the callers' vmap (~17M gathered
+    elements on the bench's batch-32 row; CLAUDE.md gather rules).
+    This form fetches one 32-aligned segment per frame (512-lane row
+    gathers + hierarchical 4x4 select, exact values) and computes
+    P(d) / R(d) for all search lags as two banded-ones matmuls over
+    the products — the same sums, MXU-shaped.  The 32-alignment
+    residual `delta` only moves the search window WITHIN the computed
+    lag range; masking to [delta, delta + 2s) keeps the argmax over
+    exactly the positions the round-3 form searched."""
+    half = cfg.n_fft // 2
+    s = cfg.sc_search
+    body_off = cfg.preamble_len + cfg.guard_samples
+    width = 2 * s + 32 + cfg.n_fft          # lag span + FFT half pair
+    wpad = -(-width // 128) * 128           # 640 at the defaults
+    nlag = 2 * s + 32                       # computed lags (96)
+    t = rx.shape[-1]
+    r_ = 512
+    hi = t + body_off + cfg.cp_len + wpad + 2 * r_
+    nrows = -(-hi // r_)
+    rows = jnp.pad(rx.astype(jnp.float32),
+                   (0, nrows * r_ - t)).reshape(nrows, r_)
+    pilot_body = starts + body_off + cfg.cp_len
+    base = jnp.maximum(pilot_body - s, 0)
+    base32 = (base // 32) * 32
+    delta = base - base32                   # in [0, 32)
+    jb = base32 // r_
+    c16 = (base32 % r_) // 32
+    n_need = (wpad + r_ - 1) // r_ + 1
+    src = rows[jb[:, None] + jnp.arange(n_need, dtype=jnp.int32)[None, :]]
+    src = src.reshape(-1, n_need * r_)
+    wide = src[:, :wpad + 96]
+    for i in range(1, 4):
+        wide = jnp.where((c16 // 4 == i)[:, None],
+                         src[:, 128 * i: 128 * i + wpad + 96], wide)
+    seg = wide[:, :wpad]
+    for j in range(1, 4):
+        seg = jnp.where((c16 % 4 == j)[:, None],
+                        wide[:, 32 * j: 32 * j + wpad], seg)
+    # P(d) = sum_k seg[d+k] seg[d+k+half], R(d) = sum_k seg[d+k+half]^2
+    nprod = nlag + half - 1                 # max prod index + 1
+    prod = seg[:, :nprod] * seg[:, half:half + nprod]
+    sq = seg[:, half:half + nprod] ** 2
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nprod, nlag), 0)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (nprod, nlag), 1)
+    band = ((jj >= dd) & (jj < dd + half)).astype(jnp.float32)
+    p = prod @ band                         # (B, nlag)
+    r2 = sq @ band
+    m = (p * p) / jnp.maximum(r2 * r2, 1e-12)
+    lag = jnp.arange(nlag, dtype=jnp.int32)[None, :]
+    ok = (lag >= delta[:, None]) & (lag < delta[:, None] + 2 * s)
+    d_star = jnp.argmax(jnp.where(ok, m, -jnp.inf), axis=-1)
+    return base32 + d_star - cfg.cp_len - body_off
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
                      starts: jax.Array,
@@ -148,43 +210,25 @@ def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
     each frame are real — the pad-and-mask form for variable-length
     frames decoded at a fixed max size (OfdmStreamPhyV2): the CPE /
     phase-slope trajectory fits weight only symbols < vsym, so the
-    noise-only tail cannot corrupt the per-frame linear fit."""
+    noise-only tail cannot corrupt the per-frame linear fit.
+
+    Windowing is gather-free end to end (VERDICT r3 item 2 made this
+    receiver a measured row): `_sc_refine` for fine timing, then the
+    shared `_windows_spectrum` aligned-row fetch — its 32-step CP
+    back-off rides a per-frame-constant phase ramp into every bin,
+    which the SC-pilot channel estimate absorbs exactly (pilot and
+    data symbols share the same ramp; sym_len % 32 == 0)."""
     n_sym = cfg.n_symbols(n_bits)
-    total = (1 + n_sym) * cfg.sym_len
-    body_off = cfg.preamble_len + cfg.guard_samples
-    half = cfg.n_fft // 2
-    s = cfg.sc_search
-    pad = jnp.concatenate([
-        rx.astype(jnp.float32),
-        jnp.zeros(total + body_off + 2 * s + cfg.n_fft + 8, jnp.float32)])
+    starts = jnp.asarray(starts, jnp.int32)
     pilots = jnp.asarray(_tone_pilots(cfg))
     pbins = jnp.asarray(cfg.pilot_bin_idx)
     dbins = jnp.asarray(cfg.data_bin_idx)
     sc_tx = jnp.asarray(_sc_pilot(cfg))
 
-    def one(start, vsym):
-        # --- Schmidl-Cox fine timing on the repeated-halves pilot body
-        if cfg.use_sc:
-            pilot_body = start + body_off + cfg.cp_len
-            base = jnp.maximum(pilot_body - s, 0)
-            seg = jax.lax.dynamic_slice(pad, (base,),
-                                        (2 * s + cfg.n_fft,))
-            d = jnp.arange(2 * s)[:, None] + jnp.arange(half)[None, :]
-            a = seg[d]                      # (2s, half)
-            bseg = seg[d + half]
-            p = jnp.sum(a * bseg, axis=-1)
-            r = jnp.sum(bseg * bseg, axis=-1)
-            m = (p * p) / jnp.maximum(r * r, 1e-12)
-            d_star = jnp.argmax(m)
-            fine = base + d_star - cfg.cp_len - body_off  # refined start
-        else:
-            fine = start
+    fine = _sc_refine(cfg, rx, starts) if cfg.use_sc else starts
+    all_spec = _windows_spectrum(cfg, rx, fine, n_sym)
 
-        # --- FFT all symbols at the refined timing
-        seg2 = jax.lax.dynamic_slice(
-            pad, (jnp.maximum(fine, 0) + body_off,), (total,))
-        spec = _time_to_spectrum(cfg, seg2.reshape(1 + n_sym, cfg.sym_len))
-
+    def one(spec, vsym):
         # --- smoothed channel estimate from the SC pilot (even bins)
         h_raw = spec[0] * jnp.conj(sc_tx) / jnp.maximum(
             jnp.abs(sc_tx) ** 2, 1e-12)
@@ -258,7 +302,7 @@ def demodulate_at_v2(cfg: OfdmV2Config, rx: jax.Array, n_bits: int,
 
     vs = (jnp.full(starts.shape, n_sym, jnp.int32) if vsyms is None
           else jnp.asarray(vsyms, jnp.int32))
-    return jax.vmap(one)(jnp.asarray(starts, jnp.int32), vs)
+    return jax.vmap(one)(all_spec, vs)
 
 
 class OfdmStreamPhyV2:

@@ -254,7 +254,11 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         lane_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 1)
         byte_blk = jnp.where((row_id == BROWS - 1) & (lane_id == 8),
                              fs.astype(jnp.float32), byte_blk)
-        bytes_ref[0, pl.ds(c * BROWS, BROWS), :] = byte_blk
+        # 4-D out block: indexing the candidate on a leading (untiled)
+        # dim keeps every store a full aligned (BROWS, 128) tile — the
+        # old flat (n_cand*BROWS, 128) layout stored at dynamic sublane
+        # offset c*34, which is 8-aligned only every 4th candidate
+        bytes_ref[0, c] = byte_blk
         return 0
 
     jax.lax.fori_loop(0, nv, body_fn, 0)
@@ -443,7 +447,9 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         l24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 1)
         blk24 = jnp.where((r24 == 3 * LROWS) & (l24 == 0),
                           fs.astype(jnp.float32), blk24)
-        out_ref[0, pl.ds(c * BROWS4, BROWS4), :] = blk24
+        # leading-dim candidate index: full aligned tile store (see
+        # _attempt_kernel's bytes_ref note)
+        out_ref[0, c] = blk24
         return 0
 
     jax.lax.fori_loop(0, nv, body_fn, 0)
@@ -865,7 +871,7 @@ def _spec_phase_a(
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # pack
             ],
             out_specs=pl.BlockSpec(
-                (1, n_cand * BROWS, 128), lambda bb, *_: (bb, 0, 0),
+                (1, n_cand, BROWS, 128), lambda bb, *_: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((ATTEMPT_PIPE, NR, DROW), jnp.float32),
@@ -876,7 +882,7 @@ def _spec_phase_a(
             functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
                               sync_e=sync_e,
                               shared_x=flat_blocks is not None),
-            out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS, 128),
+            out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS, 128),
                                            jnp.float32),
             grid_spec=grid_spec,
             cost_estimate=pl.CostEstimate(
@@ -889,7 +895,7 @@ def _spec_phase_a(
           jnp.asarray(t8_np), jnp.asarray(_body_table()),
           jnp.asarray(_pack_table()))
 
-        grid8 = bytes_cm.reshape(b, n_cand, BROWS, 128)
+        grid8 = bytes_cm                      # (b, n_cand, BROWS, 128)
         byts_i = grid8[..., :8].reshape(
             b, n_cand, BROWS * 8).astype(jnp.int32)
         fs = grid8[:, :, BROWS - 1, 8].astype(jnp.int32)
@@ -909,7 +915,7 @@ def _spec_phase_a(
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=pl.BlockSpec(
-                (1, n_cand * BROWS4, 128), lambda bb, *_: (bb, 0, 0),
+                (1, n_cand, BROWS4, 128), lambda bb, *_: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((ATTEMPT_PIPE, NR4, DROW), jnp.float32),
@@ -920,7 +926,7 @@ def _spec_phase_a(
             functools.partial(_attempt_kernel_4b5b, n_cand=n_cand,
                               t_max=t, sync_e=sync_e,
                               shared_x=flat_blocks is not None),
-            out_shape=jax.ShapeDtypeStruct((b, n_cand * BROWS4, 128),
+            out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS4, 128),
                                            jnp.float32),
             grid_spec=grid_spec,
             cost_estimate=pl.CostEstimate(
@@ -933,7 +939,7 @@ def _spec_phase_a(
           jnp.asarray(t8_np), jnp.asarray(ma_np), jnp.asarray(mb_np),
           jnp.asarray(w5_np), jnp.asarray(z5_np))
 
-        g = out_cm.reshape(b, n_cand, BROWS4, 128)
+        g = out_cm                        # (b, n_cand, BROWS4, 128)
         # only the first 5 of LROWS=6 symbol rows (640 symbols) can
         # ever matter: the largest frame is 263 bytes = 526 symbols,
         # and every consumer below is masked to total_bits//4 <= 526 —
