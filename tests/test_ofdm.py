@@ -125,8 +125,8 @@ def _find_preambles_scalar_ref(cfg, rx, max_frames):
 def test_demodulate_windows_match_slices():
     """The gather-free windowed spectrum (aligned 2-row fetch +
     hierarchical 4x4 lane-shifted select) must be bit-exact vs dynamic
-    slices taken at the same 32-step timing-back-off positions,
-    including at -1 sentinel starts."""
+    slices taken at the same 32-step timing-back-off positions with
+    the same de-ramp applied, including at -1 sentinel starts."""
     from trackmaker_tpu.phy.ofdm import _windows_spectrum
 
     cfg = OfdmConfig()
@@ -144,10 +144,18 @@ def test_demodulate_windows_match_slices():
                 wpos = start + body_off + k * cfg.sym_len + cfg.cp_len
                 aligned = (wpos // 32) * 32       # the CP back-off
                 return jax.lax.dynamic_slice(pad, (aligned,),
-                                             (cfg.n_fft,))
-            bodies = jnp.stack([sym(k) for k in range(nst)])
-            spec = jnp.fft.rfft(bodies, n=cfg.n_fft, axis=-1)
-            return spec[..., cfg.bin_lo:cfg.bin_hi]
+                                             (cfg.n_fft,)), wpos - aligned
+            bodies, deltas = zip(*(sym(k) for k in range(nst)))
+            spec = jnp.fft.rfft(jnp.stack(bodies), n=cfg.n_fft, axis=-1)
+            spec = spec[..., cfg.bin_lo:cfg.bin_hi]
+            # identical de-ramp expression to _windows_spectrum so the
+            # products stay bit-exact
+            delta = jnp.stack(deltas).astype(jnp.float32)
+            k_abs = jnp.arange(cfg.bin_lo, cfg.bin_hi, dtype=jnp.float32)
+            ramp = jnp.exp(
+                1j * (2.0 * jnp.pi / cfg.n_fft)
+                * delta[:, None] * k_abs[None, :]).astype(jnp.complex64)
+            return spec * ramp
         return jax.vmap(one)(starts)
 
     modem = OfdmModem(cfg)

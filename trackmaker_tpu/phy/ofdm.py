@@ -156,11 +156,12 @@ def _windows_spectrum(cfg: OfdmConfig, rx: jax.Array, starts: jax.Array,
     into the previous symbol since delta < cp_len — keeps the fetch
     to two ~free 512-aligned row-gathers plus a hierarchical 4x4
     static select (two levels of 3 lane-shifted ``where`` passes; a
-    flat 16-way select would pay 15).  The back-off multiplies every
-    bin of pilot and data symbols of a frame by the same phase ramp
-    exp(-2i pi k delta / n_fft), which the per-frame one-tap pilot
-    equalizer cancels exactly; magnitudes are untouched.  In AWGN the
-    statistics are identical.  Under multipath the back-off COSTS
+    flat 16-way select would pay 15).  The back-off would multiply
+    every bin by the phase ramp exp(-2i pi k delta / n_fft); delta is
+    known exactly, so the conjugate ramp is applied before returning
+    and callers receive the NOMINAL-window spectrum (bit-identical
+    statistics in AWGN, and cross-bin smoothers — ofdm_v2's channel
+    estimate — see no timing artifact).  Under multipath the back-off COSTS
     late-echo guard when sync locks the first arrival: a window
     starting delta early tolerates echo delay cp_len - delta instead
     of cp_len, which is why the granularity is 32 and not 128 (the
@@ -219,7 +220,20 @@ def _windows_spectrum(cfg: OfdmConfig, rx: jax.Array, starts: jax.Array,
         body = jnp.where((f4 == j)[:, None],
                          wide[:, 32 * j: 32 * j + cfg.n_fft], body)
     spec = jnp.fft.rfft(body, n=cfg.n_fft, axis=-1)
-    return spec[..., cfg.bin_lo:cfg.bin_hi].reshape(b, nst, cfg.n_bins)
+    spec = spec[..., cfg.bin_lo:cfg.bin_hi]
+    # De-ramp the back-off: a window fetched delta samples early sees
+    # the body circularly shifted (within the CP), i.e. bin k scaled by
+    # exp(-2i pi k delta / n_fft).  Multiplying by the conjugate ramp
+    # returns the NOMINAL-window spectrum exactly, so smoothing /
+    # cross-bin channel estimators downstream (ofdm_v2's 9-bin moving
+    # average would attenuate a 31-sample ramp's phasor to ~0.6, and a
+    # compounded SC-early + delta ramp to ~0.04 — the r4 regression)
+    # see no timing artifact at all.
+    delta = (wpos - aligned).astype(jnp.float32)        # [B*nst] in [0,32)
+    k_abs = jnp.arange(cfg.bin_lo, cfg.bin_hi, dtype=jnp.float32)
+    ramp = jnp.exp(1j * (2.0 * jnp.pi / cfg.n_fft)
+                   * delta[:, None] * k_abs[None, :]).astype(jnp.complex64)
+    return (spec * ramp).reshape(b, nst, cfg.n_bins)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -100,9 +100,28 @@ def _check_cfg(cfg: PhyConfig) -> None:
         "speculative kernels are specialized for spl=3 configs"
 
 
+def _cat8(orig: np.ndarray) -> np.ndarray:
+    """Lane-concatenated band table, 8 sublane-shifted copies:
+    cat8[v, r, 0:128] = orig[v + r], cat8[v, r, 128:256] =
+    orig[v + r + 384].  A single 384-row slice at start = 383 - q
+    yields [A | B] — the row-r and row-r+1 band matrices side by
+    side with offset-0 layout — feeding the single-matmul form whose
+    two 128-lane output halves are combined by an offset-1-row
+    elementwise add (Mosaic compiles the offset add; it rejects the
+    in-kernel lane CONCAT of an offset-1 slice — r4 finding,
+    tools/exp_offset_add.py)."""
+    cat = np.zeros((776, 256), orig.dtype)
+    n = orig.shape[0]
+    m0 = min(776, n)
+    cat[:m0, 0:128] = orig[:m0]
+    m1 = min(776, n - 384)
+    cat[:m1, 128:256] = orig[384:384 + m1]
+    return np.stack([cat[v:v + 768] for v in range(8)])
+
+
 @functools.lru_cache(maxsize=8)
 def _sync_tables(pattern_key, n_pos: int) -> tuple[np.ndarray, float]:
-    """8 sublane-shifted copies of the banded sync matrix
+    """Lane-cat (8, 768, 256) copies of the banded sync matrix
     T[u+383, k] = sync_pat[u - k] for k in [0, n_pos): Mosaic requires
     dynamic sublane slice starts provably divisible by 8, so slice
     copy v = start % 8 at the 8-aligned start - v.  The window-energy
@@ -117,19 +136,18 @@ def _sync_tables(pattern_key, n_pos: int) -> tuple[np.ndarray, float]:
             j = u - k
             if 0 <= j < w:
                 orig[u + 383, k] = sp[j]
-    t8 = np.stack([orig[v:v + 1151] for v in range(8)])
     se = float(np.sqrt(np.sum(sp.astype(np.float64) ** 2)))
-    return t8, se
+    return _cat8(orig), se
 
 
 @functools.lru_cache(maxsize=2)
 def _body_table() -> np.ndarray:
-    """8 shifted copies of Tb[u+383, m] = v6[u - 6m] for u in [0, 384),
-    m in [0, 64): bit m of a 64-bit row is sign(first-half sum -
-    second-half sum) of the 6 samples at offset 6m
-    (line_coding.rs:93-123); the slices Tb[383-o : 767-o] /
-    Tb[767-o : 1151-o] absorb the frame's sample offset o within its
-    DMA row."""
+    """Lane-cat (8, 768, 256) copies of Tb[u+383, m] = v6[u - 6m] for
+    u in [0, 384), m in [0, 64): bit m of a 64-bit row is
+    sign(first-half sum - second-half sum) of the 6 samples at offset
+    6m (line_coding.rs:93-123); the 384-row slice at 383 - o absorbs
+    the frame's sample offset o within its DMA row, lanes 128:256
+    carrying the next-row band."""
     v6 = np.array([1, 1, 1, -1, -1, -1], np.float32)
     orig = np.zeros((1159, 128), np.float32)
     for u in range(0, 384):
@@ -137,7 +155,7 @@ def _body_table() -> np.ndarray:
             j = u - 6 * m
             if 0 <= j < 6:
                 orig[u + 383, m] = v6[j]
-    return np.stack([orig[v:v + 1151] for v in range(8)])
+    return _cat8(orig)
 
 
 @functools.lru_cache(maxsize=2)
@@ -176,8 +194,10 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
             xw.at[slot], sem.at[slot])
 
     def tslice(tref, start):
-        """384-row slice of the band table at an arbitrary start, via
-        the (start % 8)-shifted copy + an 8-aligned slice."""
+        """384-row slice of the lane-cat band table at an arbitrary
+        start, via the (start % 8)-shifted copy + an 8-aligned slice:
+        [A | B] with A = band rows [start, start+384) in lanes 0:128
+        and B = the +384-shifted band in lanes 128:256 (see _cat8)."""
         v = start % 8
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
@@ -214,18 +234,20 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
             return jnp.dot(sel, xw[slot],
                            preferred_element_type=jnp.float32)
 
-        # ---- sync refine: 13 sliding sync-word dots as banded matmuls
-        a_s = tslice(t8_ref, 383 - q)
-        b_s = tslice(t8_ref, 767 - q)
+        # ---- sync refine: 13 sliding sync-word dots as ONE banded
+        # matmul per quantity against the lane-cat [A | B] table slice
+        # — the a+b split-sum form paid 4 matmul issues per candidate,
+        # and issue latency, not FLOPs, dominates this kernel (a
+        # bf16-precision A/B moved phase_a by <2%, r4).  The two
+        # output halves combine with an offset-1-row add (the only
+        # merge epilogue Mosaic compiles, tools/exp_offset_add.py).
+        ts = tslice(t8_ref, 383 - q)            # (384, 256) = [A | B]
         x01 = rowsel(ro, 2, 8)
-        x0 = x01[0:1, :]
-        x1 = x01[1:2, :]
-        dot = (jnp.dot(x0, a_s, preferred_element_type=jnp.float32)
-               + jnp.dot(x1, b_s, preferred_element_type=jnp.float32))
-        en = (jnp.dot(x0 * x0, a_s * a_s,
+        o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
+        o_e = jnp.dot(x01 * x01, ts * ts,
                       preferred_element_type=jnp.float32)
-              + jnp.dot(x1 * x1, b_s * b_s,
-                        preferred_element_type=jnp.float32))
+        dot = o_d[0:1, 0:128] + o_d[1:2, 128:256]
+        en = o_e[0:1, 0:128] + o_e[1:2, 128:256]
         posk = base + lane
         validk = (lane < 13) & (posk <= vlen - 48)
         cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
@@ -234,17 +256,16 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         bestpos = jnp.where(jnp.max(cc) > -1.0, base + best, i_c + 48)
         fs = bestpos + 48
 
-        # ---- body decode: 34 rows x 64 bits as two banded matmuls
+        # ---- body decode: 34 rows x 64 bits as ONE banded matmul
+        # against the lane-cat [A | B] body-table slice, output halves
+        # combined by the offset-1-row add
         off = fs - (base // DROW) * DROW        # in [48, 493)
         r0b = off // DROW                       # 0 or 1
         o2 = off % DROW
-        a_b = tslice(tb8_ref, 383 - o2)
-        b_b = tslice(tb8_ref, 767 - o2)
+        tb = tslice(tb8_ref, 383 - o2)          # (384, 256)
         xsh = rowsel(ro + r0b, BROWS + 1, 10)   # rows [ro+r0b, +35)
-        d = (jnp.dot(xsh[0:BROWS, :], a_b,
-                     preferred_element_type=jnp.float32)
-             + jnp.dot(xsh[1:BROWS + 1, :], b_b,
-                       preferred_element_type=jnp.float32))
+        o_b = jnp.dot(xsh, tb, preferred_element_type=jnp.float32)
+        d = o_b[0:BROWS, 0:128] + o_b[1:BROWS + 1, 128:256]
         bits = (d <= 0.0).astype(jnp.float32)   # bit=1 iff 2nd half larger
         byte_blk = jnp.dot(bits, w_ref[:, :],
                            preferred_element_type=jnp.float32)  # (34, 128)
@@ -293,6 +314,25 @@ def _level_mats() -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=2)
+def _level_mats_cat() -> np.ndarray:
+    """[MA | MB] lane-concatenated, (3, 384, 256): feeds the
+    single-matmul level-sum form (matmul ISSUES per candidate dominate
+    the attempt kernels, not FLOPs), output halves combined by the
+    offset-1-row add."""
+    ma, mb = _level_mats()
+    return np.concatenate([ma, mb], axis=2)
+
+
+@functools.lru_cache(maxsize=2)
+def _sym_mats_256() -> np.ndarray:
+    """[W5 | Z5] side by side, (640, 256): one matmul yields the
+    symbol values (cols 0..127 against the transition rows) and the
+    zero-level counts (cols 128..255 against the zero rows)."""
+    w5, z5 = _sym_mats()
+    return np.concatenate([w5, z5], axis=1)
+
+
+@functools.lru_cache(maxsize=2)
 def _sym_mats() -> tuple[np.ndarray, np.ndarray]:
     """W5[5m+j, m] = 2^(4-j): packs 5 transition bits into the symbol
     value; Z5: 0/1 ones band (zero-level count per symbol)."""
@@ -306,7 +346,7 @@ def _sym_mats() -> tuple[np.ndarray, np.ndarray]:
 
 
 def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
-                         ma_ref, mb_ref, w5_ref, z5_ref, out_ref, xw, sem,
+                         mab_ref, w5z5_ref, out_ref, xw, sem,
                          *, n_cand: int, t_max: int, sync_e: float,
                          shared_x: bool = False):
     b = pl.program_id(0)
@@ -330,6 +370,7 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
             xw.at[slot], sem.at[slot])
 
     def tslice(tref, start):
+        # 384-row lane-cat [A | B] band slice (see _attempt_kernel)
         v = start % 8
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
@@ -361,18 +402,17 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
             return jnp.dot(sel, xw[slot],
                            preferred_element_type=jnp.float32)
 
-        # ---- sync refine: 31 sliding 30-sample dots, banded matmuls
-        a_s = tslice(t8_ref, 383 - q0)
-        b_s = tslice(t8_ref, 767 - q0)
+        # ---- sync refine: 31 sliding 30-sample dots as ONE banded
+        # matmul per quantity against the lane-cat [A | B] table slice
+        # (matmul issues per candidate dominate, not FLOPs — see
+        # _attempt_kernel), output halves combined by the offset-row add
+        ts = tslice(t8_ref, 383 - q0)           # (384, 256)
         x01 = rowsel(ro, 2, 8)
-        x0 = x01[0:1, :]
-        x1 = x01[1:2, :]
-        dot = (jnp.dot(x0, a_s, preferred_element_type=jnp.float32)
-               + jnp.dot(x1, b_s, preferred_element_type=jnp.float32))
-        en = (jnp.dot(x0 * x0, a_s * a_s,
+        o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
+        o_e = jnp.dot(x01 * x01, ts * ts,
                       preferred_element_type=jnp.float32)
-              + jnp.dot(x1 * x1, b_s * b_s,
-                        preferred_element_type=jnp.float32))
+        dot = o_d[0:1, 0:128] + o_d[1:2, 128:256]
+        en = o_e[0:1, 0:128] + o_e[1:2, 128:256]
         posk = base + lane
         validk = (lane < 31) & (posk <= vlen - 30)
         cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
@@ -381,17 +421,16 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         bestpos = jnp.where(jnp.max(cc) > -1.0, base + best, i_c + 30)
         fs = bestpos + 30
 
-        # ---- level sums for the whole slab at the frame's sample phase
+        # ---- level sums for the whole slab at the frame's sample
+        # phase: ONE matmul against the lane-cat [MA | MB] table,
+        # output halves combined by the offset-1-row add
         oo = fs - (base // DROW // 8) * 8 * DROW  # offset within slab
         p = oo % 3
-        ma = jnp.where(p == 0, ma_ref[0], jnp.where(p == 1, ma_ref[1],
-                                                    ma_ref[2]))
-        mb = jnp.where(p == 0, mb_ref[0], jnp.where(p == 1, mb_ref[1],
-                                                    mb_ref[2]))
-        lv_all = (jnp.dot(xw[slot, 0:NR4 - 1, :], ma,
-                          preferred_element_type=jnp.float32)
-                  + jnp.dot(xw[slot, 1:NR4, :], mb,
-                            preferred_element_type=jnp.float32))
+        mab = jnp.where(p == 0, mab_ref[0],
+                        jnp.where(p == 1, mab_ref[1], mab_ref[2]))
+        o_l = jnp.dot(xw[slot], mab,
+                      preferred_element_type=jnp.float32)  # (NR4, 256)
+        lv_all = o_l[0:NR4 - 1, 0:128] + o_l[1:NR4, 128:256]
         # level j of slab row k is global level 128k + j - ql, with the
         # frame's level 0 at row ro2 lane ql
         ro2 = oo // DROW
@@ -407,14 +446,17 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
                            preferred_element_type=jnp.float32)
 
         lsel = lrowsel(ro2, 32, 10)            # (32, 128)
-        ar = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        ac = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        s1 = (ar == ac + ql).astype(jnp.float32)
-        s2 = (ar == ac + ql - 128).astype(jnp.float32)
-        lal = (jnp.dot(lsel[0:31, :], s1,
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(lsel[1:32, :], s2,
-                         preferred_element_type=jnp.float32))  # (31,128)
+        # lane-cat realign one-hot [S1 | S2]: lanes 0..127 realize the
+        # s1 shift (r == c + ql), lanes 128..255 the s2 shift
+        # (r == c - 128 + ql - 128) — one iota compare + ONE matmul
+        # replace the s1/s2 pair, halves combined by the offset-row add
+        ar2 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+        ac2 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 1)
+        s12 = (ar2 == (ac2 % 128) + ql
+               - 128 * (ac2 // 128)).astype(jnp.float32)
+        o_r = jnp.dot(lsel[0:32, :], s12,
+                      preferred_element_type=jnp.float32)      # (32,256)
+        lal = o_r[0:31, 0:128] + o_r[1:32, 128:256]            # (31,128)
         lflat = lal[0:30, :].reshape(1, 30 * 128)   # (1, 3840)
 
         # ---- NRZI transitions (optimistic: prev = previous level);
@@ -427,11 +469,15 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         nz = (jnp.abs(lflat) <= 4e-6).astype(jnp.float32).reshape(
             LROWS, 640)
 
-        # ---- symbols, validity, nibbles (table-free 4B5B inverse)
-        sym = jnp.dot(tr, w5_ref[:, :],
-                      preferred_element_type=jnp.float32)    # (6, 128)
-        zc = jnp.dot(nz, z5_ref[:, :],
-                     preferred_element_type=jnp.float32)
+        # ---- symbols, validity, nibbles (table-free 4B5B inverse);
+        # [tr; nz] against the side-by-side [W5 | Z5] table: one call
+        # (the off-diagonal blocks are computed and discarded — 2x the
+        # FLOPs of the pair, half the matmul issues, and issues win)
+        symzc = jnp.dot(jnp.concatenate([tr, nz], axis=0),
+                        w5z5_ref[:, :],
+                        preferred_element_type=jnp.float32)  # (12, 256)
+        sym = symzc[0:LROWS, 0:128]
+        zc = symzc[LROWS:2 * LROWS, 128:256]
         nib = jnp.zeros((LROWS, 128), jnp.float32)
         ok = jnp.zeros((LROWS, 128), jnp.float32)
         for nv_, code in enumerate(line_coding.FOURB_FIVEB_ENCODE):
@@ -907,13 +953,13 @@ def _spec_phase_a(
         hdr_valid = jnp.ones_like(dlen, bool)
         nonconf = jnp.zeros_like(dlen, bool)
     else:
-        ma_np, mb_np = _level_mats()
-        w5_np, z5_np = _sym_mats()
+        mab_np = _level_mats_cat()
+        w5z5_np = _sym_mats_256()
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_specs=pl.BlockSpec(
                 (1, n_cand, BROWS4, 128), lambda bb, *_: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM),
@@ -936,8 +982,7 @@ def _spec_phase_a(
                 bytes_accessed=4 * b * n_cand * NR4 * DROW),
             interpret=interpret,
         )(cand, vlens, n_valid.astype(jnp.int32), x384,
-          jnp.asarray(t8_np), jnp.asarray(ma_np), jnp.asarray(mb_np),
-          jnp.asarray(w5_np), jnp.asarray(z5_np))
+          jnp.asarray(t8_np), jnp.asarray(mab_np), jnp.asarray(w5z5_np))
 
         g = out_cm                        # (b, n_cand, BROWS4, 128)
         # only the first 5 of LROWS=6 symbol rows (640 symbols) can
