@@ -358,8 +358,12 @@ def pallas_xcorr_hits_batched(
     lag-tile) 2-D grid.  Returns ``rows[B, ceil(T'/128), 16]`` with the
     same per-row contract as :func:`pallas_xcorr_hits` (emit_corr=False
     form).  Decision-identical to the vmapped 1-capture kernel
-    (pinned by tests/test_pallas_xcorr.py) but ~3x faster at batch 32:
-    the per-grid-step fixed cost is paid once per `bc` captures."""
+    (pinned by tests/test_pallas_xcorr.py).  MEASURED SLOWER than the
+    vmapped kernel on the flagship shape (1.14 vs 2.40 ms at batch 32,
+    tools/prof_xcorr_b.py r4 sweep — Mosaic schedules many small steps
+    better than a bc-unrolled body), so the decode path uses the
+    vmapped form; kept for shapes where the per-step fixed cost
+    dominates (short captures, tiny batches)."""
     assert rpb <= 4
     pattern = np.asarray(pattern, np.float32)
     l = len(pattern)
