@@ -510,7 +510,13 @@ def bench_latency(cfg, rng):
         p = (i + 1) * step
         wave[p:p + len(w)] = w
         arrival[i] = (p + len(w)) // chunk
-    wave += rng.normal(0, 0.03, total).astype(np.float32)
+    # noise floor must sit BELOW the pipeline's energy gate (0.05) or
+    # the channel is never quiet, bursts never close, and every frame
+    # waits for flush() (r4: sigma=0.03 put 9.5% of noise samples over
+    # the gate and the row measured nothing).  sigma=0.01 is the
+    # operating point the energy-gated segmenter is FOR: a mostly-idle
+    # CSMA channel with bounded background noise.
+    wave += rng.normal(0, 0.01, total).astype(np.float32)
 
     # RTT probe: a no-op jit round trip (median of 5)
     noop = jax.jit(lambda v: v + 1.0)
@@ -541,6 +547,8 @@ def bench_latency(cfg, rng):
     got += len(pipe.flush())
     if got != n_frames:
         return None, f"latency gate failed: {got}/{n_frames} frames"
+    if not lat:
+        return None, "latency gate failed: no frame emitted before flush"
     lat.sort()
     return {
         "p50": round(lat[len(lat) // 2], 1),

@@ -121,23 +121,32 @@ def _cat8(orig: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _sync_tables(pattern_key, n_pos: int) -> tuple[np.ndarray, float]:
-    """Lane-cat (8, 768, 256) copies of the banded sync matrix
+    """Lane-cat (8, 768, 128) copies of the banded sync matrix
     T[u+383, k] = sync_pat[u - k] for k in [0, n_pos): Mosaic requires
     dynamic sublane slice starts provably divisible by 8, so slice
-    copy v = start % 8 at the 8-aligned start - v.  The window-energy
-    band is T*T elementwise (the patterns are exactly +-1), so no
-    separate energy table is needed."""
+    copy v = start % 8 at the 8-aligned start - v.  Because n_pos <= 64
+    (margins are 6/15), the [A | B] halves fit ONE 128-lane table —
+    A's positions in lanes 0:64, the +384-row band B in lanes 64:128 —
+    half the VMEM of the 256-lane form (the blocked 600 s program blew
+    the 16 MB scoped-vmem limit by 1.34 MB with both tables at 256
+    lanes, r4).  The window-energy band is T*T elementwise (the
+    patterns are exactly +-1), so no separate energy table is
+    needed."""
     sp = np.asarray(pattern_key, np.float32)
     assert np.all(np.abs(sp) == 1.0)
+    assert n_pos <= 64
     w = len(sp)
-    orig = np.zeros((1159, 128), np.float32)
+    orig = np.zeros((1159, 64), np.float32)
     for u in range(0, w + n_pos):
         for k in range(n_pos):
             j = u - k
             if 0 <= j < w:
                 orig[u + 383, k] = sp[j]
+    cat = np.zeros((776, 128), np.float32)
+    cat[:, 0:64] = orig[:776]
+    cat[:1159 - 384, 64:128] = orig[384:]
     se = float(np.sqrt(np.sum(sp.astype(np.float64) ** 2)))
-    return _cat8(orig), se
+    return np.stack([cat[v:v + 768] for v in range(8)]), se
 
 
 @functools.lru_cache(maxsize=2)
@@ -177,7 +186,6 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
     #                             (block) reads the one shared buffer
     vlen = vlen_ref[b]
     nv = jnp.minimum(nval_ref[b], n_cand)  # skip the 2^30 fill slots
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def base_of(c):
         pos = cand_ref[b, c]
@@ -239,17 +247,19 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         # — the a+b split-sum form paid 4 matmul issues per candidate,
         # and issue latency, not FLOPs, dominates this kernel (a
         # bf16-precision A/B moved phase_a by <2%, r4).  The two
-        # output halves combine with an offset-1-row add (the only
-        # merge epilogue Mosaic compiles, tools/exp_offset_add.py).
-        ts = tslice(t8_ref, 383 - q)            # (384, 256) = [A | B]
+        # output halves (64-lane: n_pos <= 64, see _sync_tables) merge
+        # with an offset-1-row add (the only merge epilogue Mosaic
+        # compiles, tools/exp_offset_add.py).
+        ts = tslice(t8_ref, 383 - q)            # (384, 128) = [A | B]
         x01 = rowsel(ro, 2, 8)
         o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
         o_e = jnp.dot(x01 * x01, ts * ts,
                       preferred_element_type=jnp.float32)
-        dot = o_d[0:1, 0:128] + o_d[1:2, 128:256]
-        en = o_e[0:1, 0:128] + o_e[1:2, 128:256]
-        posk = base + lane
-        validk = (lane < 13) & (posk <= vlen - 48)
+        dot = o_d[0:1, 0:64] + o_d[1:2, 64:128]
+        en = o_e[0:1, 0:64] + o_e[1:2, 64:128]
+        lane64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+        posk = base + lane64
+        validk = (lane64 < 13) & (posk <= vlen - 48)
         cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
         cc = jnp.where(validk, cc, -jnp.inf)
         best = jnp.argmax(cc).astype(jnp.int32)
@@ -353,7 +363,6 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
     bx = 0 if shared_x else b
     vlen = vlen_ref[b]
     nv = jnp.minimum(nval_ref[b], n_cand)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def base_of(c):
         pos = cand_ref[b, c]
@@ -404,17 +413,19 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
 
         # ---- sync refine: 31 sliding 30-sample dots as ONE banded
         # matmul per quantity against the lane-cat [A | B] table slice
-        # (matmul issues per candidate dominate, not FLOPs — see
-        # _attempt_kernel), output halves combined by the offset-row add
-        ts = tslice(t8_ref, 383 - q0)           # (384, 256)
+        # (64-lane halves, see _sync_tables; matmul issues per
+        # candidate dominate, not FLOPs — see _attempt_kernel), output
+        # halves combined by the offset-row add
+        ts = tslice(t8_ref, 383 - q0)           # (384, 128)
         x01 = rowsel(ro, 2, 8)
         o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
         o_e = jnp.dot(x01 * x01, ts * ts,
                       preferred_element_type=jnp.float32)
-        dot = o_d[0:1, 0:128] + o_d[1:2, 128:256]
-        en = o_e[0:1, 0:128] + o_e[1:2, 128:256]
-        posk = base + lane
-        validk = (lane < 31) & (posk <= vlen - 30)
+        dot = o_d[0:1, 0:64] + o_d[1:2, 64:128]
+        en = o_e[0:1, 0:64] + o_e[1:2, 64:128]
+        lane64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+        posk = base + lane64
+        validk = (lane64 < 31) & (posk <= vlen - 30)
         cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
         cc = jnp.where(validk, cc, -jnp.inf)
         best = jnp.argmax(cc).astype(jnp.int32)
@@ -701,7 +712,7 @@ def _pick_i32(vals: jax.Array, valid: jax.Array,
 
 
 def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
-                      group: int = 16, s1: int = 8):
+                      group: int = 32, s1: int = 16):
     """(cand, corr_at_cand, n_valid, overflow) from the xcorr kernel's
     fused per-128-lag-row hit extraction (sync/pallas_xcorr.py:
     pallas_xcorr_hits) — the same candidate contract as
@@ -710,10 +721,13 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     rank-compacts the survivors globally.  The flat single-stage form
     built a (B, R*rpb, n_cand) one-hot — 222 MB of f32 traffic on the
     flagship shape, ~0.6 ms of the 3.6 ms decode (tools/prof_fused.py
-    r4); the two-stage form touches ~5x less.  Overflow adds one
-    condition — more than `s1` extracted hits inside one
-    group*128-lag span (2048 lags = 43 ms of audio at the defaults) —
-    conservative like the others: flagged captures re-decode exactly.
+    r4); the two-stage form touches ~5x less.  (group=32, s1=16) won
+    the on-chip sweep (tools/exp_extract_group.py: 0.248 ms vs 0.328
+    at the old 16/8, with the same hit-density cap over a 2x span —
+    strictly safer for clustered hits).  Overflow adds one condition —
+    more than `s1` extracted hits inside one group*128-lag span
+    (4096 lags = 85 ms of audio at the defaults) — conservative like
+    the others: flagged captures re-decode exactly.
     Position compaction uses 16-bit-halves einsums (integer-exact past
     2^24, where flat 600 s captures live)."""
     lead = rows.shape[:-2]
