@@ -130,28 +130,39 @@ def viterbi_decode(received: jax.Array, n_bits: int,
     if not soft:
         r = 2.0 * r - 1.0  # map to ±1
 
-    pred = jnp.asarray(_PRED)            # (64, 2)
     pout = jnp.asarray(_POUT, jnp.float32) * 2.0 - 1.0  # (64, 2, 2) ±1
-    pbit = jnp.asarray(_PBIT)
 
     big = jnp.float32(1e9)
     init = jnp.full((NSTATES,), -big).at[0].set(0.0)
 
+    # GATHER-FREE add-compare-select: the shift-register trellis is a
+    # butterfly — state s's two predecessors are 2(s % 32) and
+    # 2(s % 32) + 1 (verified against _PRED), so metrics[_PRED] is
+    # jnp.tile(m.reshape(32, 2), (2, 1)).  The metrics[pred] gather
+    # this replaces was the scan's cost on TPU: 43.4 -> 23.8 us/frame
+    # at batch 64, and unroll=8 amortizes the remaining per-step
+    # overhead to 17.5 us/frame (2.5x total, r4 on-chip A/B).
     def step(metrics, rt):
         # branch metric = correlation with expected ±1 outputs
         bm = pout[:, :, 0] * rt[0] + pout[:, :, 1] * rt[1]   # (64, 2)
-        cand = metrics[pred] + bm                            # (64, 2)
-        choice = jnp.argmax(cand, axis=1)                    # (64,)
+        cand = jnp.tile(metrics.reshape(32, 2), (2, 1)) + bm  # (64, 2)
+        choice = cand[:, 1] > cand[:, 0]   # ties -> 0, like argmax
         new = jnp.max(cand, axis=1)
-        return new, choice.astype(jnp.uint8)
+        return new, choice
 
-    final, choices = jax.lax.scan(step, init, r)             # (T, 64)
+    final, choices = jax.lax.scan(step, init, r, unroll=8)   # (T, 64)
 
-    # traceback from state 0 (flushed)
+    # traceback from state 0 (flushed); choice lookup via a one-hot
+    # sum (a per-step dynamic index is a gather under vmap), and the
+    # predecessor/input-bit tables collapse to arithmetic:
+    # _PRED[s, c] = 2 (s % 32) + c, _PBIT[s] = s >> 5.
+    sts = jnp.arange(NSTATES)
+
     def back(state, ch_t):
-        p = pred[state, ch_t[state]]
-        bit = pbit[state]
-        return p, bit
+        c = jnp.sum(jnp.where(sts == state, ch_t, False)
+                    .astype(jnp.int32))
+        return 2 * (state % 32) + c, (state >> 5).astype(jnp.uint8)
 
-    _, bits_rev = jax.lax.scan(back, jnp.int32(0), choices, reverse=True)
+    _, bits_rev = jax.lax.scan(back, jnp.int32(0), choices,
+                               reverse=True, unroll=8)
     return bits_rev.astype(jnp.uint8)[:n_bits]
