@@ -83,7 +83,8 @@ for coding in (MANCHESTER, FOUR_B_FIVE_B):
             if masked(spec, b) != masked(exact, b):
                 mismatch += 1
                 print("MISMATCH", coding, seed, b)
-        if time.time() - t0 > 380: break
+        if time.time() - t0 > float(os.environ.get(
+                "TM_SOAK_BUDGET", "380")): break
 print(f"spec-vs-exact: {trials} captures, {fallbacks} conformance fallbacks, {mismatch} mismatches")
 
 # forced-fallback campaign: zero out one body level per frame so the
