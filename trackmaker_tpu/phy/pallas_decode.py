@@ -437,8 +437,10 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
         # output halves combined by the offset-1-row add
         oo = fs - (base // DROW // 8) * 8 * DROW  # offset within slab
         p = oo % 3
-        mab = jnp.where(p == 0, mab_ref[0],
-                        jnp.where(p == 1, mab_ref[1], mab_ref[2]))
+        # dynamic index on the UNTILED leading dim is an address
+        # offset (like the tslice copies) — the where-select pair it
+        # replaces materialized a (384, 256) table copy per candidate
+        mab = mab_ref[p]
         o_l = jnp.dot(xw[slot], mab,
                       preferred_element_type=jnp.float32)  # (NR4, 256)
         lv_all = o_l[0:NR4 - 1, 0:128] + o_l[1:NR4, 128:256]
@@ -489,12 +491,28 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
                         preferred_element_type=jnp.float32)  # (12, 256)
         sym = symzc[0:LROWS, 0:128]
         zc = symzc[LROWS:2 * LROWS, 128:256]
-        nib = jnp.zeros((LROWS, 128), jnp.float32)
-        ok = jnp.zeros((LROWS, 128), jnp.float32)
+        # symbol -> (nibble, valid) as mask-shifts: the 5-bit symbol
+        # indexes five 32-bit constants (validity + one per nibble
+        # bit), so the whole inverse is 5 variable-amount shifts — the
+        # 16-code compare loop it replaces was ~48 small VPU ops per
+        # candidate, and op COUNT (sequencer throughput) is this
+        # kernel's floor (tools/exp_attempt_tiles.py).  Codes are
+        # <= 30, so every mask is a positive int32.
+        okm = 0
+        nibm = [0, 0, 0, 0]
         for nv_, code in enumerate(line_coding.FOURB_FIVEB_ENCODE):
-            m = (sym == float(code)).astype(jnp.float32)
-            nib = nib + m * float(nv_)
-            ok = ok + m
+            okm |= 1 << int(code)
+            for bbit in range(4):
+                if (nv_ >> bbit) & 1:
+                    nibm[bbit] |= 1 << int(code)
+        symi = sym.astype(jnp.int32)            # exact values in [0,32)
+        ok_i = (jnp.int32(okm) >> symi) & 1
+        nib_i = ((jnp.int32(nibm[0]) >> symi) & 1) \
+            + (((jnp.int32(nibm[1]) >> symi) & 1) << 1) \
+            + (((jnp.int32(nibm[2]) >> symi) & 1) << 2) \
+            + (((jnp.int32(nibm[3]) >> symi) & 1) << 3)
+        ok = ok_i.astype(jnp.float32)
+        nib = nib_i.astype(jnp.float32)
 
         # ---- output block: nib rows 0-5, ok 6-11, zero 12-17, fs 18
         blk24 = jnp.concatenate(
@@ -878,10 +896,11 @@ def _spec_phase_a(
     from trackmaker_tpu.sync.pallas_xcorr import (
         pallas_xcorr_hits, pallas_xcorr_hits_batched)
     # lag-tile sweep (fused in-program timing, tools/prof_fused.py):
-    # 433k-sample rows measured 4.83/4.24/3.91/4.83 ms at blk
-    # 8k/16k/32k/64k, 275k rows 4.09/3.71/3.88/4.20 — 32k wins only
-    # once the per-row grid amortizes it (bf16 multiplicands neutral)
-    if t >= 400_000:
+    # r4 remeasure with the emit_corr=False hit kernel: 433k rows
+    # 1.86/1.17/1.04/1.96 ms at blk 8k/16k/32k/64k and 275k rows
+    # 1.26/0.78/0.60/1.32 — 32k wins from ~200k samples up (the r3
+    # sweep that favored 16k at 275k predates the fused epilogue)
+    if t >= 200_000:
         xc_blk = 32768
     elif t >= 131_072:
         xc_blk = 16384
