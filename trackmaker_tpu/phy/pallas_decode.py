@@ -65,6 +65,13 @@ import os as _os
 # previous candidates' compute.  Env-tunable for on-chip A/B.
 ATTEMPT_PIPE = max(2, int(_os.environ.get("TM_ATTEMPT_PIPE", "4")))
 
+# Sync-refine fold: the xcorr kernel computes the dense sync-word
+# correlation on its VMEM-resident tiles and refines each hit's frame
+# start in its epilogue, so the attempt kernels skip their per-candidate
+# refine (3 matmul issues + argmax chain — and their floor is op-issue
+# cost).  Module-level so tests can flip it; env-gated for on-chip A/B.
+SYNC_FOLD = _os.environ.get("TM_SYNC_FOLD", "1") == "1"
+
 from trackmaker_tpu.core import bitops
 from trackmaker_tpu.core.config import (
     FOUR_B_FIVE_B,
@@ -178,9 +185,17 @@ def _pack_table() -> np.ndarray:
     return w
 
 
-def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
-                    tb8_ref, w_ref, bytes_ref, xw, sem, *, n_cand: int,
-                    t_max: int, sync_e: float, shared_x: bool = False):
+def _attempt_kernel(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
+                    *rest, n_cand: int, t_max: int, sync_e: float,
+                    shared_x: bool = False, fold_sync: bool = False):
+    if fold_sync:
+        # refined frame starts arrive via fs_ref (computed by the
+        # xcorr kernel's fused refine) — no sync table, no in-kernel
+        # refine: the body starts straight at the frame decode
+        t8_ref = None
+        tb8_ref, w_ref, bytes_ref, xw, sem = rest
+    else:
+        t8_ref, tb8_ref, w_ref, bytes_ref, xw, sem = rest
     b = pl.program_id(0)
     bx = 0 if shared_x else b   # flat-capture mode: every grid step
     #                             (block) reads the one shared buffer
@@ -242,29 +257,38 @@ def _attempt_kernel(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
             return jnp.dot(sel, xw[slot],
                            preferred_element_type=jnp.float32)
 
-        # ---- sync refine: 13 sliding sync-word dots as ONE banded
-        # matmul per quantity against the lane-cat [A | B] table slice
-        # — the a+b split-sum form paid 4 matmul issues per candidate,
-        # and issue latency, not FLOPs, dominates this kernel (a
-        # bf16-precision A/B moved phase_a by <2%, r4).  The two
-        # output halves (64-lane: n_pos <= 64, see _sync_tables) merge
-        # with an offset-1-row add (the only merge epilogue Mosaic
-        # compiles, tools/exp_offset_add.py).
-        ts = tslice(t8_ref, 383 - q)            # (384, 128) = [A | B]
-        x01 = rowsel(ro, 2, 8)
-        o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
-        o_e = jnp.dot(x01 * x01, ts * ts,
-                      preferred_element_type=jnp.float32)
-        dot = o_d[0:1, 0:64] + o_d[1:2, 64:128]
-        en = o_e[0:1, 0:64] + o_e[1:2, 64:128]
-        lane64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
-        posk = base + lane64
-        validk = (lane64 < 13) & (posk <= vlen - 48)
-        cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
-        cc = jnp.where(validk, cc, -jnp.inf)
-        best = jnp.argmax(cc).astype(jnp.int32)
-        bestpos = jnp.where(jnp.max(cc) > -1.0, base + best, i_c + 48)
-        fs = bestpos + 48
+        if fold_sync:
+            # the xcorr kernel's fused refine already found fs
+            # (sync/pallas_xcorr.py:_xcorr_hits_refine_kernel) — this
+            # kernel's floor is op-issue cost (0.80 us/candidate, half
+            # sequencer), so dropping the 3 refine matmuls + argmax
+            # chain per candidate is the r4 candidate-cost lever
+            fs = fs_ref[b, c]
+        else:
+            # ---- sync refine: 13 sliding sync-word dots as ONE banded
+            # matmul per quantity against the lane-cat [A | B] table
+            # slice — the a+b split-sum form paid 4 matmul issues per
+            # candidate, and issue latency, not FLOPs, dominates this
+            # kernel (a bf16-precision A/B moved phase_a by <2%, r4).
+            # The two output halves (64-lane: n_pos <= 64, see
+            # _sync_tables) merge with an offset-1-row add (the only
+            # merge epilogue Mosaic compiles, tools/exp_offset_add.py).
+            ts = tslice(t8_ref, 383 - q)        # (384, 128) = [A | B]
+            x01 = rowsel(ro, 2, 8)
+            o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
+            o_e = jnp.dot(x01 * x01, ts * ts,
+                          preferred_element_type=jnp.float32)
+            dot = o_d[0:1, 0:64] + o_d[1:2, 64:128]
+            en = o_e[0:1, 0:64] + o_e[1:2, 64:128]
+            lane64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+            posk = base + lane64
+            validk = (lane64 < 13) & (posk <= vlen - 48)
+            cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
+            cc = jnp.where(validk, cc, -jnp.inf)
+            best = jnp.argmax(cc).astype(jnp.int32)
+            bestpos = jnp.where(jnp.max(cc) > -1.0, base + best,
+                                i_c + 48)
+            fs = bestpos + 48
 
         # ---- body decode: 34 rows x 64 bits as ONE banded matmul
         # against the lane-cat [A | B] body-table slice, output halves
@@ -355,10 +379,15 @@ def _sym_mats() -> tuple[np.ndarray, np.ndarray]:
     return w5, z5
 
 
-def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
-                         mab_ref, w5z5_ref, out_ref, xw, sem,
-                         *, n_cand: int, t_max: int, sync_e: float,
-                         shared_x: bool = False):
+def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
+                         *rest, n_cand: int, t_max: int, sync_e: float,
+                         shared_x: bool = False, fold_sync: bool = False):
+    if fold_sync:
+        t8_ref = None      # fs arrives refined via fs_ref (see
+        #                    _attempt_kernel) — no sync table needed
+        mab_ref, w5z5_ref, out_ref, xw, sem = rest
+    else:
+        t8_ref, mab_ref, w5z5_ref, out_ref, xw, sem = rest
     b = pl.program_id(0)
     bx = 0 if shared_x else b
     vlen = vlen_ref[b]
@@ -411,26 +440,32 @@ def _attempt_kernel_4b5b(cand_ref, vlen_ref, nval_ref, x384_ref, t8_ref,
             return jnp.dot(sel, xw[slot],
                            preferred_element_type=jnp.float32)
 
-        # ---- sync refine: 31 sliding 30-sample dots as ONE banded
-        # matmul per quantity against the lane-cat [A | B] table slice
-        # (64-lane halves, see _sync_tables; matmul issues per
-        # candidate dominate, not FLOPs — see _attempt_kernel), output
-        # halves combined by the offset-row add
-        ts = tslice(t8_ref, 383 - q0)           # (384, 128)
-        x01 = rowsel(ro, 2, 8)
-        o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
-        o_e = jnp.dot(x01 * x01, ts * ts,
-                      preferred_element_type=jnp.float32)
-        dot = o_d[0:1, 0:64] + o_d[1:2, 64:128]
-        en = o_e[0:1, 0:64] + o_e[1:2, 64:128]
-        lane64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
-        posk = base + lane64
-        validk = (lane64 < 31) & (posk <= vlen - 30)
-        cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
-        cc = jnp.where(validk, cc, -jnp.inf)
-        best = jnp.argmax(cc).astype(jnp.int32)
-        bestpos = jnp.where(jnp.max(cc) > -1.0, base + best, i_c + 30)
-        fs = bestpos + 30
+        if fold_sync:
+            fs = fs_ref[b, c]   # refined by the xcorr kernel's fused
+            #                     refine (see _attempt_kernel)
+        else:
+            # ---- sync refine: 31 sliding 30-sample dots as ONE
+            # banded matmul per quantity against the lane-cat [A | B]
+            # table slice (64-lane halves, see _sync_tables; matmul
+            # issues per candidate dominate, not FLOPs — see
+            # _attempt_kernel), output halves combined by the
+            # offset-row add
+            ts = tslice(t8_ref, 383 - q0)       # (384, 128)
+            x01 = rowsel(ro, 2, 8)
+            o_d = jnp.dot(x01, ts, preferred_element_type=jnp.float32)
+            o_e = jnp.dot(x01 * x01, ts * ts,
+                          preferred_element_type=jnp.float32)
+            dot = o_d[0:1, 0:64] + o_d[1:2, 64:128]
+            en = o_e[0:1, 0:64] + o_e[1:2, 64:128]
+            lane64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+            posk = base + lane64
+            validk = (lane64 < 31) & (posk <= vlen - 30)
+            cc = jnp.where(en > 1e-6, dot / (jnp.sqrt(en) * sync_e), 0.0)
+            cc = jnp.where(validk, cc, -jnp.inf)
+            best = jnp.argmax(cc).astype(jnp.int32)
+            bestpos = jnp.where(jnp.max(cc) > -1.0, base + best,
+                                i_c + 30)
+            fs = bestpos + 30
 
         # ---- level sums for the whole slab at the frame's sample
         # phase: ONE matmul against the lane-cat [MA | MB] table,
@@ -730,7 +765,8 @@ def _pick_i32(vals: jax.Array, valid: jax.Array,
 
 
 def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
-                      group: int = 32, s1: int = 16):
+                      group: int = 32, s1: int = 16,
+                      with_fs: bool = False):
     """(cand, corr_at_cand, n_valid, overflow) from the xcorr kernel's
     fused per-128-lag-row hit extraction (sync/pallas_xcorr.py:
     pallas_xcorr_hits) — the same candidate contract as
@@ -747,13 +783,17 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     (4096 lags = 85 ms of audio at the defaults) — conservative like
     the others: flagged captures re-decode exactly.
     Position compaction uses 16-bit-halves einsums (integer-exact past
-    2^24, where flat 600 s captures live)."""
+    2^24, where flat 600 s captures live).  ``with_fs=True`` parses the
+    refine-fold contract (pallas_xcorr_hits_refine): lanes
+    ``2*rpb+1..3*rpb`` carry each hit's refined frame start, compacted
+    alongside and returned as a fifth result."""
     lead = rows.shape[:-2]
     r = rows.shape[-2]
     starts = rows[..., :rpb]
     cvals = jax.lax.bitcast_convert_type(
         rows[..., rpb + 1:2 * rpb + 1], jnp.float32)
     counts = rows[..., rpb]
+    fvals = rows[..., 2 * rpb + 1:3 * rpb + 1] if with_fs else None
     ng = -(-r // group)
     pad_r = ng * group - r
     if pad_r:
@@ -762,6 +802,8 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
                          constant_values=_BIGI)
         cvals = jnp.pad(cvals, pc + [(0, pad_r), (0, 0)])
         counts = jnp.pad(counts, pc + [(0, pad_r)])
+        if with_fs:
+            fvals = jnp.pad(fvals, pc + [(0, pad_r), (0, 0)])
 
     # stage 1: per-group rank compaction to s1 slots
     sg = starts.reshape(*lead, ng, group * rpb)
@@ -774,6 +816,9 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     grp_n = jnp.sum(vg.astype(jnp.int32), axis=-1)
     s_c = _pick_i32(sg, vg, oh1)
     c_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, cg, 0.0), oh1)
+    if with_fs:
+        fg = fvals.reshape(*lead, ng, group * rpb)
+        f_c = _pick_i32(fg, vg, oh1)
     s_c = jnp.where(jnp.arange(s1) < grp_n[..., None], s_c, _BIGI)
 
     # stage 2: global rank compaction of the survivors
@@ -793,6 +838,9 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
                 | (jnp.sum(counts, axis=-1) > n_cand))
     cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
                      cand, _BIGI)
+    if with_fs:
+        fs_c = _pick_i32(f_c.reshape(*lead, ng * s1), valid, onehot)
+        return cand, corr_c, n_valid, overflow, fs_c
     return cand, corr_c, n_valid, overflow
 
 
@@ -894,7 +942,8 @@ def _spec_phase_a(
 
     from trackmaker_tpu import sync as sync_mod
     from trackmaker_tpu.sync.pallas_xcorr import (
-        pallas_xcorr_hits, pallas_xcorr_hits_batched)
+        pallas_xcorr_hits, pallas_xcorr_hits_batched,
+        pallas_xcorr_hits_refine)
     # lag-tile sweep (fused in-program timing, tools/prof_fused.py):
     # r4 remeasure with the emit_corr=False hit kernel: 433k rows
     # 1.86/1.17/1.04/1.96 ms at blk 8k/16k/32k/64k and 275k rows
@@ -906,7 +955,34 @@ def _spec_phase_a(
         xc_blk = 16384
     else:
         xc_blk = 8192
-    if flat_blocks is None:
+    fold = SYNC_FOLD
+    fs_cand = None
+    if fold:
+        # refine-fold path: hits + refined frame starts in one kernel
+        # (explicit (capture, lag-tile) grid so per-capture vlen rides
+        # scalar prefetch; i32 fs end-to-end, so flat captures past
+        # 2^24 samples never round fs through f32)
+        n_pos = 2 * cfg.sync_margin + 1
+        refine_kw = dict(
+            sync_off=cfg.preamble_len - cfg.sync_len - cfg.sync_margin,
+            n_pos=n_pos, sync_len=cfg.sync_len,
+            fall_off=cfg.preamble_len, blk=xc_blk,
+            interpret=interpret, use_bf16=sync_mod.bf16_enabled())
+        if flat_blocks is None:
+            rows = pallas_xcorr_hits_refine(
+                x, vlens, pre_np, sp, cfg.correlation_threshold,
+                **refine_kw)
+            cand, corr_cand, n_valid, overflow, fs_cand = \
+                _compact_hit_rows(rows, n_cand, with_fs=True)
+        else:
+            rows = pallas_xcorr_hits_refine(
+                x[None], vlens[:1], pre_np, sp,
+                cfg.correlation_threshold, **refine_kw)[0]
+            rows_b = rows[: n_blocks * (block // 128)].reshape(
+                n_blocks, block // 128, 16)
+            cand, corr_cand, n_valid, overflow, fs_cand = \
+                _compact_hit_rows(rows_b, n_cand, with_fs=True)
+    elif flat_blocks is None:
         # vmapped 1-capture kernel: measured FASTER than a batch-folded
         # (bc, lag-tile) 2-D grid (1.14 vs 2.40 ms at batch 32 —
         # tools/prof_xcorr_b.py r4 sweep; Mosaic schedules the many
@@ -927,6 +1003,8 @@ def _spec_phase_a(
             n_blocks, block // 128, 16)
         cand, corr_cand, n_valid, overflow = _compact_hit_rows(
             rows_b, n_cand)
+    if fs_cand is None:
+        fs_cand = jnp.zeros_like(cand)
 
     # row-shaped view for the kernel's slab DMAs; padded so any clipped
     # candidate's slab stays in bounds
@@ -941,14 +1019,11 @@ def _spec_phase_a(
     n_total = PHY_HEADER_BYTES + cfg.max_frame_bytes     # 263
     if manchester:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(b,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),     # x384
-                pl.BlockSpec(memory_space=pltpu.VMEM),    # t8 (sync)
-                pl.BlockSpec(memory_space=pltpu.VMEM),    # tb8 (body)
-                pl.BlockSpec(memory_space=pltpu.VMEM),    # pack
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]   # x384
+            # fold mode drops the sync table (t8)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 if fold else 3),
             out_specs=pl.BlockSpec(
                 (1, n_cand, BROWS, 128), lambda bb, *_: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM),
@@ -957,9 +1032,10 @@ def _spec_phase_a(
                 pltpu.SemaphoreType.DMA((ATTEMPT_PIPE,)),
             ],
         )
+        tables = [] if fold else [jnp.asarray(t8_np)]
         bytes_cm = pl.pallas_call(
             functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
-                              sync_e=sync_e,
+                              sync_e=sync_e, fold_sync=fold,
                               shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS, 128),
                                            jnp.float32),
@@ -970,14 +1046,17 @@ def _spec_phase_a(
                 transcendentals=0,
                 bytes_accessed=4 * b * n_cand * NR * DROW),
             interpret=interpret,
-        )(cand, vlens, n_valid.astype(jnp.int32), x384,
-          jnp.asarray(t8_np), jnp.asarray(_body_table()),
+        )(cand, fs_cand, vlens, n_valid.astype(jnp.int32), x384,
+          *tables, jnp.asarray(_body_table()),
           jnp.asarray(_pack_table()))
 
         grid8 = bytes_cm                      # (b, n_cand, BROWS, 128)
         byts_i = grid8[..., :8].reshape(
             b, n_cand, BROWS * 8).astype(jnp.int32)
-        fs = grid8[:, :, BROWS - 1, 8].astype(jnp.int32)
+        # fold mode: fs stays i32 end-to-end (the f32 stash rounds
+        # above 2^24 — flat 600 s captures reach 2^25)
+        fs = fs_cand if fold \
+            else grid8[:, :, BROWS - 1, 8].astype(jnp.int32)
         dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
         total_bits = (PHY_HEADER_BYTES + dlen) * 8
         total_samples = total_bits * 6
@@ -989,10 +1068,11 @@ def _spec_phase_a(
         mab_np = _level_mats_cat()
         w5z5_np = _sym_mats_256()
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(b,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (2 if fold else 3),
             out_specs=pl.BlockSpec(
                 (1, n_cand, BROWS4, 128), lambda bb, *_: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM),
@@ -1001,9 +1081,10 @@ def _spec_phase_a(
                 pltpu.SemaphoreType.DMA((ATTEMPT_PIPE,)),
             ],
         )
+        tables = [] if fold else [jnp.asarray(t8_np)]
         out_cm = pl.pallas_call(
             functools.partial(_attempt_kernel_4b5b, n_cand=n_cand,
-                              t_max=t, sync_e=sync_e,
+                              t_max=t, sync_e=sync_e, fold_sync=fold,
                               shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS4, 128),
                                            jnp.float32),
@@ -1014,8 +1095,8 @@ def _spec_phase_a(
                 transcendentals=0,
                 bytes_accessed=4 * b * n_cand * NR4 * DROW),
             interpret=interpret,
-        )(cand, vlens, n_valid.astype(jnp.int32), x384,
-          jnp.asarray(t8_np), jnp.asarray(mab_np), jnp.asarray(w5z5_np))
+        )(cand, fs_cand, vlens, n_valid.astype(jnp.int32), x384,
+          *tables, jnp.asarray(mab_np), jnp.asarray(w5z5_np))
 
         g = out_cm                        # (b, n_cand, BROWS4, 128)
         # only the first 5 of LROWS=6 symbol rows (640 symbols) can
@@ -1030,7 +1111,8 @@ def _spec_phase_a(
             b, n_cand, esyms) > 0
         zflag = g[:, :, 2 * LROWS:2 * LROWS + erows, :].reshape(
             b, n_cand, esyms) > 0
-        fs = g[:, :, 3 * LROWS, 0].astype(jnp.int32)
+        fs = fs_cand if fold \
+            else g[:, :, 3 * LROWS, 0].astype(jnp.int32)
 
         # valid-prefix rule (line_coding.rs:277-289): everything from
         # the first invalid symbol on is zero-filled

@@ -26,12 +26,25 @@ for the PHY preambles (L = 60..96, SEG = 256) the MXU shrugs.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Lag-tile grid steps are independent (each writes its own hit rows),
+# so declare the grid dim PARALLEL — lets Mosaic overlap steps instead
+# of strict sequencing.  Env-gated for on-chip A/B.
+_XC_PARALLEL = _os.environ.get("TM_XC_PAR", "1") == "1"
+
+
+def _xc_params(ndim: int = 1):
+    if not _XC_PARALLEL:
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=(pltpu.PARALLEL,) * ndim)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -273,12 +286,224 @@ def pallas_xcorr_hits(
         cost_estimate=pl.CostEstimate(
             flops=4 * t_pad * seg, transcendentals=0,
             bytes_accessed=4 * (t_pad + 2 * seg * 128)),
+        compiler_params=None if interpret else _xc_params(),
         interpret=interpret,
     )(x_rows, x_rows, jnp.asarray(pmat), jnp.asarray(emat))
     if emit_corr:
         corr, rows = outs
         return corr.reshape(-1)[: t - l + 1], rows
     return None, outs[0]
+
+
+def _xcorr_hits_refine_kernel(vlen_ref, x0_ref, x1_ref, pmat_ref,
+                              emat_ref, smat_ref, semat_ref, hits_ref,
+                              *, blk: int, seg: int, seg_s: int,
+                              inv_pe: float, sync_e: float, eps: float,
+                              threshold: float, n_lags: int, rpb: int,
+                              use_bf16: bool, sync_off: int, n_pos: int,
+                              sync_len: int, fall_off: int):
+    """:func:`_xcorr_hits_kernel` + a fused per-hit SYNC-WORD refine.
+
+    The speculative attempt kernels used to spend 3 matmul issues + an
+    argmax chain PER CANDIDATE refining the sync-word position
+    (decoder.rs:158-217) — and their floor is op-issue cost, not FLOPs
+    (0.80 us/candidate, half of it sequencer).  Here the sample tile is
+    already VMEM-resident, so the sync-pattern correlation is two more
+    banded matmuls on data the MXU is otherwise not using, and each
+    extracted hit's refine is a masked argmax over its
+    ``[pos+sync_off, pos+sync_off+n_pos)`` window — the refined frame
+    start rides the hit row (lanes ``2*rpb+1..3*rpb``) into candidate
+    compaction, and the attempt kernels start straight at body decode.
+
+    Decision parity with the in-attempt refine: same normalized-corr
+    formula (f32 ``sqrt`` division, NOT the dense path's ``rsqrt``
+    approximation), same ``> -1.0`` all-invalid fallback to
+    ``pos + fall_off``, same ascending-position tie-break, same
+    ``pos_k <= vlen - sync_len`` validity rule (``vlen`` is a
+    per-capture scalar-prefetch operand).  Sync matmuls stay f32 even
+    under ``use_bf16`` — the refine argmax feeds decode decisions.
+    """
+    nb = blk // 128
+    nch = seg // 128
+    nchs = seg_s // 128
+    vlen = vlen_ref[pl.program_id(0)]
+    r = jnp.concatenate([x0_ref[0], x1_ref[0, :nch]], axis=0)
+    sq = r * r
+    dot = jnp.zeros((nb, 128), jnp.float32)
+    energy = jnp.zeros((nb, 128), jnp.float32)
+    for k in range(nch):
+        rk = r[k:k + nb]
+        if use_bf16:
+            dot = dot + jnp.dot(
+                rk.astype(jnp.bfloat16),
+                pmat_ref[128 * k:128 * (k + 1), :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            energy = energy + jnp.dot(
+                sq[k:k + nb].astype(jnp.bfloat16),
+                emat_ref[128 * k:128 * (k + 1), :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            dot = dot + jnp.dot(
+                rk, pmat_ref[128 * k:128 * (k + 1), :],
+                preferred_element_type=jnp.float32)
+            energy = energy + jnp.dot(
+                sq[k:k + nb], emat_ref[128 * k:128 * (k + 1), :],
+                preferred_element_type=jnp.float32)
+    denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
+    corr = jnp.where(energy < eps, 0.0, dot * denom)
+
+    # dense sync-word corr with ONE extra row so refine windows of
+    # hits in the tile's last 128-lag row stay in-tile
+    sdot = jnp.zeros((nb + 1, 128), jnp.float32)
+    sen = jnp.zeros((nb + 1, 128), jnp.float32)
+    for k in range(nchs):
+        sdot = sdot + jnp.dot(
+            r[k:k + nb + 1], smat_ref[128 * k:128 * (k + 1), :],
+            preferred_element_type=jnp.float32)
+        sen = sen + jnp.dot(
+            sq[k:k + nb + 1], semat_ref[128 * k:128 * (k + 1), :],
+            preferred_element_type=jnp.float32)
+    base = pl.program_id(1) * blk
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (nb + 1, 128), 1)
+    rowi1 = jax.lax.broadcasted_iota(jnp.int32, (nb + 1, 128), 0)
+    lagp = base + rowi1 * 128 + lane1
+    scc = jnp.where(sen > 1e-6, sdot / (jnp.sqrt(sen) * sync_e), 0.0)
+    scc = jnp.where(lagp <= vlen - sync_len, scc, -jnp.inf)
+    sa = scc[0:nb]
+    sb = scc[1:nb + 1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+    pos = base + rowi * 128 + lane
+    hit = (corr >= threshold) & (pos < n_lags)
+    idxm = jnp.where(hit, lane, _BIGI)
+    row_base = base + jax.lax.broadcasted_iota(
+        jnp.int32, (nb, 1), 0) * 128
+    for k in range(rpb):
+        m = jnp.min(idxm, axis=1, keepdims=True)          # (nb, 1)
+        hits_ref[0, :, k:k + 1] = jnp.where(
+            m < _BIGI, row_base + m, _BIGI)
+        v = jnp.sum(jnp.where(lane == m, corr, 0.0), axis=1,
+                    keepdims=True)
+        hits_ref[0, :, rpb + 1 + k:rpb + 2 + k] = \
+            jax.lax.bitcast_convert_type(v, jnp.int32)
+        # per-hit sync refine over the row pair (window lanes reach
+        # 127 + sync_off + n_pos - 1 < 256); ties resolve to the
+        # lowest position, row a before row b
+        lo = m + sync_off
+        hi = lo + n_pos
+        wa = jnp.where((lane >= lo) & (lane < hi), sa, -jnp.inf)
+        wb = jnp.where((lane + 128 >= lo) & (lane + 128 < hi),
+                       sb, -jnp.inf)
+        ma_ = jnp.max(wa, axis=1, keepdims=True)
+        mb_ = jnp.max(wb, axis=1, keepdims=True)
+        ba = jnp.argmax(wa, axis=1)[:, None].astype(jnp.int32)
+        bb = jnp.argmax(wb, axis=1)[:, None].astype(jnp.int32) + 128
+        bm = jnp.maximum(ma_, mb_)
+        bl = jnp.where(ma_ >= mb_, ba, bb)
+        hits_ref[0, :, 2 * rpb + 1 + k:2 * rpb + 2 + k] = jnp.where(
+            bm > -1.0, row_base + bl + sync_len,
+            row_base + m + fall_off)
+        idxm = jnp.where(lane > m, idxm, _BIGI)
+    hits_ref[0, :, rpb:rpb + 1] = jnp.sum(
+        hit.astype(jnp.int32), axis=1, keepdims=True)
+    for k in range(3 * rpb + 1, 16):
+        hits_ref[0, :, k:k + 1] = jnp.zeros((nb, 1), jnp.int32)
+
+
+def pallas_xcorr_hits_refine(
+    samples: jax.Array,          # f32[B, T]
+    vlens: jax.Array,            # i32[B] valid lengths (refine rule)
+    pattern: np.ndarray,         # f32[L] preamble (host constant)
+    sync_pattern: np.ndarray,    # f32[W] sync word (host constant)
+    threshold: float,
+    *,
+    sync_off: int,               # refine window start rel. to the hit
+    n_pos: int,                  # refine window width (2*margin + 1)
+    sync_len: int,               # sync-word length W
+    fall_off: int,               # all-invalid fs fallback (preamble_len)
+    eps: float = 1e-6,
+    blk: int = 32768,
+    rpb: int = 4,
+    interpret: bool = False,
+    use_bf16: bool = False,
+) -> jax.Array:
+    """Batched hit extraction + fused per-hit sync refine.
+
+    Returns ``rows[B, ceil(T'/128), 16]`` — the
+    :func:`pallas_xcorr_hits` row contract plus lanes
+    ``2*rpb+1..3*rpb`` carrying each hit's REFINED frame-start
+    position (i32, exact — no f32 round-trip, so flat long captures
+    past 2^24 samples are safe).  Explicit (capture, lag-tile) grid
+    rather than vmap so ``vlens`` rides scalar prefetch."""
+    assert rpb <= 4
+    pattern = np.asarray(pattern, np.float32)
+    spat = np.asarray(sync_pattern, np.float32)
+    l = len(pattern)
+    b, t = samples.shape
+    seg = 128 + _round_up(max(l - 1, 1), 128)
+    seg_s = 128 + _round_up(max(len(spat) - 1, 1), 128)
+    assert seg_s <= seg, "sync word longer than preamble pattern"
+    assert 127 + sync_off + n_pos <= 256, "refine window exceeds row pair"
+    pmat, emat = _banded_mats(tuple(pattern.tolist()), seg)
+    smat, semat = _banded_mats(tuple(spat.tolist()), seg_s)
+    pe = float(np.sqrt(np.sum(pattern.astype(np.float64) ** 2)))
+    se = float(np.sqrt(np.sum(spat.astype(np.float64) ** 2)))
+
+    t_pad = _round_up(max(t, blk), blk)
+    grid = (b, t_pad // blk)
+    nb = blk // 128
+    nch = seg // 128
+    x_rows = jnp.pad(samples.astype(jnp.float32),
+                     ((0, 0), (0, t_pad + blk - t))).reshape(b, -1, 128)
+
+    nthin = _round_up(nch, 8)
+    if nb % nthin == 0:
+        kk = nb // nthin
+        x1_spec = pl.BlockSpec((1, nthin, 128),
+                               lambda ib, i, *_: (ib, (i + 1) * kk, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        x1_spec = pl.BlockSpec((1, nb, 128),
+                               lambda ib, i, *_: (ib, i + 1, 0),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, nb, 128), lambda ib, i, *_: (ib, i, 0),
+                         memory_space=pltpu.VMEM),
+            x1_spec,
+            pl.BlockSpec((seg, 128), lambda ib, i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, 128), lambda ib, i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_s, 128), lambda ib, i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_s, 128), lambda ib, i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nb, 16), lambda ib, i, *_: (ib, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    rows = pl.pallas_call(
+        functools.partial(_xcorr_hits_refine_kernel, blk=blk, seg=seg,
+                          seg_s=seg_s, inv_pe=1.0 / pe, sync_e=se,
+                          eps=eps, threshold=threshold,
+                          n_lags=t - l + 1, rpb=rpb, use_bf16=use_bf16,
+                          sync_off=sync_off, n_pos=n_pos,
+                          sync_len=sync_len, fall_off=fall_off),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad // 128, 16), jnp.int32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * t_pad * (seg + seg_s), transcendentals=0,
+            bytes_accessed=4 * (b * t_pad + 2 * (seg + seg_s) * 128)),
+        compiler_params=None if interpret else _xc_params(ndim=2),
+        interpret=interpret,
+    )(jnp.asarray(vlens, jnp.int32), x_rows, x_rows,
+      jnp.asarray(pmat), jnp.asarray(emat),
+      jnp.asarray(smat), jnp.asarray(semat))
+    return rows
 
 
 def _xcorr_hits_kernel_b(x0_ref, x1_ref, pmat_ref, emat_ref, hits_ref,
