@@ -72,6 +72,13 @@ ATTEMPT_PIPE = max(2, int(_os.environ.get("TM_ATTEMPT_PIPE", "4")))
 # cost).  Module-level so tests can flip it; env-gated for on-chip A/B.
 SYNC_FOLD = _os.environ.get("TM_SYNC_FOLD", "1") == "1"
 
+# Candidate pairing (Manchester, fold mode): process TWO candidates per
+# fori_loop iteration with a merged block-diagonal row-select and a
+# merged byte-pack matmul — halves loop-control cost and 2 of the 3
+# per-candidate matmul issues.  Needs ATTEMPT_PIPE >= 4 (two slots
+# consumed + two prefetching per iteration).  Env-gated for on-chip A/B.
+ATTEMPT_PAIR = _os.environ.get("TM_ATTEMPT_PAIR", "0") == "1"
+
 from trackmaker_tpu.core import bitops
 from trackmaker_tpu.core.config import (
     FOUR_B_FIVE_B,
@@ -187,7 +194,8 @@ def _pack_table() -> np.ndarray:
 
 def _attempt_kernel(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
                     *rest, n_cand: int, t_max: int, sync_e: float,
-                    shared_x: bool = False, fold_sync: bool = False):
+                    shared_x: bool = False, fold_sync: bool = False,
+                    pair: bool = False):
     if fold_sync:
         # refined frame starts arrive via fs_ref (computed by the
         # xcorr kernel's fused refine) — no sync table, no in-kernel
@@ -224,6 +232,79 @@ def _attempt_kernel(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         v = start % 8
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
+
+    if pair:
+        # ---- paired loop: two candidates per iteration.  Loop control
+        # and the row-select + byte-pack matmuls amortize over the
+        # pair; the body-table matmuls stay per-candidate (their table
+        # slices differ per frame offset, and Mosaic rejects the lane
+        # concat of two offset slices that would merge them).  The odd
+        # tail clamps c1 to nv-1 — a duplicate decode of the last
+        # candidate that stores identical data twice (slots stay keyed
+        # to LOOP POSITION so every consumed slot has exactly one DMA).
+        assert fold_sync and ATTEMPT_PIPE >= 4
+        h2 = 40                    # 8-aligned per-candidate row block
+        np2 = (nv + 1) // 2
+
+        @pl.when(nv > 0)
+        def _():
+            dma(0, 0).start()
+            dma(jnp.minimum(1, nv - 1), 1).start()
+
+        def pair_fn(ip, _):
+            c0 = 2 * ip
+            c1 = jnp.minimum(c0 + 1, nv - 1)
+            s0 = c0 % ATTEMPT_PIPE
+            s1 = (c0 + 1) % ATTEMPT_PIPE
+
+            @pl.when(ip + 1 < np2)
+            def _():
+                dma(jnp.minimum(c0 + 2, nv - 1),
+                    (c0 + 2) % ATTEMPT_PIPE).start()
+                dma(jnp.minimum(c0 + 3, nv - 1),
+                    (c0 + 3) % ATTEMPT_PIPE).start()
+
+            dma(c0, s0).wait()
+            dma(c1, s1).wait()
+            _, base0 = base_of(c0)
+            _, base1 = base_of(c1)
+            fs0 = fs_ref[b, c0]
+            fs1 = fs_ref[b, c1]
+            kk0 = (base0 // DROW) % 8 + (fs0 - (base0 // DROW) * DROW) // DROW
+            kk1 = (base1 // DROW) % 8 + (fs1 - (base1 // DROW) * DROW) // DROW
+            o20 = (fs0 - (base0 // DROW) * DROW) % DROW
+            o21 = (fs1 - (base1 // DROW) * DROW) % DROW
+
+            # merged block-diagonal row-select over both slabs: rows
+            # [0, h2) pick slab 0 rows kk0.., rows [h2, 2*h2) slab 1
+            # rows kk1.. (row r maps to xcat row r + off(r))
+            xcat = jnp.concatenate([xw[s0], xw[s1]], axis=0)  # (2NR,384)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * NR), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * NR), 1)
+            offv = jnp.where(ri < h2, kk0, NR - h2 + kk1)
+            sel = (ci == ri + offv).astype(jnp.float32)
+            xsh2 = jnp.dot(sel, xcat,
+                           preferred_element_type=jnp.float32)  # (80,384)
+
+            tb0 = tslice(tb8_ref, 383 - o20)
+            tb1 = tslice(tb8_ref, 383 - o21)
+            ob0 = jnp.dot(xsh2[0:BROWS + 1], tb0,
+                          preferred_element_type=jnp.float32)
+            ob1 = jnp.dot(xsh2[h2:h2 + BROWS + 1], tb1,
+                          preferred_element_type=jnp.float32)
+            d0 = ob0[0:BROWS, 0:128] + ob0[1:BROWS + 1, 128:256]
+            d1 = ob1[0:BROWS, 0:128] + ob1[1:BROWS + 1, 128:256]
+            zpad = jnp.zeros((h2 - BROWS, 128), jnp.float32)
+            bits = (jnp.concatenate([d0, zpad, d1, zpad], axis=0)
+                    <= 0.0).astype(jnp.float32)              # (80, 128)
+            byte2 = jnp.dot(bits, w_ref[:, :],
+                            preferred_element_type=jnp.float32)
+            bytes_ref[0, c0] = byte2[0:BROWS]
+            bytes_ref[0, c1] = byte2[h2:h2 + BROWS]
+            return 0
+
+        jax.lax.fori_loop(0, np2, pair_fn, 0)
+        return
 
     # ATTEMPT_PIPE-deep DMA pipeline (see the module constant)
     for i in range(ATTEMPT_PIPE - 1):
@@ -303,12 +384,15 @@ def _attempt_kernel(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         bits = (d <= 0.0).astype(jnp.float32)   # bit=1 iff 2nd half larger
         byte_blk = jnp.dot(bits, w_ref[:, :],
                            preferred_element_type=jnp.float32)  # (34, 128)
-        # lanes 0..7 hold the row's 8 bytes; stash fs at [33, 8] (exact
-        # in f32 for any T < 2^24; row 33 covers bytes 264.. > 263)
-        row_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 0)
-        lane_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 1)
-        byte_blk = jnp.where((row_id == BROWS - 1) & (lane_id == 8),
-                             fs.astype(jnp.float32), byte_blk)
+        if not fold_sync:
+            # lanes 0..7 hold the row's 8 bytes; stash fs at [33, 8]
+            # (exact in f32 for any T < 2^24; row 33 covers bytes
+            # 264.. > 263).  Fold mode skips the stash: the epilogue
+            # reads the i32 fs_cand directly.
+            row_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 0)
+            lane_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 1)
+            byte_blk = jnp.where((row_id == BROWS - 1) & (lane_id == 8),
+                                 fs.astype(jnp.float32), byte_blk)
         # 4-D out block: indexing the candidate on a leading (untiled)
         # dim keeps every store a full aligned (BROWS, 128) tile — the
         # old flat (n_cand*BROWS, 128) layout stored at dynamic sublane
@@ -553,10 +637,12 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         blk24 = jnp.concatenate(
             [nib, ok, (zc > 0).astype(jnp.float32),
              jnp.zeros((BROWS4 - 3 * LROWS, 128), jnp.float32)], axis=0)
-        r24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 0)
-        l24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 1)
-        blk24 = jnp.where((r24 == 3 * LROWS) & (l24 == 0),
-                          fs.astype(jnp.float32), blk24)
+        if not fold_sync:
+            # fold mode skips the fs stash (see _attempt_kernel)
+            r24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 0)
+            l24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 1)
+            blk24 = jnp.where((r24 == 3 * LROWS) & (l24 == 0),
+                              fs.astype(jnp.float32), blk24)
         # leading-dim candidate index: full aligned tile store (see
         # _attempt_kernel's bytes_ref note)
         out_ref[0, c] = blk24
@@ -1033,9 +1119,10 @@ def _spec_phase_a(
             ],
         )
         tables = [] if fold else [jnp.asarray(t8_np)]
+        pair = fold and ATTEMPT_PAIR and ATTEMPT_PIPE >= 4
         bytes_cm = pl.pallas_call(
             functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
-                              sync_e=sync_e, fold_sync=fold,
+                              sync_e=sync_e, fold_sync=fold, pair=pair,
                               shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS, 128),
                                            jnp.float32),
