@@ -110,12 +110,13 @@ def test_fold_capture_end_boundary(coding):
                 assert got == want, f"cut_back={cut_back}"
 
 
+@pytest.mark.parametrize("coding", [MANCHESTER, FOUR_B_FIVE_B])
 @pytest.mark.parametrize("n_frames", [0, 1, 3, 6])
-def test_pair_matches_single(n_frames):
+def test_pair_matches_single(n_frames, coding):
     """Paired attempt loop (two candidates per iteration, odd tail
     clamped) vs the single-candidate loop: identical decisions,
     including empty and odd candidate counts."""
-    cfg = PhyConfig()
+    cfg = PhyConfig(line_coding=coding)
     enc = OracleEncoder(cfg)
     rng = np.random.default_rng(n_frames)
     t = 12_000 + 6_000 * n_frames

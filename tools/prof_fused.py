@@ -112,25 +112,42 @@ def _attempt_sum_fn():
         BROWS, NR, DROW)
     from trackmaker_tpu.phy import pallas_decode as pdm
 
+    from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits_refine
+
     pre2 = line_coding.preamble_waveform(cfg)
     sp = pre2[cfg.preamble_len - cfg.sync_len:]
     t8_np, sync_e = pdm._sync_tables(tuple(sp.tolist()),
                                      2 * cfg.sync_margin + 1)
+    fold = pdm.SYNC_FOLD
+    pair = fold and pdm.ATTEMPT_PAIR and pdm.ATTEMPT_PIPE >= 4
 
     def fn(x):
         b, tt = x.shape
-        _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
-            s, pre2, cfg.correlation_threshold, blk=xc_blk,
-            use_bf16=False, emit_corr=False))(x)
-        cand, corr_cand, n_valid, overflow = pdm._compact_hit_rows(rows, 128)
+        if fold:
+            rows = pallas_xcorr_hits_refine(
+                x, vlens, pre2, sp, cfg.correlation_threshold,
+                sync_off=cfg.preamble_len - cfg.sync_len
+                - cfg.sync_margin,
+                n_pos=2 * cfg.sync_margin + 1, sync_len=cfg.sync_len,
+                fall_off=cfg.preamble_len, blk=xc_blk)
+            cand, corr_cand, n_valid, overflow, fs_cand = \
+                pdm._compact_hit_rows(rows, 128, with_fs=True)
+        else:
+            _, rows = jax.vmap(lambda s: pallas_xcorr_hits(
+                s, pre2, cfg.correlation_threshold, blk=xc_blk,
+                use_bf16=False, emit_corr=False))(x)
+            cand, corr_cand, n_valid, overflow = \
+                pdm._compact_hit_rows(rows, 128)
+            fs_cand = jnp.zeros_like(cand)
         r384 = -(-(tt + 48) // DROW) + NR + 10
         x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - tt))).reshape(
             b, r384, DROW)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(b,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (2 if fold else 3),
             out_specs=pl.BlockSpec(
                 (1, 128, BROWS, 128), lambda bb, *_: (bb, 0, 0, 0),
                 memory_space=pltpu.VMEM),
@@ -139,14 +156,15 @@ def _attempt_sum_fn():
                 pltpu.SemaphoreType.DMA((pdm.ATTEMPT_PIPE,)),
             ],
         )
+        tables = [] if fold else [jnp.asarray(t8_np)]
         out = pl.pallas_call(
             ft.partial(_attempt_kernel, n_cand=128, t_max=tt,
-                       sync_e=sync_e),
+                       sync_e=sync_e, fold_sync=fold, pair=pair),
             out_shape=jax.ShapeDtypeStruct((b, 128, BROWS, 128),
                                            jnp.float32),
             grid_spec=grid_spec,
-        )(cand, vlens, n_valid.astype(jnp.int32), x384,
-          jnp.asarray(t8_np), jnp.asarray(_body_table()),
+        )(cand, fs_cand, vlens, n_valid.astype(jnp.int32), x384,
+          *tables, jnp.asarray(_body_table()),
           jnp.asarray(_pack_table()))
         return out
     return fn

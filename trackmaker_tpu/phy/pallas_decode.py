@@ -465,7 +465,8 @@ def _sym_mats() -> tuple[np.ndarray, np.ndarray]:
 
 def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
                          *rest, n_cand: int, t_max: int, sync_e: float,
-                         shared_x: bool = False, fold_sync: bool = False):
+                         shared_x: bool = False, fold_sync: bool = False,
+                         pair: bool = False):
     if fold_sync:
         t8_ref = None      # fs arrives refined via fs_ref (see
         #                    _attempt_kernel) — no sync table needed
@@ -496,6 +497,125 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         v = start % 8
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
+
+    def s12_mat(ql):
+        # lane-cat realign one-hot [S1 | S2] (see body_fn)
+        ar2 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+        ac2 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 1)
+        return (ar2 == (ac2 % 128) + ql
+                - 128 * (ac2 // 128)).astype(jnp.float32)
+
+    def sym_inverse(symf):
+        # symbol -> (ok, nibble) mask-shift inverse (see body_fn)
+        okm = 0
+        nibm = [0, 0, 0, 0]
+        for nv_, code in enumerate(line_coding.FOURB_FIVEB_ENCODE):
+            okm |= 1 << int(code)
+            for bbit in range(4):
+                if (nv_ >> bbit) & 1:
+                    nibm[bbit] |= 1 << int(code)
+        symi = symf.astype(jnp.int32)           # exact values in [0,32)
+        ok_i = (jnp.int32(okm) >> symi) & 1
+        nib_i = ((jnp.int32(nibm[0]) >> symi) & 1) \
+            + (((jnp.int32(nibm[1]) >> symi) & 1) << 1) \
+            + (((jnp.int32(nibm[2]) >> symi) & 1) << 2) \
+            + (((jnp.int32(nibm[3]) >> symi) & 1) << 3)
+        return ok_i.astype(jnp.float32), nib_i.astype(jnp.float32)
+
+    if pair:
+        # ---- paired loop (see _attempt_kernel's pair path): two
+        # candidates per iteration.  Merged here: the level row-select
+        # (block-diagonal over both candidates' level rows), the
+        # [tr; nz] symbol matmul (same table both candidates), and one
+        # stacked NRZI/transition/inverse elementwise pass.  The level
+        # matmul (per-sample-phase mab table) and the ql realign stay
+        # per-candidate.
+        assert fold_sync and ATTEMPT_PIPE >= 4
+        h2 = 40
+        nlv = NR4 - 1                            # level rows per slab
+        np2 = (nv + 1) // 2
+
+        @pl.when(nv > 0)
+        def _():
+            dma(0, 0).start()
+            dma(jnp.minimum(1, nv - 1), 1).start()
+
+        def pair_fn(ip, _):
+            c0 = 2 * ip
+            c1 = jnp.minimum(c0 + 1, nv - 1)
+            s0 = c0 % ATTEMPT_PIPE
+            s1 = (c0 + 1) % ATTEMPT_PIPE
+
+            @pl.when(ip + 1 < np2)
+            def _():
+                dma(jnp.minimum(c0 + 2, nv - 1),
+                    (c0 + 2) % ATTEMPT_PIPE).start()
+                dma(jnp.minimum(c0 + 3, nv - 1),
+                    (c0 + 3) % ATTEMPT_PIPE).start()
+
+            dma(c0, s0).wait()
+            dma(c1, s1).wait()
+            _, base0 = base_of(c0)
+            _, base1 = base_of(c1)
+            fs0 = fs_ref[b, c0]
+            fs1 = fs_ref[b, c1]
+            oo0 = fs0 - (base0 // DROW // 8) * 8 * DROW
+            oo1 = fs1 - (base1 // DROW // 8) * 8 * DROW
+
+            o_l0 = jnp.dot(xw[s0], mab_ref[oo0 % 3],
+                           preferred_element_type=jnp.float32)
+            o_l1 = jnp.dot(xw[s1], mab_ref[oo1 % 3],
+                           preferred_element_type=jnp.float32)
+            lv0 = o_l0[0:nlv, 0:128] + o_l0[1:NR4, 128:256]
+            lv1 = o_l1[0:nlv, 0:128] + o_l1[1:NR4, 128:256]
+
+            # merged block-diagonal level row-select
+            lvcat = jnp.concatenate([lv0, lv1], axis=0)   # (94, 128)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * nlv), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * nlv), 1)
+            offv = jnp.where(ri < h2, oo0 // DROW,
+                             nlv - h2 + oo1 // DROW)
+            sel = (ci == ri + offv).astype(jnp.float32)
+            lsel2 = jnp.dot(sel, lvcat,
+                            preferred_element_type=jnp.float32)  # (80,128)
+
+            o_r0 = jnp.dot(lsel2[0:32], s12_mat((oo0 % DROW) // 3),
+                           preferred_element_type=jnp.float32)
+            o_r1 = jnp.dot(lsel2[h2:h2 + 32], s12_mat((oo1 % DROW) // 3),
+                           preferred_element_type=jnp.float32)
+            lal0 = o_r0[0:31, 0:128] + o_r0[1:32, 128:256]
+            lal1 = o_r1[0:31, 0:128] + o_r1[1:32, 128:256]
+            lflat = jnp.concatenate(
+                [lal0[0:30, :].reshape(1, 30 * 128),
+                 lal1[0:30, :].reshape(1, 30 * 128)], axis=0)  # (2,3840)
+
+            # stacked NRZI transitions + zero flags (lane-0 boundary
+            # fix applies per row = per candidate)
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (2, 3840), 1)
+            prevf = jnp.where(lane_f == 0, 1.0, pltpu.roll(lflat, 1, 1))
+            tr = (prevf * lflat < 0.0).astype(jnp.float32).reshape(
+                2 * LROWS, 640)
+            nz = (jnp.abs(lflat) <= 4e-6).astype(jnp.float32).reshape(
+                2 * LROWS, 640)
+
+            symzc = jnp.dot(jnp.concatenate([tr, nz], axis=0),
+                            w5z5_ref[:, :],
+                            preferred_element_type=jnp.float32)  # (24,256)
+            ok, nib = sym_inverse(symzc[0:2 * LROWS, 0:128])
+            zc = symzc[2 * LROWS:4 * LROWS, 128:256]
+
+            zpad = jnp.zeros((BROWS4 - 3 * LROWS, 128), jnp.float32)
+            out_ref[0, c0] = jnp.concatenate(
+                [nib[0:LROWS], ok[0:LROWS],
+                 (zc[0:LROWS] > 0).astype(jnp.float32), zpad], axis=0)
+            out_ref[0, c1] = jnp.concatenate(
+                [nib[LROWS:2 * LROWS], ok[LROWS:2 * LROWS],
+                 (zc[LROWS:2 * LROWS] > 0).astype(jnp.float32), zpad],
+                axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, np2, pair_fn, 0)
+        return
 
     # ATTEMPT_PIPE-deep DMA pipeline (see _attempt_kernel)
     for i in range(ATTEMPT_PIPE - 1):
@@ -582,11 +702,7 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         # s1 shift (r == c + ql), lanes 128..255 the s2 shift
         # (r == c - 128 + ql - 128) — one iota compare + ONE matmul
         # replace the s1/s2 pair, halves combined by the offset-row add
-        ar2 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
-        ac2 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 1)
-        s12 = (ar2 == (ac2 % 128) + ql
-               - 128 * (ac2 // 128)).astype(jnp.float32)
-        o_r = jnp.dot(lsel[0:32, :], s12,
+        o_r = jnp.dot(lsel[0:32, :], s12_mat(ql),
                       preferred_element_type=jnp.float32)      # (32,256)
         lal = o_r[0:31, 0:128] + o_r[1:32, 128:256]            # (31,128)
         lflat = lal[0:30, :].reshape(1, 30 * 128)   # (1, 3840)
@@ -608,7 +724,6 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         symzc = jnp.dot(jnp.concatenate([tr, nz], axis=0),
                         w5z5_ref[:, :],
                         preferred_element_type=jnp.float32)  # (12, 256)
-        sym = symzc[0:LROWS, 0:128]
         zc = symzc[LROWS:2 * LROWS, 128:256]
         # symbol -> (nibble, valid) as mask-shifts: the 5-bit symbol
         # indexes five 32-bit constants (validity + one per nibble
@@ -617,21 +732,7 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         # candidate, and op COUNT (sequencer throughput) is this
         # kernel's floor (tools/exp_attempt_tiles.py).  Codes are
         # <= 30, so every mask is a positive int32.
-        okm = 0
-        nibm = [0, 0, 0, 0]
-        for nv_, code in enumerate(line_coding.FOURB_FIVEB_ENCODE):
-            okm |= 1 << int(code)
-            for bbit in range(4):
-                if (nv_ >> bbit) & 1:
-                    nibm[bbit] |= 1 << int(code)
-        symi = sym.astype(jnp.int32)            # exact values in [0,32)
-        ok_i = (jnp.int32(okm) >> symi) & 1
-        nib_i = ((jnp.int32(nibm[0]) >> symi) & 1) \
-            + (((jnp.int32(nibm[1]) >> symi) & 1) << 1) \
-            + (((jnp.int32(nibm[2]) >> symi) & 1) << 2) \
-            + (((jnp.int32(nibm[3]) >> symi) & 1) << 3)
-        ok = ok_i.astype(jnp.float32)
-        nib = nib_i.astype(jnp.float32)
+        ok, nib = sym_inverse(symzc[0:LROWS, 0:128])
 
         # ---- output block: nib rows 0-5, ok 6-11, zero 12-17, fs 18
         blk24 = jnp.concatenate(
@@ -1169,9 +1270,11 @@ def _spec_phase_a(
             ],
         )
         tables = [] if fold else [jnp.asarray(t8_np)]
+        pair = fold and ATTEMPT_PAIR and ATTEMPT_PIPE >= 4
         out_cm = pl.pallas_call(
             functools.partial(_attempt_kernel_4b5b, n_cand=n_cand,
                               t_max=t, sync_e=sync_e, fold_sync=fold,
+                              pair=pair,
                               shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS4, 128),
                                            jnp.float32),
