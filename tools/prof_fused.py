@@ -59,7 +59,13 @@ from trackmaker_tpu import sync as sync_mod
 from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits
 from trackmaker_tpu.phy import line_coding
 pre_np = line_coding.preamble_waveform(cfg)
-xc_blk = 16384 if t >= 131072 else 8192
+# match phy/pallas_decode._spec_phase_a's lag-tile heuristic
+if t >= 200_000:
+    xc_blk = 32768
+elif t >= 131_072:
+    xc_blk = 16384
+else:
+    xc_blk = 8192
 
 def xcorr_raw(x):
     return jax.vmap(lambda s: pallas_xcorr_hits(
@@ -79,6 +85,16 @@ def xcorr_extract(x):
 
 vlens = jnp.full((batch,), t, jnp.int32)
 
+def xcorr_refine(x):
+    from trackmaker_tpu.sync.pallas_xcorr import pallas_xcorr_hits_refine
+    sp_l = pre_np[cfg.preamble_len - cfg.sync_len:]
+    return pallas_xcorr_hits_refine(
+        x, vlens, pre_np, sp_l, cfg.correlation_threshold,
+        sync_off=cfg.preamble_len - cfg.sync_len - cfg.sync_margin,
+        n_pos=2 * cfg.sync_margin + 1, sync_len=cfg.sync_len,
+        fall_off=cfg.preamble_len, blk=xc_blk,
+        use_bf16=sync_mod.bf16_enabled())
+
 def phase_a(x):
     return pd._spec_phase_a(cfg, x, jnp.int32(2), 128, vlens)
 
@@ -88,6 +104,10 @@ def full(x):
 timeit_fused("xcorr only", xcorr_raw, x)
 timeit_fused("xcorr bf16", xcorr_bf16, x)
 timeit_fused("xcorr+extract", xcorr_extract, x)
+try:
+    timeit_fused("xcorr+refine", xcorr_refine, x)
+except Exception as e:
+    print("xcorr+refine failed:", repr(e)[:200], flush=True)
 timeit_fused("phase_a", phase_a, x)
 timeit_fused("full spec decode", full, x)
 for blk_try in (8192, 32768, 65536):
