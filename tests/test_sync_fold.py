@@ -179,12 +179,11 @@ def test_fold_refine_rows_contract():
     rows = np.asarray(rows)
     assert np.array_equal(rows_r[:, :9], rows[:, :9])
     hits = rows_r[:, :4]
-    fs = rows_r[:, 9:13]
+    delta = rows_r[:, 9:13]     # refined fs = hit pos + delta
     m = hits < 2**30
-    # refined start within [pos + sync_off + sync_len,
-    #                       pos + preamble_len + margin]
-    lo = hits + (cfg.preamble_len - cfg.sync_len - cfg.sync_margin) \
+    # delta within [sync_off + sync_len, preamble_len + margin]
+    lo = (cfg.preamble_len - cfg.sync_len - cfg.sync_margin) \
         + cfg.sync_len
-    hi = hits + cfg.preamble_len + cfg.sync_margin
-    assert np.all((fs[m] >= lo[m]) & (fs[m] <= hi[m]))
+    hi = cfg.preamble_len + cfg.sync_margin
+    assert np.all((delta[m] >= lo) & (delta[m] <= hi))
     assert m.sum() >= 3

@@ -972,8 +972,10 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     Position compaction uses 16-bit-halves einsums (integer-exact past
     2^24, where flat 600 s captures live).  ``with_fs=True`` parses the
     refine-fold contract (pallas_xcorr_hits_refine): lanes
-    ``2*rpb+1..3*rpb`` carry each hit's refined frame start, compacted
-    alongside and returned as a fifth result."""
+    ``2*rpb+1..3*rpb`` carry each hit's refined frame start as a small
+    DELTA from the hit position — one exact f32 einsum per stage picks
+    it — and the absolute fs (cand + delta, i32) returns as a fifth
+    result."""
     lead = rows.shape[:-2]
     r = rows.shape[-2]
     starts = rows[..., :rpb]
@@ -1004,8 +1006,8 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     s_c = _pick_i32(sg, vg, oh1)
     c_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, cg, 0.0), oh1)
     if with_fs:
-        fg = fvals.reshape(*lead, ng, group * rpb)
-        f_c = _pick_i32(fg, vg, oh1)
+        fg = fvals.reshape(*lead, ng, group * rpb).astype(jnp.float32)
+        f_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, fg, 0.0), oh1)
     s_c = jnp.where(jnp.arange(s1) < grp_n[..., None], s_c, _BIGI)
 
     # stage 2: global rank compaction of the survivors
@@ -1026,7 +1028,10 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
                      cand, _BIGI)
     if with_fs:
-        fs_c = _pick_i32(f_c.reshape(*lead, ng * s1), valid, onehot)
+        fd = jnp.einsum("...i,...ic->...c",
+                        jnp.where(valid, f_c.reshape(*lead, ng * s1),
+                                  0.0), onehot)
+        fs_c = cand + fd.astype(jnp.int32)
         return cand, corr_c, n_valid, overflow, fs_c
     return cand, corr_c, n_valid, overflow
 

@@ -401,9 +401,12 @@ def _xcorr_hits_refine_kernel(vlen_ref, x0_ref, x1_ref, pmat_ref,
         bb = jnp.argmax(wb, axis=1)[:, None].astype(jnp.int32) + 128
         bm = jnp.maximum(ma_, mb_)
         bl = jnp.where(ma_ >= mb_, ba, bb)
+        # store fs as a DELTA from the hit position (in [sync_off +
+        # sync_len, fall_off + n_pos)): small enough that candidate
+        # compaction picks it with one exact f32 einsum instead of the
+        # 16-bit-halves pair an absolute i32 position needs
         hits_ref[0, :, 2 * rpb + 1 + k:2 * rpb + 2 + k] = jnp.where(
-            bm > -1.0, row_base + bl + sync_len,
-            row_base + m + fall_off)
+            bm > -1.0, bl - m + sync_len, fall_off)
         idxm = jnp.where(lane > m, idxm, _BIGI)
     hits_ref[0, :, rpb:rpb + 1] = jnp.sum(
         hit.astype(jnp.int32), axis=1, keepdims=True)
@@ -432,10 +435,11 @@ def pallas_xcorr_hits_refine(
 
     Returns ``rows[B, ceil(T'/128), 16]`` — the
     :func:`pallas_xcorr_hits` row contract plus lanes
-    ``2*rpb+1..3*rpb`` carrying each hit's REFINED frame-start
-    position (i32, exact — no f32 round-trip, so flat long captures
-    past 2^24 samples are safe).  Explicit (capture, lag-tile) grid
-    rather than vmap so ``vlens`` rides scalar prefetch."""
+    ``2*rpb+1..3*rpb`` carrying each hit's refined frame start as a
+    small DELTA from the hit position (refined fs = pos + delta; i32
+    end-to-end, so flat long captures past 2^24 samples never round
+    through f32).  Explicit (capture, lag-tile) grid rather than vmap
+    so ``vlens`` rides scalar prefetch."""
     assert rpb <= 4
     pattern = np.asarray(pattern, np.float32)
     spat = np.asarray(sync_pattern, np.float32)
