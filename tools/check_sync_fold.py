@@ -2,10 +2,11 @@
 
 Decodes random multi-frame captures (both codings, noise, truncation,
 capture-end frames) through decode_capture_spec with
-pallas_decode.SYNC_FOLD flipped both ways (CPU interpret mode) and
-asserts identical frames, ok flags, and cursors.  Run from /root/repo:
-
-    TM_CPU=1 python -u tools/check_sync_fold.py
+pallas_decode.SYNC_FOLD flipped both ways and asserts identical
+frames, ok flags, and cursors.  Default: CPU interpret mode.  On a
+live tunnel, ``TM_INTERPRET=0 python -u tools/check_sync_fold.py``
+compiles and runs the real kernels on the TPU (the post-change compile
+smoke; add TM_PAIR=1 to run the fold side with candidate pairing).
 """
 import os
 import pathlib
@@ -17,7 +18,9 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+INTERPRET = os.environ.get("TM_INTERPRET", "1") == "1"
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -53,8 +56,9 @@ def build_capture(cfg, rng, n_frames, t, evil=False):
 
 def run(cfg, x, fold):
     pd.SYNC_FOLD = fold
+    pd.ATTEMPT_PAIR = fold and os.environ.get("TM_PAIR", "0") == "1"
     res, ok, srch, cur = pd.decode_capture_spec(
-        cfg, x, 2, max_frames=16, n_cand=64, interpret=True,
+        cfg, x, 2, max_frames=16, n_cand=64, interpret=INTERPRET,
         with_cursor=True)
     return jax.tree_util.tree_map(np.asarray, (res, ok, srch, cur))
 
