@@ -187,3 +187,19 @@ def test_fold_refine_rows_contract():
     hi = cfg.preamble_len + cfg.sync_margin
     assert np.all((delta[m] >= lo) & (delta[m] <= hi))
     assert m.sum() >= 3
+
+
+def test_legacy_guard_rejects_long_captures():
+    """TM_SYNC_FOLD=0 stashes fs through an f32 lane (exact only below
+    2^24); _spec_phase_a must refuse the shapes it would silently
+    round (flat 600 s captures reach 2^25)."""
+    cfg = PhyConfig(line_coding=MANCHESTER)
+    x = jax.ShapeDtypeStruct((1, 1 << 24), jnp.float32)
+    vl = jnp.asarray([1 << 24], jnp.int32)
+    old = pd.SYNC_FOLD
+    pd.SYNC_FOLD = False
+    try:
+        with pytest.raises(ValueError, match="2\\^24"):
+            pd._spec_phase_a(cfg, x, jnp.int32(2), 64, vl, interpret=True)
+    finally:
+        pd.SYNC_FOLD = old

@@ -1148,6 +1148,13 @@ def _spec_phase_a(
     else:
         xc_blk = 8192
     fold = SYNC_FOLD
+    if not fold and t >= (1 << 24):
+        # legacy (TM_SYNC_FOLD=0) attempt kernels stash the refined
+        # frame start through an f32 byte-grid lane, exact only below
+        # 2^24; flat long captures carry GLOBAL positions past that
+        raise ValueError(
+            f"TM_SYNC_FOLD=0 cannot decode captures of {t} >= 2^24 "
+            "samples: the legacy f32 fs stash rounds global positions")
     fs_cand = None
     if fold:
         # refine-fold path: hits + refined frame starts in one kernel
