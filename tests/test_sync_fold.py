@@ -110,43 +110,6 @@ def test_fold_capture_end_boundary(coding):
                 assert got == want, f"cut_back={cut_back}"
 
 
-@pytest.mark.parametrize("coding", [MANCHESTER, FOUR_B_FIVE_B])
-@pytest.mark.parametrize("n_frames", [0, 1, 3, 6])
-def test_pair_matches_single(n_frames, coding):
-    """Paired attempt loop (two candidates per iteration, odd tail
-    clamped) vs the single-candidate loop: identical decisions,
-    including empty and odd candidate counts."""
-    cfg = PhyConfig(line_coding=coding)
-    enc = OracleEncoder(cfg)
-    rng = np.random.default_rng(n_frames)
-    t = 12_000 + 6_000 * n_frames
-    x = np.zeros(t, np.float32)
-    pos = 400
-    for k in range(n_frames):
-        wav = np.asarray(enc.encode_frame(Frame.new_data(
-            sequence=k, src=1, dst=2,
-            data=bytes(rng.integers(0, 256, 20, dtype=np.uint8)))),
-            np.float32)
-        x[pos: pos + len(wav)] += wav
-        pos += len(wav) + 300
-    x += rng.normal(0, 0.05, t).astype(np.float32)
-    xb = jnp.asarray(x)[None]
-    old = pd.ATTEMPT_PAIR
-    try:
-        pd.ATTEMPT_PAIR = False
-        single = jax.tree_util.tree_map(np.asarray, pd.decode_capture_spec(
-            cfg, xb, 2, max_frames=8, n_cand=32, interpret=True,
-            with_cursor=True))
-        pd.ATTEMPT_PAIR = True
-        paired = jax.tree_util.tree_map(np.asarray, pd.decode_capture_spec(
-            cfg, xb, 2, max_frames=8, n_cand=32, interpret=True,
-            with_cursor=True))
-    finally:
-        pd.ATTEMPT_PAIR = old
-    _assert_equal(single, paired)
-    assert int(paired[0].valid.sum()) == n_frames
-
-
 def test_fold_refine_rows_contract():
     """pallas_xcorr_hits_refine lanes 0..8 must equal the un-refined
     kernel's contract; lanes 9..12 carry in-range refined starts."""

@@ -1,5 +1,5 @@
-"""One-process fold/pair A/B on the flagship shape: times ONLY the
-full spec decode per flag combo (module globals are read at trace
+"""One-process attempt-layout A/B on the flagship shape: times ONLY
+the full spec decode per flag combo (module globals are read at trace
 time, so flipping them and re-jitting retraces — no subprocess, no
 re-import, one compile-cache).  In-program iteration loop per
 tools/prof_fused.py (immune to dispatch RTT); readback before and
@@ -32,10 +32,11 @@ REPEATS = 3
 INTERPRET = os.environ.get("TM_CPU", "0") == "1"   # CPU smoke mode
 BATCH = int(os.environ.get("TM_AB_BATCH", "32"))
 N_FRAMES = int(os.environ.get("TM_AB_FRAMES", "64"))
+MAXF = max(64, N_FRAMES)
 
-COMBOS = [("legacy", False, False),
-          ("fold", True, False),
-          ("fold+pair", True, True)]
+# (name, dict of pallas_decode module flags) — flags restored per combo
+COMBOS = [("legacy", {"SYNC_FOLD": False}),
+          ("fold", {"SYNC_FOLD": True})]
 
 
 def build(enc_name, rng):
@@ -51,9 +52,25 @@ def build(enc_name, rng):
     return cfg, jnp.asarray(caps), t, batch, n_frames
 
 
+def set_flags(flags):
+    for k, v in flags.items():
+        setattr(pd, k, v)
+
+
+def gate(cfg, x, n_frames):
+    """Payload-correctness gate under the CURRENT combo flags: a broken
+    combo must fail here, not report a (possibly faster) wrong time."""
+    res, ok = jax.tree_util.tree_map(
+        np.asarray, pd.decode_capture_spec(cfg, x, 2, max_frames=MAXF,
+                                           n_cand=128,
+                                           interpret=INTERPRET))
+    assert ok.all() and (res.valid.sum(axis=1) == n_frames).all(), \
+        "decode gate failed under current flags"
+
+
 def measure(cfg, x):
     def fn(xi):
-        return pd.decode_capture_spec(cfg, xi, 2, max_frames=64,
+        return pd.decode_capture_spec(cfg, xi, 2, max_frames=MAXF,
                                       n_cand=128, interpret=INTERPRET)
 
     @jax.jit
@@ -84,21 +101,19 @@ def main():
     results = {}
     for enc_name in ("manchester", "4b5b"):
         cfg, x, t, batch, n_frames = build(enc_name, np.random.default_rng(0))
-        # payload gate once per encoding (fold defaults)
-        pd.SYNC_FOLD, pd.ATTEMPT_PAIR = True, False
-        res, ok = jax.tree_util.tree_map(
-            np.asarray, pd.decode_capture_spec(cfg, x, 2, max_frames=64,
-                                               n_cand=128,
-                                               interpret=INTERPRET))
-        assert ok.all() and (res.valid.sum(axis=1) == n_frames).all(), \
-            f"{enc_name}: decode gate failed"
-        for name, fold, pair_f in COMBOS:
-            pd.SYNC_FOLD, pd.ATTEMPT_PAIR = fold, pair_f
-            best, med = measure(cfg, x)
-            xr = batch * t / 48_000.0 / (best / 1000.0)
-            results[(enc_name, name)] = (best, xr)
-            print(f"{enc_name:12s} {name:10s} {best:7.2f} ms "
-                  f"(med {med:.2f})  {xr:9.0f}x", flush=True)
+        saved = {k: getattr(pd, k)
+                 for combo in COMBOS for k in combo[1]}
+        try:
+            for name, flags in COMBOS:
+                set_flags(flags)
+                gate(cfg, x, n_frames)   # correctness per combo, timed after
+                best, med = measure(cfg, x)
+                xr = batch * t / cfg.sample_rate / (best / 1000.0)
+                results[(enc_name, name)] = (best, xr)
+                print(f"{enc_name:12s} {name:10s} {best:7.2f} ms "
+                      f"(med {med:.2f})  {xr:9.0f}x", flush=True)
+        finally:
+            set_flags(saved)
     print("\nSummary:")
     for (enc_name, name), (best, xr) in results.items():
         print(f"  {enc_name:12s} {name:10s} {best:7.2f} ms {xr:9.0f}x")

@@ -1,5 +1,4 @@
-"""Round-4b on-chip A/B: sync-refine fold, candidate pairing, PARALLEL
-grid semantics.  Runs tools/prof_fused.py under each flag combination
+"""Round-4b on-chip A/B: sync-refine fold + PARALLEL grid semantics.  Runs tools/prof_fused.py under each flag combination
 and prints a compact table.  Run when the tunnel is up:
 
     python -u tools/ab_r4b.py [iters]
@@ -14,18 +13,10 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 ITERS = sys.argv[1] if len(sys.argv) > 1 else "100"
 
 COMBOS = [
-    ("legacy", {"TM_SYNC_FOLD": "0", "TM_ATTEMPT_PAIR": "0",
-                "TM_XC_PAR": "0"}),
-    ("legacy+xcpar", {"TM_SYNC_FOLD": "0", "TM_ATTEMPT_PAIR": "0",
-                      "TM_XC_PAR": "1"}),
-    ("fold", {"TM_SYNC_FOLD": "1", "TM_ATTEMPT_PAIR": "0",
-              "TM_XC_PAR": "0"}),
-    ("fold+xcpar", {"TM_SYNC_FOLD": "1", "TM_ATTEMPT_PAIR": "0",
-                    "TM_XC_PAR": "1"}),
-    ("fold+pair", {"TM_SYNC_FOLD": "1", "TM_ATTEMPT_PAIR": "1",
-                   "TM_XC_PAR": "0"}),
-    ("fold+pair+xcpar", {"TM_SYNC_FOLD": "1", "TM_ATTEMPT_PAIR": "1",
-                         "TM_XC_PAR": "1"}),
+    ("legacy", {"TM_SYNC_FOLD": "0", "TM_XC_PAR": "0"}),
+    ("legacy+xcpar", {"TM_SYNC_FOLD": "0", "TM_XC_PAR": "1"}),
+    ("fold", {"TM_SYNC_FOLD": "1", "TM_XC_PAR": "0"}),
+    ("fold+xcpar", {"TM_SYNC_FOLD": "1", "TM_XC_PAR": "1"}),
 ]
 
 ROWS = ("xcorr+extract", "xcorr+refine", "phase_a", "full spec decode",

@@ -6,7 +6,7 @@ pallas_decode.SYNC_FOLD flipped both ways and asserts identical
 frames, ok flags, and cursors.  Default: CPU interpret mode.  On a
 live tunnel, ``TM_INTERPRET=0 python -u tools/check_sync_fold.py``
 compiles and runs the real kernels on the TPU (the post-change compile
-smoke; add TM_PAIR=1 to run the fold side with candidate pairing).
+smoke).
 """
 import os
 import pathlib
@@ -56,7 +56,6 @@ def build_capture(cfg, rng, n_frames, t, evil=False):
 
 def run(cfg, x, fold):
     pd.SYNC_FOLD = fold
-    pd.ATTEMPT_PAIR = fold and os.environ.get("TM_PAIR", "0") == "1"
     res, ok, srch, cur = pd.decode_capture_spec(
         cfg, x, 2, max_frames=16, n_cand=64, interpret=INTERPRET,
         with_cursor=True)

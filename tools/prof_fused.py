@@ -139,7 +139,6 @@ def _attempt_sum_fn():
     t8_np, sync_e = pdm._sync_tables(tuple(sp.tolist()),
                                      2 * cfg.sync_margin + 1)
     fold = pdm.SYNC_FOLD
-    pair = fold and pdm.ATTEMPT_PAIR and pdm.ATTEMPT_PIPE >= 4
 
     def fn(x):
         b, tt = x.shape
@@ -179,7 +178,7 @@ def _attempt_sum_fn():
         tables = [] if fold else [jnp.asarray(t8_np)]
         out = pl.pallas_call(
             ft.partial(_attempt_kernel, n_cand=128, t_max=tt,
-                       sync_e=sync_e, fold_sync=fold, pair=pair),
+                       sync_e=sync_e, fold_sync=fold),
             out_shape=jax.ShapeDtypeStruct((b, 128, BROWS, 128),
                                            jnp.float32),
             grid_spec=grid_spec,

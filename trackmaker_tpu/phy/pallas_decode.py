@@ -72,13 +72,6 @@ ATTEMPT_PIPE = max(2, int(_os.environ.get("TM_ATTEMPT_PIPE", "4")))
 # cost).  Module-level so tests can flip it; env-gated for on-chip A/B.
 SYNC_FOLD = _os.environ.get("TM_SYNC_FOLD", "1") == "1"
 
-# Candidate pairing (Manchester, fold mode): process TWO candidates per
-# fori_loop iteration with a merged block-diagonal row-select and a
-# merged byte-pack matmul — halves loop-control cost and 2 of the 3
-# per-candidate matmul issues.  Needs ATTEMPT_PIPE >= 4 (two slots
-# consumed + two prefetching per iteration).  Env-gated for on-chip A/B.
-ATTEMPT_PAIR = _os.environ.get("TM_ATTEMPT_PAIR", "0") == "1"
-
 from trackmaker_tpu.core import bitops
 from trackmaker_tpu.core.config import (
     FOUR_B_FIVE_B,
@@ -194,8 +187,7 @@ def _pack_table() -> np.ndarray:
 
 def _attempt_kernel(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
                     *rest, n_cand: int, t_max: int, sync_e: float,
-                    shared_x: bool = False, fold_sync: bool = False,
-                    pair: bool = False):
+                    shared_x: bool = False, fold_sync: bool = False):
     if fold_sync:
         # refined frame starts arrive via fs_ref (computed by the
         # xcorr kernel's fused refine) — no sync table, no in-kernel
@@ -233,78 +225,6 @@ def _attempt_kernel(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         idx = pl.multiple_of(start - v, 8)
         return tref[v, pl.ds(idx, DROW), :]
 
-    if pair:
-        # ---- paired loop: two candidates per iteration.  Loop control
-        # and the row-select + byte-pack matmuls amortize over the
-        # pair; the body-table matmuls stay per-candidate (their table
-        # slices differ per frame offset, and Mosaic rejects the lane
-        # concat of two offset slices that would merge them).  The odd
-        # tail clamps c1 to nv-1 — a duplicate decode of the last
-        # candidate that stores identical data twice (slots stay keyed
-        # to LOOP POSITION so every consumed slot has exactly one DMA).
-        assert fold_sync and ATTEMPT_PIPE >= 4
-        h2 = 40                    # 8-aligned per-candidate row block
-        np2 = (nv + 1) // 2
-
-        @pl.when(nv > 0)
-        def _():
-            dma(0, 0).start()
-            dma(jnp.minimum(1, nv - 1), 1).start()
-
-        def pair_fn(ip, _):
-            c0 = 2 * ip
-            c1 = jnp.minimum(c0 + 1, nv - 1)
-            s0 = c0 % ATTEMPT_PIPE
-            s1 = (c0 + 1) % ATTEMPT_PIPE
-
-            @pl.when(ip + 1 < np2)
-            def _():
-                dma(jnp.minimum(c0 + 2, nv - 1),
-                    (c0 + 2) % ATTEMPT_PIPE).start()
-                dma(jnp.minimum(c0 + 3, nv - 1),
-                    (c0 + 3) % ATTEMPT_PIPE).start()
-
-            dma(c0, s0).wait()
-            dma(c1, s1).wait()
-            _, base0 = base_of(c0)
-            _, base1 = base_of(c1)
-            fs0 = fs_ref[b, c0]
-            fs1 = fs_ref[b, c1]
-            kk0 = (base0 // DROW) % 8 + (fs0 - (base0 // DROW) * DROW) // DROW
-            kk1 = (base1 // DROW) % 8 + (fs1 - (base1 // DROW) * DROW) // DROW
-            o20 = (fs0 - (base0 // DROW) * DROW) % DROW
-            o21 = (fs1 - (base1 // DROW) * DROW) % DROW
-
-            # merged block-diagonal row-select over both slabs: rows
-            # [0, h2) pick slab 0 rows kk0.., rows [h2, 2*h2) slab 1
-            # rows kk1.. (row r maps to xcat row r + off(r))
-            xcat = jnp.concatenate([xw[s0], xw[s1]], axis=0)  # (2NR,384)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * NR), 0)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * NR), 1)
-            offv = jnp.where(ri < h2, kk0, NR - h2 + kk1)
-            sel = (ci == ri + offv).astype(jnp.float32)
-            xsh2 = jnp.dot(sel, xcat,
-                           preferred_element_type=jnp.float32)  # (80,384)
-
-            tb0 = tslice(tb8_ref, 383 - o20)
-            tb1 = tslice(tb8_ref, 383 - o21)
-            ob0 = jnp.dot(xsh2[0:BROWS + 1], tb0,
-                          preferred_element_type=jnp.float32)
-            ob1 = jnp.dot(xsh2[h2:h2 + BROWS + 1], tb1,
-                          preferred_element_type=jnp.float32)
-            d0 = ob0[0:BROWS, 0:128] + ob0[1:BROWS + 1, 128:256]
-            d1 = ob1[0:BROWS, 0:128] + ob1[1:BROWS + 1, 128:256]
-            zpad = jnp.zeros((h2 - BROWS, 128), jnp.float32)
-            bits = (jnp.concatenate([d0, zpad, d1, zpad], axis=0)
-                    <= 0.0).astype(jnp.float32)              # (80, 128)
-            byte2 = jnp.dot(bits, w_ref[:, :],
-                            preferred_element_type=jnp.float32)
-            bytes_ref[0, c0] = byte2[0:BROWS]
-            bytes_ref[0, c1] = byte2[h2:h2 + BROWS]
-            return 0
-
-        jax.lax.fori_loop(0, np2, pair_fn, 0)
-        return
 
     # ATTEMPT_PIPE-deep DMA pipeline (see the module constant)
     for i in range(ATTEMPT_PIPE - 1):
@@ -465,8 +385,7 @@ def _sym_mats() -> tuple[np.ndarray, np.ndarray]:
 
 def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
                          *rest, n_cand: int, t_max: int, sync_e: float,
-                         shared_x: bool = False, fold_sync: bool = False,
-                         pair: bool = False):
+                         shared_x: bool = False, fold_sync: bool = False):
     if fold_sync:
         t8_ref = None      # fs arrives refined via fs_ref (see
         #                    _attempt_kernel) — no sync table needed
@@ -522,100 +441,6 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
             + (((jnp.int32(nibm[3]) >> symi) & 1) << 3)
         return ok_i.astype(jnp.float32), nib_i.astype(jnp.float32)
 
-    if pair:
-        # ---- paired loop (see _attempt_kernel's pair path): two
-        # candidates per iteration.  Merged here: the level row-select
-        # (block-diagonal over both candidates' level rows), the
-        # [tr; nz] symbol matmul (same table both candidates), and one
-        # stacked NRZI/transition/inverse elementwise pass.  The level
-        # matmul (per-sample-phase mab table) and the ql realign stay
-        # per-candidate.
-        assert fold_sync and ATTEMPT_PIPE >= 4
-        h2 = 40
-        nlv = NR4 - 1                            # level rows per slab
-        np2 = (nv + 1) // 2
-
-        @pl.when(nv > 0)
-        def _():
-            dma(0, 0).start()
-            dma(jnp.minimum(1, nv - 1), 1).start()
-
-        def pair_fn(ip, _):
-            c0 = 2 * ip
-            c1 = jnp.minimum(c0 + 1, nv - 1)
-            s0 = c0 % ATTEMPT_PIPE
-            s1 = (c0 + 1) % ATTEMPT_PIPE
-
-            @pl.when(ip + 1 < np2)
-            def _():
-                dma(jnp.minimum(c0 + 2, nv - 1),
-                    (c0 + 2) % ATTEMPT_PIPE).start()
-                dma(jnp.minimum(c0 + 3, nv - 1),
-                    (c0 + 3) % ATTEMPT_PIPE).start()
-
-            dma(c0, s0).wait()
-            dma(c1, s1).wait()
-            _, base0 = base_of(c0)
-            _, base1 = base_of(c1)
-            fs0 = fs_ref[b, c0]
-            fs1 = fs_ref[b, c1]
-            oo0 = fs0 - (base0 // DROW // 8) * 8 * DROW
-            oo1 = fs1 - (base1 // DROW // 8) * 8 * DROW
-
-            o_l0 = jnp.dot(xw[s0], mab_ref[oo0 % 3],
-                           preferred_element_type=jnp.float32)
-            o_l1 = jnp.dot(xw[s1], mab_ref[oo1 % 3],
-                           preferred_element_type=jnp.float32)
-            lv0 = o_l0[0:nlv, 0:128] + o_l0[1:NR4, 128:256]
-            lv1 = o_l1[0:nlv, 0:128] + o_l1[1:NR4, 128:256]
-
-            # merged block-diagonal level row-select
-            lvcat = jnp.concatenate([lv0, lv1], axis=0)   # (94, 128)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * nlv), 0)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (2 * h2, 2 * nlv), 1)
-            offv = jnp.where(ri < h2, oo0 // DROW,
-                             nlv - h2 + oo1 // DROW)
-            sel = (ci == ri + offv).astype(jnp.float32)
-            lsel2 = jnp.dot(sel, lvcat,
-                            preferred_element_type=jnp.float32)  # (80,128)
-
-            o_r0 = jnp.dot(lsel2[0:32], s12_mat((oo0 % DROW) // 3),
-                           preferred_element_type=jnp.float32)
-            o_r1 = jnp.dot(lsel2[h2:h2 + 32], s12_mat((oo1 % DROW) // 3),
-                           preferred_element_type=jnp.float32)
-            lal0 = o_r0[0:31, 0:128] + o_r0[1:32, 128:256]
-            lal1 = o_r1[0:31, 0:128] + o_r1[1:32, 128:256]
-            lflat = jnp.concatenate(
-                [lal0[0:30, :].reshape(1, 30 * 128),
-                 lal1[0:30, :].reshape(1, 30 * 128)], axis=0)  # (2,3840)
-
-            # stacked NRZI transitions + zero flags (lane-0 boundary
-            # fix applies per row = per candidate)
-            lane_f = jax.lax.broadcasted_iota(jnp.int32, (2, 3840), 1)
-            prevf = jnp.where(lane_f == 0, 1.0, pltpu.roll(lflat, 1, 1))
-            tr = (prevf * lflat < 0.0).astype(jnp.float32).reshape(
-                2 * LROWS, 640)
-            nz = (jnp.abs(lflat) <= 4e-6).astype(jnp.float32).reshape(
-                2 * LROWS, 640)
-
-            symzc = jnp.dot(jnp.concatenate([tr, nz], axis=0),
-                            w5z5_ref[:, :],
-                            preferred_element_type=jnp.float32)  # (24,256)
-            ok, nib = sym_inverse(symzc[0:2 * LROWS, 0:128])
-            zc = symzc[2 * LROWS:4 * LROWS, 128:256]
-
-            zpad = jnp.zeros((BROWS4 - 3 * LROWS, 128), jnp.float32)
-            out_ref[0, c0] = jnp.concatenate(
-                [nib[0:LROWS], ok[0:LROWS],
-                 (zc[0:LROWS] > 0).astype(jnp.float32), zpad], axis=0)
-            out_ref[0, c1] = jnp.concatenate(
-                [nib[LROWS:2 * LROWS], ok[LROWS:2 * LROWS],
-                 (zc[LROWS:2 * LROWS] > 0).astype(jnp.float32), zpad],
-                axis=0)
-            return 0
-
-        jax.lax.fori_loop(0, np2, pair_fn, 0)
-        return
 
     # ATTEMPT_PIPE-deep DMA pipeline (see _attempt_kernel)
     for i in range(ATTEMPT_PIPE - 1):
@@ -1150,8 +975,12 @@ def _spec_phase_a(
     fold = SYNC_FOLD
     if not fold and t >= (1 << 24):
         # legacy (TM_SYNC_FOLD=0) attempt kernels stash the refined
-        # frame start through an f32 byte-grid lane, exact only below
-        # 2^24; flat long captures carry GLOBAL positions past that
+        # frame start through an f32 byte-grid lane.  f32 is
+        # integer-exact up to 2^24 INCLUSIVE, so t == 2^24 would still
+        # round-trip; the >= bound deliberately keeps one step of
+        # safety margin at the boundary (positions, not lengths, are
+        # what get stashed — rejecting the exact-boundary capture
+        # costs nothing real)
         raise ValueError(
             f"TM_SYNC_FOLD=0 cannot decode captures of {t} >= 2^24 "
             "samples: the legacy f32 fs stash rounds global positions")
@@ -1232,10 +1061,9 @@ def _spec_phase_a(
             ],
         )
         tables = [] if fold else [jnp.asarray(t8_np)]
-        pair = fold and ATTEMPT_PAIR and ATTEMPT_PIPE >= 4
         bytes_cm = pl.pallas_call(
             functools.partial(_attempt_kernel, n_cand=n_cand, t_max=t,
-                              sync_e=sync_e, fold_sync=fold, pair=pair,
+                              sync_e=sync_e, fold_sync=fold,
                               shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS, 128),
                                            jnp.float32),
@@ -1282,11 +1110,9 @@ def _spec_phase_a(
             ],
         )
         tables = [] if fold else [jnp.asarray(t8_np)]
-        pair = fold and ATTEMPT_PAIR and ATTEMPT_PIPE >= 4
         out_cm = pl.pallas_call(
             functools.partial(_attempt_kernel_4b5b, n_cand=n_cand,
                               t_max=t, sync_e=sync_e, fold_sync=fold,
-                              pair=pair,
                               shared_x=flat_blocks is not None),
             out_shape=jax.ShapeDtypeStruct((b, n_cand, BROWS4, 128),
                                            jnp.float32),
