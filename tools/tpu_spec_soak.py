@@ -73,7 +73,7 @@ for coding in (MANCHESTER, FOUR_B_FIVE_B):
         batch = np.stack([build(rng, enc, cfg) for _ in range(4)])
         x = jnp.asarray(batch)
         spec, ok = decode_capture_spec_jit(cfg, x, 2, max_frames=24)
-        exact = exact_fn(x, 2)
+        exact = exact_fn(x, 2, jnp.full(x.shape[:1], x.shape[-1], jnp.int32))
         okh = np.asarray(ok)
         for b in range(4):
             trials += 1
@@ -115,7 +115,7 @@ for seed in range(10):
     ff_trials += 1
     if not bool(np.asarray(ok)[0]):
         ff_fired += 1
-    exact = exact4(x, 2)
+    exact = exact4(x, 2, jnp.full(x.shape[:1], x.shape[-1], jnp.int32))
     got = masked(exact, 0)
     dec = OracleDecoder(cfg4, local_addr=2)
     want = sorted((-1, int(f.sequence),

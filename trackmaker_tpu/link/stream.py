@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from trackmaker_tpu.core.config import PhyConfig
 from trackmaker_tpu.core.framing import Frame
-from trackmaker_tpu.phy.decoder import decode_capture
+from trackmaker_tpu.phy.decoder import decode_capture_fast
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -105,9 +105,16 @@ class StreamingDecodePipeline:
         b = _bucket(n)
         padded = np.zeros(b, np.float32)
         padded[:n] = seg
-        res = decode_capture(self.cfg, jnp.asarray(padded),
-                             self.local_addr,
-                             max_frames=self.max_frames, valid_len=n)
+        # decode_capture_fast: Pallas speculative decoder on TPU (exact
+        # re-decode fallback on candidate-table overflow), exact scan on
+        # CPU — decisions equal decode_capture up to slot compaction.
+        # Segments are *closed* bursts (quiet tail >= hang), so the
+        # segmenter's halo already guarantees no frame straddles the
+        # padded tail and cursor semantics aren't needed here.
+        res = decode_capture_fast(self.cfg, jnp.asarray(padded),
+                                  self.local_addr,
+                                  max_frames=self.max_frames,
+                                  valid_len=n)
         self.segments_decoded += 1
         self.samples_shipped += b
         return res.to_frames()

@@ -498,9 +498,9 @@ def decode_capture(
 @functools.lru_cache(maxsize=64)
 def _batched_fn(cfg, max_frames, optimistic):
     return jax.jit(jax.vmap(
-        lambda s, a: decode_capture(cfg, s, a, max_frames,
-                                    optimistic=optimistic),
-        in_axes=(0, None)))
+        lambda s, a, v: decode_capture(cfg, s, a, max_frames,
+                                       valid_len=v, optimistic=optimistic),
+        in_axes=(0, None, 0)))
 
 
 def _spec_supported(cfg: PhyConfig) -> bool:
@@ -521,6 +521,9 @@ def decode_capture_fast(
     samples,                     # f32[T] or f32[B, T]
     local_addr: int,
     max_frames: int = 64,
+    valid_len=None,              # i32[] / i32[B]: true lengths of
+    #                              zero-padded capture rows (bucketed
+    #                              callers keep jit shape counts low)
 ) -> DecodedFrames:
     """Host-level batch decode picking the fastest sound path.
 
@@ -536,17 +539,22 @@ def decode_capture_fast(
     leading slots; the valid-masked content is identical)."""
     x = jnp.asarray(samples)
     batched = x.ndim == 2
+    vlen = jnp.asarray(
+        x.shape[-1] if valid_len is None else valid_len, jnp.int32)
+    vlen_b = jnp.broadcast_to(vlen, x.shape[:1] if batched else (1,))
     if _spec_supported(cfg):
             from trackmaker_tpu.phy.pallas_decode import (
                 decode_capture_spec_jit)
             xb = x if batched else x[None]
             res, ok = decode_capture_spec_jit(
-                cfg, xb, local_addr, max_frames=max_frames)
+                cfg, xb, local_addr, max_frames=max_frames,
+                valid_len=vlen_b)
             ok = np.asarray(ok)
             if ok.all():
                 return res if batched else jax.tree_util.tree_map(
                     lambda a: a[0], res)
-            exact = _batched_fn(cfg, max_frames, False)(xb, local_addr)
+            exact = _batched_fn(cfg, max_frames, False)(
+                xb, local_addr, vlen_b)
             pick = jnp.asarray(ok)
 
             def merge2(a, b):
@@ -558,21 +566,24 @@ def decode_capture_fast(
                 lambda a: a[0], merged)
     if cfg.line_coding == MANCHESTER:
         if batched:
-            return _batched_fn(cfg, max_frames, False)(x, local_addr)
-        return decode_capture(cfg, x, local_addr, max_frames)
+            return _batched_fn(cfg, max_frames, False)(
+                x, local_addr, vlen_b)
+        return decode_capture(cfg, x, local_addr, max_frames,
+                              valid_len=vlen)
 
     if not batched:
         res, ok = decode_capture(cfg, x, local_addr, max_frames,
-                                 optimistic=True)
+                                 valid_len=vlen, optimistic=True)
         if bool(ok):
             return res
-        return decode_capture(cfg, x, local_addr, max_frames)
+        return decode_capture(cfg, x, local_addr, max_frames,
+                              valid_len=vlen)
 
-    res, ok = _batched_fn(cfg, max_frames, True)(x, local_addr)
+    res, ok = _batched_fn(cfg, max_frames, True)(x, local_addr, vlen_b)
     ok = np.asarray(ok)
     if ok.all():
         return res
-    exact = _batched_fn(cfg, max_frames, False)(x, local_addr)
+    exact = _batched_fn(cfg, max_frames, False)(x, local_addr, vlen_b)
     pick = jnp.asarray(ok)
 
     def merge(a, b):
