@@ -35,8 +35,9 @@ N_FRAMES = int(os.environ.get("TM_AB_FRAMES", "64"))
 MAXF = max(64, N_FRAMES)
 
 # (name, dict of pallas_decode module flags) — flags restored per combo
-COMBOS = [("legacy", {"SYNC_FOLD": False}),
-          ("fold", {"SYNC_FOLD": True})]
+COMBOS = [("legacy", {"SYNC_FOLD": False, "ATTEMPT_PAR": False}),
+          ("fold", {"SYNC_FOLD": True, "ATTEMPT_PAR": False}),
+          ("par", {"SYNC_FOLD": True, "ATTEMPT_PAR": True})]
 
 
 def build(enc_name, rng):
