@@ -1,6 +1,7 @@
 """Convolutional code + Viterbi tests."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from trackmaker_tpu.core.convcode import conv_encode, viterbi_decode
@@ -51,3 +52,45 @@ def test_viterbi_soft_beats_hard():
     err_hard = int((np.asarray(hard) != bits).sum())
     assert err_soft <= err_hard
     assert err_soft <= 2
+
+
+def test_viterbi_radix_equality():
+    """Radix-2/4 fused ACS must be decision-identical to radix 1 —
+    including tie cases (hard inputs give small-integer metrics, and
+    heavy corruption forces many exact path-metric ties) and every
+    remainder length (n_steps % radix in {0,1,2,3})."""
+    rng = np.random.default_rng(3)
+    for n_bits in (61, 62, 63, 64, 200):
+        bits = rng.integers(0, 2, n_bits).astype(np.uint8)
+        coded = np.array(conv_encode(jnp.asarray(bits)))
+        # tie-rich: hard bits with 30% flips
+        pos = rng.choice(len(coded), len(coded) * 3 // 10, replace=False)
+        hard = coded.copy()
+        hard[pos] ^= 1
+        soft = (2.0 * coded - 1.0
+                + rng.normal(0, 0.8, len(coded))).astype(np.float32)
+        for rx, is_soft in ((hard, False), (soft, True)):
+            ref = np.asarray(viterbi_decode(
+                jnp.asarray(rx), n_bits, soft=is_soft, radix=1))
+            for k in (2, 4):
+                got = np.asarray(viterbi_decode(
+                    jnp.asarray(rx), n_bits, soft=is_soft, radix=k))
+                assert np.array_equal(got, ref), (n_bits, k, is_soft)
+
+
+def test_viterbi_radix_equality_vmapped():
+    """Same equality under vmap (how phy/coded.py uses it)."""
+    rng = np.random.default_rng(4)
+    n_bits = 120
+    batch = []
+    for _ in range(8):
+        bits = rng.integers(0, 2, n_bits).astype(np.uint8)
+        tx = 2.0 * np.array(conv_encode(jnp.asarray(bits))) - 1.0
+        batch.append(tx + rng.normal(0, 0.6, len(tx)))
+    xb = jnp.asarray(np.stack(batch), jnp.float32)
+    outs = {}
+    for k in (1, 4):
+        fn = jax.vmap(lambda r: viterbi_decode(r, n_bits, soft=True,
+                                               radix=k))
+        outs[k] = np.asarray(fn(xb))
+    assert np.array_equal(outs[1], outs[4])

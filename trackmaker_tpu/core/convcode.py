@@ -117,14 +117,42 @@ def conv_encode(bits: jax.Array) -> jax.Array:
     return jnp.stack([c0, c1], axis=-1).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_bits", "soft"))
+# Trellis steps fused per scan iteration.  The radix-1 butterfly ACS
+# is sequencer-bound on TPU (~17.5 us/frame at batch 64 even with
+# unroll=8 — each step is a handful of tiny VPU ops); the butterfly
+# generalizes over k steps (pred^k(s) = 2^k (s mod 2^(6-k)) + j for
+# j in [0, 2^k)), so k steps fuse into ONE gather-free expand +
+# max/argmax with k-times fewer scan iterations and k-times fewer
+# traceback steps.  Decisions are bit-identical to radix 1: path
+# values keep the sequential f32 add order ((m + bm1) + bm2)..., and
+# the flattened argmax's smallest-index tie rule IS the sequential
+# rule (final-step choice breaks ties first — axis order (c_k .. c_1);
+# tests/test_convcode.py pins equality).  Env-tunable for on-chip A/B.
+import os as _os
+
+VITERBI_RADIX = int(_os.environ.get("TM_VITERBI_RADIX", "4"))
+assert VITERBI_RADIX in (1, 2, 4)
+
+
 def viterbi_decode(received: jax.Array, n_bits: int,
-                   soft: bool = False) -> jax.Array:
+                   soft: bool = False, radix: int | None = None
+                   ) -> jax.Array:
     """Decode 2*(n_bits+K-1) received values -> uint8[n_bits].
 
     `received`: hard bits (0/1) or soft values in [-1, +1] where +1
-    means "coded bit 1" (set soft=True).
-    """
+    means "coded bit 1" (set soft=True).  `radix` (default: the module
+    flag VITERBI_RADIX) fuses that many trellis steps per scan
+    iteration — decision-identical for all values.  The default is
+    resolved OUTSIDE the jit boundary so in-process flag flips (A/B
+    tools, tests) retrace instead of hitting the radix=None cache."""
+    return _viterbi_jit(received, n_bits, soft,
+                        VITERBI_RADIX if radix is None else radix)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bits", "soft", "radix"))
+def _viterbi_jit(received: jax.Array, n_bits: int,
+                 soft: bool, radix: int) -> jax.Array:
+    k = radix
     n_steps = n_bits + K - 1
     r = received.reshape(n_steps, 2).astype(jnp.float32)
     if not soft:
@@ -142,15 +170,36 @@ def viterbi_decode(received: jax.Array, n_bits: int,
     # this replaces was the scan's cost on TPU: 43.4 -> 23.8 us/frame
     # at batch 64, and unroll=8 amortizes the remaining per-step
     # overhead to 17.5 us/frame (2.5x total, r4 on-chip A/B).
-    def step(metrics, rt):
-        # branch metric = correlation with expected ±1 outputs
+    def expand(acc, rt):
+        """acc (64, *prev_choices) path values at the current level ->
+        (64, 2, *prev_choices) after one more trellis step: new axis 1
+        is this step's predecessor choice (sequential f32 add order)."""
         bm = pout[:, :, 0] * rt[0] + pout[:, :, 1] * rt[1]   # (64, 2)
-        cand = jnp.tile(metrics.reshape(32, 2), (2, 1)) + bm  # (64, 2)
-        choice = cand[:, 1] > cand[:, 0]   # ties -> 0, like argmax
-        new = jnp.max(cand, axis=1)
+        tail = acc.shape[1:]
+        pred = jnp.tile(acc.reshape(32, 2, *tail),
+                        (2,) + (1,) * (len(tail) + 1))       # (64,2,*t)
+        return pred + bm.reshape(NSTATES, 2, *([1] * len(tail)))
+
+    def step_block(metrics, rb):
+        """Fused k-step ACS; rb is (k, 2).  Choice j flattens the
+        choice axes (c_k, ..., c_1) — MSB = the block-final step."""
+        acc = metrics
+        for i in range(k):
+            acc = expand(acc, rb[i])
+        flat = acc.reshape(NSTATES, 1 << k)
+        new = jnp.max(flat, axis=1)
+        choice = jnp.argmax(flat, axis=1).astype(jnp.int32)
         return new, choice
 
-    final, choices = jax.lax.scan(step, init, r, unroll=8)   # (T, 64)
+    q = n_steps // k
+    rem = n_steps - q * k
+    final, choices = jax.lax.scan(
+        step_block, init, r[: q * k].reshape(q, k, 2),
+        unroll=max(1, 8 // k))                               # (q, 64)
+    ch_rem = []
+    for i in range(rem):  # static tail, same fused form at k=1
+        final, ch = _single(final, r[q * k + i])
+        ch_rem.append(ch)
 
     # traceback from state 0 (flushed); choice lookup via a one-hot
     # sum (a per-step dynamic index is a gather under vmap), and the
@@ -158,11 +207,42 @@ def viterbi_decode(received: jax.Array, n_bits: int,
     # _PRED[s, c] = 2 (s % 32) + c, _PBIT[s] = s >> 5.
     sts = jnp.arange(NSTATES)
 
-    def back(state, ch_t):
-        c = jnp.sum(jnp.where(sts == state, ch_t, False)
-                    .astype(jnp.int32))
+    def undo(state, c):
+        """One reverse trellis step: emitted input bit + predecessor."""
         return 2 * (state % 32) + c, (state >> 5).astype(jnp.uint8)
 
-    _, bits_rev = jax.lax.scan(back, jnp.int32(0), choices,
-                               reverse=True, unroll=8)
-    return bits_rev.astype(jnp.uint8)[:n_bits]
+    state = jnp.int32(0)
+    bits_tail = []
+    for i in range(rem - 1, -1, -1):   # undo the static tail first
+        c = jnp.sum(jnp.where(sts == state, ch_rem[i], 0))
+        state, bit = undo(state, c)
+        bits_tail.append(bit)
+    bits_tail = bits_tail[::-1]
+
+    def back(state, ch_t):
+        j = jnp.sum(jnp.where(sts == state, ch_t, 0))
+        bits = []
+        s = state
+        for i in range(k):             # undo steps k..1 of the block
+            c = (j >> (k - 1 - i)) & 1
+            s, bit = undo(s, c)
+            bits.append(bit)
+        return s, jnp.stack(bits[::-1])   # ascending time within block
+
+    _, blk_bits = jax.lax.scan(back, state, choices,
+                               reverse=True, unroll=max(1, 8 // k))
+    bits = blk_bits.reshape(q * k)
+    if bits_tail:
+        bits = jnp.concatenate([bits, jnp.stack(bits_tail)])
+    return bits.astype(jnp.uint8)[:n_bits]
+
+
+def _single(metrics, rt):
+    """Radix-1 ACS for the static remainder tail (same math/ties as
+    step_block at k=1; choice stored as i32 0/1)."""
+    pout = jnp.asarray(_POUT, jnp.float32) * 2.0 - 1.0
+    bm = pout[:, :, 0] * rt[0] + pout[:, :, 1] * rt[1]
+    cand = jnp.tile(metrics.reshape(32, 2), (2, 1)) + bm
+    new = jnp.max(cand, axis=1)
+    choice = jnp.argmax(cand, axis=1).astype(jnp.int32)
+    return new, choice
