@@ -132,16 +132,25 @@ def _apply_fir(rx: jax.Array, g_t: jax.Array) -> jax.Array:
     xs = jnp.concatenate([jnp.zeros(pad_l, jnp.float32), rx,
                           jnp.zeros(pad_r, jnp.float32)])
     rows = xs[: (nblk + 1) * BLK].reshape(nblk + 1, BLK)
-    slabs = jnp.concatenate([rows[:-1], rows[1:, : l_gt - 1]], axis=1)
     # band B[j, c] = p[j - c], p = g_t reversed (correlation form):
-    # eq[bB + c] = sum_j slab[b, j] B[j, c]
+    # eq[bB + c] = sum_j slab[b, j] B[j, c] with slab b = rows b ++
+    # rows[b+1][:l_gt-1].  Split the contraction at the row boundary —
+    # two matmuls on views of the SAME rows array — instead of
+    # materializing the (nblk, BLK + l_gt - 1) slab concat (1.75x HBM
+    # write+read amplification of the whole capture, r5 fusion).  The
+    # split keeps f32 accumulation within each j monotone ascending, so
+    # eq is bit-identical iff XLA's two-matmul sum matches the single
+    # 896-wide matmul's accumulation tree — NOT guaranteed; both spec
+    # and exact decoders consume the same eq buffer, so decisions stay
+    # internally consistent either way.
     p = g_t[::-1]
     jj = jax.lax.broadcasted_iota(jnp.int32, (BLK + l_gt - 1, BLK), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (BLK + l_gt - 1, BLK), 1)
     d = jj - cc
     band = jnp.where((d >= 0) & (d < l_gt),
                      p[jnp.clip(d, 0, l_gt - 1)], 0.0)
-    eq = (slabs @ band).reshape(-1)
+    eq = (rows[:-1] @ band[:BLK]
+          + rows[1:, : l_gt - 1] @ band[BLK:]).reshape(-1)
     return eq[:t]
 
 
@@ -159,20 +168,29 @@ def equalize_capture(cfg: PhyConfig, rx: jax.Array,
     a mid-burst preamble's "silence" region holds the previous frame's
     tail, the LS fit can't explain it, and lam blows up — so when any
     candidate DOES follow a real gap, it is chosen even if a mid-burst
-    peak correlates more strongly (e.g. an attenuated first frame)."""
+    peak correlates more strongly (e.g. an attenuated first frame).
+
+    The peel runs over per-128-lag-row (max, argmax) stats
+    (sync.auto_xcorr_row_stats — one fused Pallas pass on TPU; the
+    dense correlation never reaches HBM, r5 fusion) and suppression is
+    row-granular: a row is consumed when ITS max lies within a
+    preamble of a chosen anchor, so a secondary in-row peak can be
+    shadowed by a stronger one < 128 lags away — anchors are
+    residual-ranked training candidates, not decode decisions, and any
+    shadowed preamble is an equally valid training window one peel
+    slot later."""
     rx = jnp.asarray(rx, jnp.float32)
     pre = np.asarray(line_coding.preamble_waveform(cfg))
     l_pre = len(pre)
-    corr = sync_mod.auto_xcorr(rx, pre)
-    t = corr.shape[-1]
-    pos = jnp.arange(t, dtype=jnp.int32)
+    rowmax, rowpos = sync_mod.auto_xcorr_row_stats(rx, pre)
     cands, quals = [], []
-    c = corr
+    rm = rowmax
     for _ in range(n_anchors):                      # static peel
-        a = jnp.argmax(c).astype(jnp.int32)
+        j = jnp.argmax(rm)
+        a = rowpos[j].astype(jnp.int32)
         cands.append(a)
-        quals.append(c[a])
-        c = jnp.where(jnp.abs(pos - a) < l_pre, -jnp.inf, c)
+        quals.append(rm[j])
+        rm = jnp.where(jnp.abs(rowpos - a) < l_pre, -jnp.inf, rm)
     anchors = jnp.stack(cands)
     quals = jnp.stack(quals)
     hs, lams = jax.vmap(lambda a: estimate_channel(cfg, rx, a))(anchors)

@@ -637,6 +637,116 @@ def pallas_xcorr_hits_batched(
     return rows[:b]
 
 
+def _xcorr_rowstats_kernel(x0_ref, x1_ref, pmat_ref, emat_ref,
+                           stats_ref, *, blk: int, seg: int,
+                           inv_pe: float, eps: float, n_lags: int,
+                           use_bf16: bool):
+    """Normalized xcorr + per-128-lag-row (max, argmax) epilogue — the
+    dense correlation never leaves VMEM.  Built for anchor search
+    (dsp/equalizer.py): the old path wrote the full corr to HBM and
+    peeled argmaxes over it (write T + 4x(read T + write T) HBM sweeps
+    + 9 dispatches); this emits 16 i32 per 128 lags in ONE pass.
+    stats row r: col 0 = bitcast f32 max corr in lag row r, col 1 =
+    absolute lag position of that max (first-max tie rule), rest 0."""
+    nb = blk // 128
+    nch = seg // 128
+    r = jnp.concatenate([x0_ref[:, :], x1_ref[:nch, :]], axis=0)
+    sq = r * r
+    dot = jnp.zeros((nb, 128), jnp.float32)
+    energy = jnp.zeros((nb, 128), jnp.float32)
+    for k in range(nch):
+        rk = r[k:k + nb]
+        if use_bf16:
+            dot = dot + jnp.dot(
+                rk.astype(jnp.bfloat16),
+                pmat_ref[128 * k:128 * (k + 1), :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            energy = energy + jnp.dot(
+                sq[k:k + nb].astype(jnp.bfloat16),
+                emat_ref[128 * k:128 * (k + 1), :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            dot = dot + jnp.dot(
+                rk, pmat_ref[128 * k:128 * (k + 1), :],
+                preferred_element_type=jnp.float32)
+            energy = energy + jnp.dot(
+                sq[k:k + nb], emat_ref[128 * k:128 * (k + 1), :],
+                preferred_element_type=jnp.float32)
+    denom = jax.lax.rsqrt(jnp.maximum(energy, 1e-30)) * inv_pe
+    corr = jnp.where(energy < eps, 0.0, dot * denom)
+
+    base = pl.program_id(0) * blk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+    pos = base + rowi * 128 + lane
+    cm = jnp.where(pos < n_lags, corr, -jnp.inf)
+    mx = jnp.max(cm, axis=1, keepdims=True)               # (nb, 1)
+    is_mx = cm >= mx                                      # ties -> all
+    amx = jnp.min(jnp.where(is_mx, lane, 128), axis=1,
+                  keepdims=True)                          # first max
+    row_base = base + jax.lax.broadcasted_iota(
+        jnp.int32, (nb, 1), 0) * 128
+    stats_ref[:, 0:1] = jax.lax.bitcast_convert_type(
+        jnp.where(jnp.isfinite(mx), mx, jnp.float32(-3.4e38)), jnp.int32)
+    stats_ref[:, 1:2] = row_base + jnp.minimum(amx, 127)
+    for k in range(2, 16):
+        stats_ref[:, k:k + 1] = jnp.zeros((nb, 1), jnp.int32)
+
+
+def pallas_xcorr_rowstats(
+    samples: jax.Array,          # f32[T]
+    pattern: np.ndarray,         # f32[L] (host constant)
+    eps: float = 1e-6,
+    blk: int = 16384,
+    interpret: bool = False,
+    use_bf16: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(rowmax f32[R], rowpos i32[R]) per 128-lag row, R = ceil(T/128).
+
+    One fused pass; rows fully past the valid lag range carry -3.4e38
+    so a host/XLA top-k peel over the R-length vectors (R ~ T/128) can
+    never pick them.  See _xcorr_rowstats_kernel."""
+    pattern = np.asarray(pattern, np.float32)
+    l = len(pattern)
+    t = samples.shape[-1]
+    seg = 128 + _round_up(max(l - 1, 1), 128)
+    pmat, emat = _banded_mats(tuple(pattern.tolist()), seg)
+    pe = float(np.sqrt(np.sum(pattern.astype(np.float64) ** 2)))
+
+    t_pad = _round_up(max(t, blk), blk)
+    grid = t_pad // blk
+    nb = blk // 128
+    nch = seg // 128
+    x_rows = jnp.pad(samples.astype(jnp.float32),
+                     (0, t_pad + blk - t)).reshape(-1, 128)
+
+    stats = pl.pallas_call(
+        functools.partial(_xcorr_rowstats_kernel, blk=blk, seg=seg,
+                          inv_pe=1.0 / pe, eps=eps,
+                          n_lags=t - l + 1, use_bf16=use_bf16),
+        out_shape=jax.ShapeDtypeStruct((t_pad // 128, 16), jnp.int32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((nb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _thin_x1_spec(nb, nch),
+            pl.BlockSpec((seg, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * t_pad * seg, transcendentals=0,
+            bytes_accessed=4 * (t_pad + 2 * seg * 128)),
+        compiler_params=None if interpret else _xc_params(),
+        interpret=interpret,
+    )(x_rows, x_rows, jnp.asarray(pmat), jnp.asarray(emat))
+    rowmax = jax.lax.bitcast_convert_type(stats[:, 0], jnp.float32)
+    return rowmax, stats[:, 1]
+
+
 def pallas_normalized_xcorr(
     samples: jax.Array,          # f32[T]
     pattern: np.ndarray,         # f32[L] (host constant)
