@@ -55,10 +55,10 @@ def test_viterbi_soft_beats_hard():
 
 
 def test_viterbi_radix_equality():
-    """Radix-2/4 fused ACS must be decision-identical to radix 1 —
+    """Radix-2/4/8 fused ACS must be decision-identical to radix 1 —
     including tie cases (hard inputs give small-integer metrics, and
     heavy corruption forces many exact path-metric ties) and every
-    remainder length (n_steps % radix in {0,1,2,3})."""
+    remainder length (n_steps % radix in {0..7})."""
     rng = np.random.default_rng(3)
     for n_bits in (61, 62, 63, 64, 200):
         bits = rng.integers(0, 2, n_bits).astype(np.uint8)
@@ -72,7 +72,7 @@ def test_viterbi_radix_equality():
         for rx, is_soft in ((hard, False), (soft, True)):
             ref = np.asarray(viterbi_decode(
                 jnp.asarray(rx), n_bits, soft=is_soft, radix=1))
-            for k in (2, 4):
+            for k in (2, 4, 8):
                 got = np.asarray(viterbi_decode(
                     jnp.asarray(rx), n_bits, soft=is_soft, radix=k))
                 assert np.array_equal(got, ref), (n_bits, k, is_soft)

@@ -45,7 +45,7 @@ def main():
             lambda r: viterbi_decode(r, N_BITS, soft=True, radix=k)))
 
     ref = np.asarray(batch_fn(1)(xb))
-    for k in (1, 2, 4):
+    for k in (1, 2, 4, 8):
         fn = batch_fn(k)
         got = np.asarray(fn(xb))
         assert np.array_equal(got, ref), f"radix {k} decision mismatch"

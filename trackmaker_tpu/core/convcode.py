@@ -131,7 +131,7 @@ def conv_encode(bits: jax.Array) -> jax.Array:
 import os as _os
 
 VITERBI_RADIX = int(_os.environ.get("TM_VITERBI_RADIX", "4"))
-assert VITERBI_RADIX in (1, 2, 4)
+assert VITERBI_RADIX in (1, 2, 4, 8)
 
 
 def viterbi_decode(received: jax.Array, n_bits: int,
