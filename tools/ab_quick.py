@@ -60,13 +60,21 @@ def set_flags(flags):
 
 def gate(cfg, x, n_frames):
     """Payload-correctness gate under the CURRENT combo flags: a broken
-    combo must fail here, not report a (possibly faster) wrong time."""
+    combo must fail here, not report a (possibly faster) wrong time.
+    Returns True on pass; on failure prints diagnostics (ok fraction,
+    valid-count range) so a combo-specific on-chip breakage is
+    attributable without a separate debug run."""
     res, ok = jax.tree_util.tree_map(
         np.asarray, pd.decode_capture_spec(cfg, x, 2, max_frames=MAXF,
                                            n_cand=128,
                                            interpret=INTERPRET))
-    assert ok.all() and (res.valid.sum(axis=1) == n_frames).all(), \
-        "decode gate failed under current flags"
+    vc = res.valid.sum(axis=1)
+    if ok.all() and (vc == n_frames).all():
+        return True
+    print(f"  GATE FAILED: ok_frac={ok.mean():.2f} "
+          f"valid=[{vc.min()}..{vc.max()}] want={n_frames} — not timed",
+          flush=True)
+    return False
 
 
 def measure(cfg, x):
@@ -107,7 +115,9 @@ def main():
         try:
             for name, flags in COMBOS:
                 set_flags(flags)
-                gate(cfg, x, n_frames)   # correctness per combo, timed after
+                print(f"{enc_name:12s} {name:10s} gating...", flush=True)
+                if not gate(cfg, x, n_frames):  # per-combo correctness
+                    continue
                 best, med = measure(cfg, x)
                 xr = batch * t / cfg.sample_rate / (best / 1000.0)
                 results[(enc_name, name)] = (best, xr)
