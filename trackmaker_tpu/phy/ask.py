@@ -186,7 +186,9 @@ def warmup_sync_at(cfg: AskConfig, rx_pad, power_pad, w_band, cursor, t):
     received since.  Returns (sync_w[L], ok_w[L])."""
     l_pre = cfg.preamble_len
     slab = jax.lax.dynamic_slice(rx_pad, (cursor,), (l_pre,))
-    out = (slab @ w_band) / cfg.sync_divisor           # [L]
+    out = jnp.matmul(slab, w_band,
+                     precision=jax.lax.Precision.HIGHEST) \
+        / cfg.sync_divisor                             # [L]
     pw = jax.lax.dynamic_slice(power_pad, (cursor,), (l_pre,))
     okw = (out > cfg.sync_power_factor * pw) & (
         out > cfg.sync_abs_threshold)

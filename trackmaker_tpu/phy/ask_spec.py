@@ -272,7 +272,9 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
     pad8 = (-l_pre) % 8
     slab = _shift_realign(rw, o1, l_pre + pad8)[:, :l_pre]
     pw_p = _shift_realign(pw2, o1, l_pre + pad8)[:, :l_pre]
-    sync_w = (slab @ w_band) / cfg.sync_divisor          # [C, l_pre]
+    sync_w = jnp.matmul(slab, w_band,
+                        precision=jax.lax.Precision.HIGHEST) \
+        / cfg.sync_divisor                               # [C, l_pre]
     parng = jnp.arange(l_pre, dtype=jnp.int32)[None, :]
     pos_valid = cursor[:, None] + parng < t
     ok_w = ((sync_w > cfg.sync_power_factor * pw_p)

@@ -935,10 +935,13 @@ def _pick_i32(vals: jax.Array, valid: jax.Array,
     48 kHz = 28.8M samples — the same hazard _spec_compact.pick_pos
     guards against)."""
     v = jnp.where(valid, vals, 0)
+    _hi = jax.lax.Precision.HIGHEST     # explicit: exact one-hot picks
     lo = jnp.einsum("...i,...ic->...c",
-                    (v & 0xFFFF).astype(jnp.float32), onehot)
+                    (v & 0xFFFF).astype(jnp.float32), onehot,
+                    precision=_hi)
     hi = jnp.einsum("...i,...ic->...c",
-                    (v >> 16).astype(jnp.float32), onehot)
+                    (v >> 16).astype(jnp.float32), onehot,
+                    precision=_hi)
     return (hi.astype(jnp.int32) << 16) + lo.astype(jnp.int32)
 
 
@@ -995,10 +998,12 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
            ).astype(jnp.float32)
     grp_n = jnp.sum(vg.astype(jnp.int32), axis=-1)
     s_c = _pick_i32(sg, vg, oh1)
-    c_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, cg, 0.0), oh1)
+    c_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, cg, 0.0), oh1,
+                     precision=jax.lax.Precision.HIGHEST)
     if with_fs:
         fg = fvals.reshape(*lead, ng, group * rpb).astype(jnp.float32)
-        f_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, fg, 0.0), oh1)
+        f_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, fg, 0.0),
+                         oh1, precision=jax.lax.Precision.HIGHEST)
     s_c = jnp.where(jnp.arange(s1) < grp_n[..., None], s_c, _BIGI)
 
     # stage 2: global rank compaction of the survivors
@@ -1011,7 +1016,8 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
               ).astype(jnp.float32)
     cand = _pick_i32(flat, valid, onehot)
     corr_c = jnp.einsum("...i,...ic->...c",
-                        jnp.where(valid, cflat, 0.0), onehot)
+                        jnp.where(valid, cflat, 0.0), onehot,
+                        precision=jax.lax.Precision.HIGHEST)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
     overflow = (jnp.any(counts > rpb, axis=-1)
                 | jnp.any(grp_n > s1, axis=-1)
@@ -1021,7 +1027,8 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     if with_fs:
         fd = jnp.einsum("...i,...ic->...c",
                         jnp.where(valid, f_c.reshape(*lead, ng * s1),
-                                  0.0), onehot)
+                                  0.0), onehot,
+                        precision=jax.lax.Precision.HIGHEST)
         fs_c = cand + fd.astype(jnp.int32)
         return cand, corr_c, n_valid, overflow, fs_c
     return cand, corr_c, n_valid, overflow
@@ -1057,7 +1064,8 @@ def _extract_candidates(hits: jax.Array, n_cand: int,
               & (rank[..., None] == jnp.arange(n_cand, dtype=jnp.int32))
               ).astype(jnp.float32)
     cand = jnp.einsum("...i,...ic->...c",
-                      jnp.where(valid, flat, 0).astype(jnp.float32), onehot)
+                      jnp.where(valid, flat, 0).astype(jnp.float32),
+                      onehot, precision=jax.lax.Precision.HIGHEST)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
     cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
                      cand.astype(jnp.int32), _BIGI)
