@@ -69,8 +69,25 @@ ATTEMPT_PIPE = max(2, int(_os.environ.get("TM_ATTEMPT_PIPE", "4")))
 # correlation on its VMEM-resident tiles and refines each hit's frame
 # start in its epilogue, so the attempt kernels skip their per-candidate
 # refine (3 matmul issues + argmax chain — and their floor is op-issue
-# cost).  Module-level so tests can flip it; env-gated for on-chip A/B.
-SYNC_FOLD = _os.environ.get("TM_SYNC_FOLD", "1") == "1"
+# cost).  Module-level so tests can flip it (bool); env values "1"/"0"
+# force it, default "auto" picks per capture length: the legacy
+# (unfolded) stash is integer-exact below 2^24 samples and measured
+# ~18% faster on the flagship shape (r5 on-chip A/B: 3.62 vs 4.40 ms),
+# while long flat captures (blocked 600 s, positions up to 2^25) NEED
+# the fold's position-delta stash.
+SYNC_FOLD = _os.environ.get("TM_SYNC_FOLD", "auto")
+
+
+def _resolve_fold(t: int) -> bool:
+    """Fold decision for a capture/flat length of `t` samples (trace
+    time, static).  Honors bools poked by tests (`pd.SYNC_FOLD = True`)
+    and forced env values; "auto" folds only where legacy is inexact."""
+    sf = SYNC_FOLD
+    if isinstance(sf, bool):
+        return sf
+    if sf == "auto":
+        return t >= (1 << 24)
+    return sf == "1"
 
 from trackmaker_tpu.core import bitops
 from trackmaker_tpu.core.config import (
@@ -602,7 +619,7 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
 # No per-candidate DMA, no fori_loop, no sequencer bottleneck.  Fold
 # mode only (fs arrives refined from the xcorr kernel); the Pallas
 # kernels above remain for the TM_SYNC_FOLD=0 legacy path.
-ATTEMPT_PAR = _os.environ.get("TM_ATTEMPT_PAR", "1") == "1"
+ATTEMPT_PAR = _os.environ.get("TM_ATTEMPT_PAR", "0") == "1"
 
 
 def _realign128(flat: jax.Array, ql: jax.Array, out_len: int) -> jax.Array:
@@ -1146,7 +1163,7 @@ def _spec_phase_a(
         xc_blk = 16384
     else:
         xc_blk = 8192
-    fold = SYNC_FOLD
+    fold = _resolve_fold(t)
     if not fold and t >= (1 << 24):
         # legacy (TM_SYNC_FOLD=0) attempt kernels stash the refined
         # frame start through an f32 byte-grid lane.  f32 is
