@@ -136,6 +136,30 @@ def main():
           inloop(lambda xx: jax.vmap(anchor_legacy)(xx)), x)
     timed("anchor rowstats (fused)",
           inloop(lambda xx: jax.vmap(anchor_rowstats)(xx)), x)
+
+    # --- fine split with FIXED anchors/taps (host boundary) so each
+    # stage times alone: where do the non-anchor ~2 ms go? -----------
+    anc_f = jnp.asarray(np.asarray(jax.vmap(anchor_rowstats)(x)))
+
+    def est4(xx):
+        return jax.vmap(lambda r, a4: jax.vmap(
+            lambda a: eqz.estimate_channel(cfg, r, a))(a4))(xx, anc_f)
+
+    timed("estimate x4 (fixed anchors)", inloop(est4), x)
+    hs, lams = est4(x)
+    h1 = jnp.asarray(np.asarray(hs[:, 0]))
+    lam1 = jnp.asarray(np.asarray(lams[:, 0]))
+
+    def taps_fn(hh):
+        return jax.vmap(eqz._mmse_taps)(hh, lam1)
+
+    timed("mmse taps (fft x32)", inloop(taps_fn), h1)
+    g = jnp.asarray(np.asarray(jax.vmap(eqz._mmse_taps)(h1, lam1)))
+
+    def apply_fn(xx):
+        return jax.vmap(eqz._apply_fir)(xx, g)
+
+    timed("apply_fir", inloop(apply_fn), x)
     timed("equalize_capture (full)",
           inloop(lambda xx: jax.vmap(
               lambda r: eqz.equalize_capture(cfg, r)[0])(xx)), x)

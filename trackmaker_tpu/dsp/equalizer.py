@@ -96,13 +96,30 @@ def estimate_channel(cfg: PhyConfig, rx: jax.Array, anchor: jax.Array):
     The capture is front-padded by K0+1 zeros so an anchor within K0+1
     samples of the capture start still aligns its training window (the
     zeros are genuine silence — the capture boundary); a bare clip used
-    to SHIFT the window for such anchors, training on garbage."""
+    to SHIFT the window for such anchors, training on garbage.
+
+    The window fetch is an aligned 128-row gather + exact lane realign
+    (core.realign recipe): a traced-start ``dynamic_slice`` lowers to
+    per-element gathers at ~10 ns/element on this chip, which at
+    batch 32 x 4 anchors x ~900-sample windows was ~1.2 ms — most of
+    the equalizer's non-anchor cost (r5 A/B).  ``shift_realign`` is
+    f32-bit-exact, so ``b`` (and every downstream tap) is unchanged."""
+    from trackmaker_tpu.core import realign
     m, a, i0, rows = _ls_solver_np(cfg)
     pad0 = K0 + 1                                    # -i0
-    rx_pad = jnp.concatenate([jnp.zeros(pad0, jnp.float32), rx,
-                              jnp.zeros(rows + 8, jnp.float32)])
+    t = rx.shape[-1]
+    rows8 = -(-rows // 8) * 8
+    nrow = rows8 // 128 + 2
+    total = -(-(pad0 + t + nrow * 128 + 128) // 128) * 128
+    rx_pad = jnp.concatenate(
+        [jnp.zeros(pad0, jnp.float32), rx,
+         jnp.zeros(total - pad0 - t, jnp.float32)])
+    grid = rx_pad.reshape(total // 128, 128)
     start = jnp.maximum(anchor + i0 + pad0, 0)
-    b = jax.lax.dynamic_slice(rx_pad, (start,), (rows,))
+    q = jnp.floor_divide(start, 128)
+    ridx = q + jnp.arange(nrow, dtype=jnp.int32)
+    src = jnp.take(grid, ridx, axis=0, mode="clip").reshape(1, nrow * 128)
+    b = realign.shift_realign(src, (start - 128 * q)[None], rows8)[0, :rows]
     h = jnp.asarray(m) @ b
     fit = jnp.asarray(a) @ h
     res = jnp.mean((fit - b) ** 2)
