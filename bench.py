@@ -194,8 +194,8 @@ def _probe_window():
 
         def k(x_ref, o_ref):
             def body(i, c):
-                o_ref[0, 0] = c
-                return c + x_ref[0, 0]
+                o_ref[...] = x_ref[...] + c
+                return c + 1.0
             jax.lax.fori_loop(0, 128, body, jnp.float32(0.0))
 
         interp = jax.default_backend() != "tpu"
@@ -210,8 +210,10 @@ def _probe_window():
         xk = jnp.ones((8, 128), jnp.float32)
         ts = _measure(f, xk, iters=(4 if interp else 400), repeats=3)
         out["noop_pallas_us"] = round(ts[len(ts) // 2] * 1e6, 2)
-    except Exception:  # noqa: BLE001
+    except Exception as e:  # noqa: BLE001
         out["noop_pallas_us"] = None
+        out["noop_err"] = repr(e)[:160]   # r5: the BENCH_r05 null was
+        #                                   silent; keep the cause
     try:
         n = 1 << 24                       # 64 MB f32
         xs = jnp.ones((n,), jnp.float32)
