@@ -122,3 +122,27 @@ def test_fast_decode_valid_len_padding(coding):
     row1 = jax.tree_util.tree_map(lambda a: a[1], res)
     assert _decisions(row0) == _decisions(want)
     assert [f.data for f in row1.to_frames()] == [f.data for f in frames2]
+
+
+@pytest.mark.parametrize("coding", [MANCHESTER, FOUR_B_FIVE_B])
+def test_packed_decoder_roundtrip(coding):
+    """The one-readback packed segment decode (stream._packed_decoder +
+    _parse_packed, r5 latency fix) yields exactly decode_capture_fast's
+    frames on the same padded segment."""
+    from trackmaker_tpu.link.stream import (_bucket, _packed_decoder,
+                                            _parse_packed)
+    cfg = PhyConfig(line_coding=coding)
+    frames, wave = _sparse_capture(cfg, 3, silence=6_000, seed=5)
+    n = len(wave)
+    b = _bucket(n)
+    padded = np.zeros(b, np.float32)
+    padded[:n] = wave
+    fn = _packed_decoder(cfg, 32, interpret=True)
+    arr = np.asarray(fn(jnp.asarray(padded), jnp.int32(n), jnp.int32(2)))
+    ok, got = _parse_packed(arr)
+    assert ok
+    ref = decode_capture_fast(cfg, jnp.asarray(padded), 2,
+                              max_frames=32, valid_len=n).to_frames()
+    assert [bytes(f.to_bytes()) for f in got] == \
+        [bytes(f.to_bytes()) for f in ref]
+    assert len(got) == 3

@@ -12,10 +12,13 @@ CSMA means mostly silence) decode at a tiny fraction of the dense cost.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from trackmaker_tpu.core.config import PhyConfig
+from trackmaker_tpu.core.config import PHY_HEADER_BYTES, PhyConfig
 from trackmaker_tpu.core.framing import Frame
 from trackmaker_tpu.phy.decoder import decode_capture_fast
 
@@ -25,6 +28,61 @@ def _bucket(n: int, lo: int = 4096) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@functools.lru_cache(maxsize=64)
+def _packed_decoder(cfg: PhyConfig, max_frames: int,
+                    interpret: bool = False):
+    """Jitted spec decode + single-buffer result pack for the streaming
+    hot path: every per-segment device->host fetch (`ok`, then
+    to_frames' valid/frame_bytes/length) is a separate tunnel round
+    trip — at a degraded 28 ms RTT the 4 serial readbacks alone cost
+    ~112 ms of the chunk-in->frame-out latency (BENCH_r05 p99 198 ms
+    vs 105 ms healthy).  Packing into one uint8 matrix makes it ONE
+    readback; the rare not-ok row falls back to the exact path
+    (decode_capture_fast) exactly as before.
+
+    Layout per slot row (uint8, width = frame-capacity + 4):
+      [:cap]   frame_bytes (header + payload, zero-padded)
+      [cap]    valid flag
+      [cap+1]  length low byte   (payload length <= 263 < 2^16)
+      [cap+2]  length high byte
+      [cap+3]  spec-path ok flag (same value every row)
+    """
+    from trackmaker_tpu.phy.pallas_decode import decode_capture_spec
+
+    @jax.jit
+    def f(x, vlen, local_addr):
+        res, ok = decode_capture_spec(cfg, x[None], local_addr,
+                                      max_frames=max_frames,
+                                      valid_len=vlen[None],
+                                      interpret=interpret)
+        fb = res.frame_bytes[0]
+        k = fb.shape[0]
+        valid = res.valid[0].astype(jnp.uint8)[:, None]
+        ln = res.length[0]
+        lo = (ln & 0xFF).astype(jnp.uint8)[:, None]
+        hi = ((ln >> 8) & 0xFF).astype(jnp.uint8)[:, None]
+        okb = jnp.full((k, 1), 0, jnp.uint8) + ok[0].astype(jnp.uint8)
+        return jnp.concatenate([fb, valid, lo, hi, okb], axis=1)
+
+    return f
+
+
+def _parse_packed(arr: np.ndarray) -> tuple[bool, list[Frame]]:
+    """(spec_ok, frames) from `_packed_decoder` output."""
+    cap = arr.shape[1] - 4
+    if not arr[0, cap + 3]:
+        return False, []
+    out = []
+    for row in arr:
+        if not row[cap]:
+            continue
+        ln = int(row[cap + 1]) | (int(row[cap + 2]) << 8)
+        f = Frame.from_bytes(row[: PHY_HEADER_BYTES + ln].tobytes())
+        assert f is not None
+        out.append(f)
+    return True, out
 
 
 class StreamingDecodePipeline:
@@ -105,16 +163,25 @@ class StreamingDecodePipeline:
         b = _bucket(n)
         padded = np.zeros(b, np.float32)
         padded[:n] = seg
-        # decode_capture_fast: Pallas speculative decoder on TPU (exact
-        # re-decode fallback on candidate-table overflow), exact scan on
-        # CPU — decisions equal decode_capture up to slot compaction.
-        # Segments are *closed* bursts (quiet tail >= hang), so the
-        # segmenter's halo already guarantees no frame straddles the
-        # padded tail and cursor semantics aren't needed here.
+        # Spec decoder + one-readback packed result on TPU (see
+        # _packed_decoder); decode_capture_fast everywhere else and on
+        # the rare spec-path overflow — decisions equal decode_capture
+        # up to slot compaction.  Segments are *closed* bursts (quiet
+        # tail >= hang), so the segmenter's halo already guarantees no
+        # frame straddles the padded tail and cursor semantics aren't
+        # needed here.
+        self.segments_decoded += 1
+        self.samples_shipped += b
+        from trackmaker_tpu.phy.decoder import _spec_supported
+        if _spec_supported(self.cfg):
+            fn = _packed_decoder(self.cfg, self.max_frames)
+            arr = np.asarray(fn(jnp.asarray(padded), jnp.int32(n),
+                                jnp.int32(self.local_addr)))
+            ok, frames = _parse_packed(arr)
+            if ok:
+                return frames
         res = decode_capture_fast(self.cfg, jnp.asarray(padded),
                                   self.local_addr,
                                   max_frames=self.max_frames,
                                   valid_len=n)
-        self.segments_decoded += 1
-        self.samples_shipped += b
         return res.to_frames()
