@@ -134,6 +134,14 @@ timeit_fused("walk matvec scan", walk_matvec, fields)
 timeit_fused("walk gather scan", walk_gather, fields)
 timeit_fused("walk smem kernel", walk_smem, fields)
 
+
+# r5: unroll sweep of the shipped walk (WALK_UNROLL read at trace time;
+# each timeit re-jits, so flipping the module flag retraces)
+for u in (8, 16, 24, 36, 72):
+    pd.WALK_UNROLL = u
+    timeit_fused(f"walk unroll={u}", walk_current, fields)
+pd.WALK_UNROLL = 8
+
 # agreement check
 a = np.asarray(walk_current(fields))
 for name, fn in (("matvec", walk_matvec), ("gather", walk_gather),

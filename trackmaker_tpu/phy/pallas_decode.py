@@ -621,6 +621,10 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
 # kernels above remain for the TM_SYNC_FOLD=0 legacy path.
 ATTEMPT_PAR = _os.environ.get("TM_ATTEMPT_PAR", "0") == "1"
 
+# Walk-scan unroll factor (see _spec_walk_query): 8 was the r4 sweep
+# winner; >= steps means a fully unrolled, while-loop-free chase.
+WALK_UNROLL = max(1, int(_os.environ.get("TM_WALK_UNROLL", "8")))
+
 
 def _realign128(flat: jax.Array, ql: jax.Array, out_len: int) -> jax.Array:
     """``out[n, k] = flat[n, k + ql[n]]`` exactly, for ql in [0, 128).
@@ -893,10 +897,12 @@ def _spec_walk_query(prep, start_cursor, max_frames: int):
     steps = min(max_frames, c_n + 1)
     # unroll: the per-step ops are tiny (B x C+1 compares), so scan
     # iteration overhead dominates — unroll=8 measured 0.69 vs 0.99 ms
-    # at B=32, C=128 (tools/prof_walk.py)
+    # at B=32, C=128 (tools/prof_walk.py); env-tunable for the r5
+    # full-unroll A/B (the XLA while-loop carries most of the step
+    # cost at these sizes, so unroll=steps may win outright)
     (_, visited), _ = jax.lax.scan(
         step, (s0.astype(jnp.int32), vis0), None, length=steps,
-        unroll=8)
+        unroll=min(steps, WALK_UNROLL))
 
     att = visited[:, :c_n] & exists
     keep = att & keepf & ~stopf   # stop candidates never yield a frame
