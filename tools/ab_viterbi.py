@@ -69,6 +69,36 @@ def main():
         us_frame = min(ts) / BATCH
         print(f"radix {k}: {min(ts):9.1f} us/batch  "
               f"{us_frame:7.2f} us/frame", flush=True)
+
+    # r5: unroll sweep at the winning radix (while-loop overhead
+    # hypothesis -- at radix 4 the auto unroll is only 2 fused blocks,
+    # leaving ~65 loop iterations per decode)
+    from trackmaker_tpu.core import convcode
+    for u in (2, 4, 8, 16, 33):
+        convcode.VITERBI_UNROLL = u
+        fn = batch_fn(4)
+        got = np.asarray(fn(xb))
+        assert np.array_equal(got, ref), f"unroll {u} decision mismatch"
+
+        @jax.jit
+        def loop(xx, fn=fn):
+            def body(c, i):
+                r = fn(xx + i.astype(jnp.float32) * 1e-30)
+                return c + jnp.sum(r.astype(jnp.float32)), None
+            out, _ = jax.lax.scan(
+                body, jnp.float32(0.0),
+                jnp.arange(ITERS, dtype=jnp.int32))
+            return out
+
+        np.asarray(loop(xb))
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            np.asarray(loop(xb))
+            ts.append((time.time() - t0) / ITERS * 1e6)
+        print(f"radix 4 unroll {u:2d}: {min(ts):9.1f} us/batch  "
+              f"{min(ts) / BATCH:7.2f} us/frame", flush=True)
+    convcode.VITERBI_UNROLL = 0
     sys.stdout.flush()
     os._exit(0)
 

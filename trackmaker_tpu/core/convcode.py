@@ -133,6 +133,15 @@ import os as _os
 VITERBI_RADIX = int(_os.environ.get("TM_VITERBI_RADIX", "4"))
 assert VITERBI_RADIX in (1, 2, 4, 8)
 
+# Scan unroll in fused-block units (r5): at radix 4 the old
+# max(1, 8 // k) = 2 left ~65 XLA while-loop iterations per decode,
+# and the loop carries most of the per-iteration cost at these
+# (64, 2^k) shapes.  Env-tunable for the on-chip sweep
+# (tools/ab_viterbi.py); decisions are unroll-invariant.  Resolved
+# OUTSIDE the jit boundary (viterbi_decode) so in-process flips
+# retrace instead of hitting the cache.
+VITERBI_UNROLL = int(_os.environ.get("TM_VITERBI_UNROLL", "0"))  # 0=auto
+
 
 def viterbi_decode(received: jax.Array, n_bits: int,
                    soft: bool = False, radix: int | None = None
@@ -145,13 +154,15 @@ def viterbi_decode(received: jax.Array, n_bits: int,
     iteration — decision-identical for all values.  The default is
     resolved OUTSIDE the jit boundary so in-process flag flips (A/B
     tools, tests) retrace instead of hitting the radix=None cache."""
-    return _viterbi_jit(received, n_bits, soft,
-                        VITERBI_RADIX if radix is None else radix)
+    k = VITERBI_RADIX if radix is None else radix
+    unroll = VITERBI_UNROLL if VITERBI_UNROLL > 0 else max(1, 8 // k)
+    return _viterbi_jit(received, n_bits, soft, k, unroll)
 
 
-@functools.partial(jax.jit, static_argnames=("n_bits", "soft", "radix"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_bits", "soft", "radix", "unroll"))
 def _viterbi_jit(received: jax.Array, n_bits: int,
-                 soft: bool, radix: int) -> jax.Array:
+                 soft: bool, radix: int, unroll: int = 0) -> jax.Array:
     k = radix
     n_steps = n_bits + K - 1
     r = received.reshape(n_steps, 2).astype(jnp.float32)
@@ -193,9 +204,10 @@ def _viterbi_jit(received: jax.Array, n_bits: int,
 
     q = n_steps // k
     rem = n_steps - q * k
+    u = unroll if unroll > 0 else max(1, 8 // k)
     final, choices = jax.lax.scan(
         step_block, init, r[: q * k].reshape(q, k, 2),
-        unroll=max(1, 8 // k))                               # (q, 64)
+        unroll=min(q, u))                                    # (q, 64)
     ch_rem = []
     for i in range(rem):  # static tail, same fused form at k=1
         final, ch = _single(final, r[q * k + i])
