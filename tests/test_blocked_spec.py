@@ -237,3 +237,32 @@ def test_walk_vectorized_equals_smem():
         for name, g, w in zip(names, got, want):
             assert np.array_equal(np.asarray(g), np.asarray(w)), (
                 trial, name, np.asarray(g), np.asarray(w))
+
+
+def test_walk_unroll_invariance():
+    """TM_WALK_UNROLL is a pure scheduling knob (r5): the consumption
+    walk's keep/attempted/cursor outputs are identical for any unroll."""
+    import jax
+    from trackmaker_tpu.phy import pallas_decode as pd
+    rng = np.random.default_rng(11)
+    b, c = 4, 32
+    pos = np.sort(rng.integers(0, 50_000, (b, c)), axis=1)
+    fields = jnp.asarray(np.stack([
+        pos,
+        rng.integers(1, 7000, (b, c)),
+        (rng.random((b, c)) < 0.15).astype(np.int64),
+        (rng.random((b, c)) < 0.9).astype(np.int64),
+    ], axis=1), jnp.int32)
+    saved = pd.WALK_UNROLL
+    try:
+        pd.WALK_UNROLL = 8
+        ref = jax.tree_util.tree_map(
+            np.asarray, pd._spec_walk(fields, 0, int(pd._BIGI), 16))
+        for u in (1, 5, 16, 100):
+            pd.WALK_UNROLL = u
+            got = jax.tree_util.tree_map(
+                np.asarray, pd._spec_walk(fields, 0, int(pd._BIGI), 16))
+            for a, g in zip(ref, got):
+                assert np.array_equal(a, g), u
+    finally:
+        pd.WALK_UNROLL = saved

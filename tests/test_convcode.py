@@ -94,3 +94,27 @@ def test_viterbi_radix_equality_vmapped():
                                                radix=k))
         outs[k] = np.asarray(fn(xb))
     assert np.array_equal(outs[1], outs[4])
+
+
+def test_viterbi_unroll_invariance():
+    """TM_VITERBI_UNROLL is a pure scheduling knob (r5): decodes are
+    bit-identical for any unroll, soft and hard, at tie-rich inputs."""
+    from trackmaker_tpu.core import convcode
+    rng = np.random.default_rng(9)
+    n_bits = 150
+    bits = rng.integers(0, 2, n_bits).astype(np.uint8)
+    coded = np.array(conv_encode(jnp.asarray(bits)))
+    soft = (2.0 * coded - 1.0
+            + rng.normal(0, 0.9, len(coded))).astype(np.float32)
+    saved = convcode.VITERBI_UNROLL
+    try:
+        convcode.VITERBI_UNROLL = 0
+        ref = np.asarray(viterbi_decode(jnp.asarray(soft), n_bits,
+                                        soft=True))
+        for u in (1, 3, 8, 16, 200):
+            convcode.VITERBI_UNROLL = u
+            got = np.asarray(viterbi_decode(jnp.asarray(soft), n_bits,
+                                            soft=True))
+            assert np.array_equal(got, ref), u
+    finally:
+        convcode.VITERBI_UNROLL = saved
