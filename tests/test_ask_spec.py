@@ -236,69 +236,3 @@ def test_demod_slots_dense_matches_slot():
         for name in want:
             assert np.array_equal(np.asarray(want[name]),
                                   np.asarray(got[name])[i]), (name, p)
-
-
-def test_running_max_rec_matches_pair_scan():
-    """The blocked running-(max, argmax) form (BLOCKSCAN) must equal
-    the associative pair-scan form exactly — same exclusive max, same
-    earlier-tie record, same final record — on tie-rich inputs (small
-    integers, many -inf) across block counts and at the exact spots
-    the fire rule reads (position 0, block seams)."""
-    from trackmaker_tpu.phy.ask_spec import _running_max_rec
-
-    rng = np.random.default_rng(11)
-    for trial in range(40):
-        c1 = int(rng.integers(1, 4))
-        win = 128 * int(rng.integers(1, 5))
-        v = rng.integers(0, 5, (c1, win)).astype(np.float32)
-        v[rng.random((c1, win)) < rng.uniform(0.2, 0.9)] = -np.inf
-        idx0 = rng.integers(0, 500, c1).astype(np.int32)
-        idx = idx0[:, None] + np.arange(win, dtype=np.int32)[None, :]
-
-        def combine(a, b):
-            av, ai = a
-            bv, bi = b
-            tb = bv > av
-            return jnp.where(tb, bv, av), jnp.where(tb, bi, ai)
-
-        m_i, r_i = jax.lax.associative_scan(
-            combine, (jnp.asarray(v), jnp.asarray(idx)), axis=-1)
-        m_ref = np.concatenate(
-            [np.full((c1, 1), -np.inf, np.float32),
-             np.asarray(m_i)[:, :-1]], axis=-1)
-        r_ref = np.concatenate(
-            [idx[:, :1], np.asarray(r_i)[:, :-1]], axis=-1)
-        m_got, r_got, last_got = _running_max_rec(
-            jnp.asarray(v), jnp.asarray(idx0))
-        assert np.array_equal(np.asarray(m_got), m_ref), trial
-        assert np.array_equal(np.asarray(r_got), r_ref), trial
-        assert np.array_equal(np.asarray(last_got),
-                              np.asarray(r_i)[:, -1]), trial
-
-
-def test_phase_b_blockscan_equals_pair_scan():
-    """Full demod equality between the two chain-scan formulations on
-    real multiframe captures (noise + amplitude jitter)."""
-    from trackmaker_tpu.phy import ask_spec
-
-    rng = np.random.default_rng(7)
-    frames = ask.build_frames(b"block scan parity", CFG, num_frames=4)
-    saved = ask_spec.BLOCKSCAN
-    try:
-        for seed in range(3):
-            wave = ask.build_track(CFG, frames, seed=seed)
-            x = (np.asarray(wave) * rng.uniform(0.5, 1.0)
-                 + rng.normal(0, 0.03, len(wave))).astype(np.float32)
-            outs = {}
-            for flag in (False, True):
-                ask_spec.BLOCKSCAN = flag
-                res, ok = ask_spec.demodulate_spec(
-                    CFG, jnp.asarray(x)[None, :], max_frames=12,
-                    interpret=True)
-                outs[flag] = jax.tree_util.tree_map(np.asarray,
-                                                    (res, ok))
-            for a, b in zip(jax.tree_util.tree_leaves(outs[False]),
-                            jax.tree_util.tree_leaves(outs[True])):
-                assert np.array_equal(a, b), seed
-    finally:
-        ask_spec.BLOCKSCAN = saved

@@ -1,6 +1,7 @@
-"""One-process ASK chain-scan A/B: associative pair scan vs the
-blocked running-(max, argmax) form (ask_spec.BLOCKSCAN, r5), payload-
-gated per flag, in-program iteration loop per tools/prof_fused.py.
+"""ASK spec-receiver profile: payload-gated, in-program iteration
+loop per tools/prof_fused.py.  (Was the pairscan-vs-blockscan A/B; the
+blockscan lost 2.1x on-chip -- 8.5k vs 17.9k x -- and was deleted,
+r5.)
 
     timeout 1200 python -u tools/ab_ask.py [iters] [batch]
 """
@@ -88,20 +89,10 @@ def measure():
     return min(ts), sorted(ts)[1]
 
 
-results = {}
-for flag in (False, True):
-    ask_spec.BLOCKSCAN = flag
-    name = "blockscan" if flag else "pairscan"
-    print(f"{name}: gating...", flush=True)
-    if not gate():
-        continue
-    best, med = measure()
-    xr = BATCH * t / cfg.sample_rate / (best / 1000.0)
-    results[name] = (best, xr)
-    print(f"{name:10s} {best:7.2f} ms (med {med:.2f})  {xr:9.0f}x",
-          flush=True)
-print("\nSummary:")
-for name, (best, xr) in results.items():
-    print(f"  {name:10s} {best:7.2f} ms {xr:9.0f}x")
+print("pairscan: gating...", flush=True)
+assert gate()
+best, med = measure()
+xr = BATCH * t / cfg.sample_rate / (best / 1000.0)
+print(f"pairscan {best:7.2f} ms (med {med:.2f})  {xr:9.0f}x", flush=True)
 sys.stdout.flush()
 os._exit(0)

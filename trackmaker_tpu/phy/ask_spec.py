@@ -40,7 +40,6 @@ shared with the scan receiver and already vmapped.
 from __future__ import annotations
 
 import functools
-import os as _os
 
 import numpy as np
 import jax
@@ -52,72 +51,6 @@ from trackmaker_tpu.phy import ask
 from trackmaker_tpu.phy.ask import AskConfig, AskDecoded
 
 _BIGI = np.int32(2**30)
-
-# Chain-scan formulation switch (read at trace time; module-level so
-# tests/A-B tools can flip it).  "1" = blocked two-pass running
-# (max, argmax): per-128-lane-block cummax + a static cross-block
-# carry loop — the associative_scan pair formulation pays ~11
-# combine sweeps over the full (C, win) window with index tracking
-# doubling the traffic, while the record index is recoverable from
-# STRICT improvements alone (see _running_max_rec).  Decision-exact
-# (tests/test_ask_spec.py pins both forms equal).
-BLOCKSCAN = _os.environ.get("TM_ASK_BLOCKSCAN", "1") == "1"
-
-
-def _running_max_rec(vals: jax.Array, idx0: jax.Array):
-    """Exclusive running (max, argmax-with-earlier-tie) along axis -1.
-
-    Returns (m_excl, rec_excl) equal to the associative_scan pair form
-    in _phase_b: m_excl[j] = max(vals[..., :j]) (-inf at j=0) and
-    rec_excl[j] = absolute index of the EARLIEST occurrence of that
-    max (idx0 — the window base — when no value yet).  Key identity:
-    with the earlier-index tie rule, the record only changes on a
-    STRICT improvement, so rec[j] = position of the last strict
-    improvement before j — and within a 128-lane block the improvement
-    positions are recoverable from the local cummax without tracking
-    indices through the scan.  Cross-block the strict-improvement
-    sequence composes with a (max, where) carry: a local improvement
-    is global iff its value strictly exceeds the carry max, and local
-    improvements have strictly increasing values, so the last global
-    improvement <= L is the last LOCAL one iff mb[L] > carryM, else
-    the carried record."""
-    c1, win = vals.shape
-    assert win % 128 == 0
-    nb = win // 128
-    v = vals.reshape(c1, nb, 128)
-    # local inclusive/exclusive cummax + strict-improvement positions:
-    # rl[.., L] = last local improvement <= L = the FIRST position
-    # achieving the local running max (later improvements would have
-    # strictly larger values; equal re-occurrences are not strict)
-    mi = jax.lax.cummax(v, axis=2)
-    me = jnp.concatenate(
-        [jnp.full((c1, nb, 1), -jnp.inf), mi[:, :, :127]], axis=2)
-    s = v > me
-    lane = jax.lax.broadcasted_iota(jnp.int32, (c1, nb, 128), 2)
-    rl = jax.lax.cummax(jnp.where(s, lane, -1), axis=2)
-    rle = jnp.concatenate(                       # last impr < L
-        [jnp.full((c1, nb, 1), -1, jnp.int32), rl[:, :, :127]], axis=2)
-    outs_m, outs_r = [], []
-    carry_m = jnp.full((c1,), -jnp.inf)          # max over prior blocks
-    carry_r = jnp.zeros((c1,), jnp.int32)        # its window offset (0
-    for k in range(nb):                          # = first element, like
-        # the pair scan's init)     -- static loop, nb ~ 12
-        # exclusive-global at (k, L): when the local exclusive max
-        # strictly beats the carry, its first occurrence rle is the
-        # record (me[k, 0] = -inf never beats, so rle's -1 is unused);
-        # ties keep the earlier (carried) record
-        take = me[:, k] > carry_m[:, None]
-        outs_m.append(jnp.maximum(carry_m[:, None], me[:, k]))
-        outs_r.append(jnp.where(take, 128 * k + rle[:, k],
-                                carry_r[:, None]))
-        bk_m = mi[:, k, 127]
-        bk_take = bk_m > carry_m
-        carry_r = jnp.where(bk_take, 128 * k + rl[:, k, 127], carry_r)
-        carry_m = jnp.maximum(carry_m, bk_m)
-    m_excl = jnp.stack(outs_m, axis=1).reshape(c1, win)
-    rec_off = jnp.stack(outs_r, axis=1).reshape(c1, win)
-    return m_excl, idx0[:, None] + rec_off, idx0 + carry_r
-
 
 def spec_supported() -> bool:
     """The spec path needs real Pallas (or interpret mode, used by
@@ -328,22 +261,24 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
     ok_m = ok_full & (idx >= i0[:, None])
     vals = jnp.where(ok_m, sp_full, -jnp.inf)
 
-    if BLOCKSCAN and win % 128 == 0:
-        m_excl, rec_excl, rec_last = _running_max_rec(vals, idx[:, 0])
-    else:
-        def combine(a, b):
-            av, ai = a
-            bv, bi = b
-            take_b = bv > av    # strict: earlier index wins ties
-            return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+    # running-(max, record) chain state: the associative pair scan won
+    # the r5 on-chip A/B 2.1x against a blocked per-128-lane cummax +
+    # cross-block carry formulation (17.9k vs 8.5k x realtime -- the
+    # static carry loop's ~12 per-block select/where stages cost more
+    # than the scan's ~11 full-width combine sweeps; deleted, see git
+    # d0a2814 / tools/ab_ask.py)
+    def combine(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv > av        # strict: earlier index wins ties
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
 
-        m_incl, rec_incl = jax.lax.associative_scan(
-            combine, (vals, idx), axis=-1)
-        m_excl = jnp.concatenate(
-            [jnp.full((c1, 1), -jnp.inf), m_incl[:, :-1]], axis=-1)
-        rec_excl = jnp.concatenate([idx[:, :1], rec_incl[:, :-1]],
-                                   axis=-1)
-        rec_last = rec_incl[:, -1]
+    m_incl, rec_incl = jax.lax.associative_scan(
+        combine, (vals, idx), axis=-1)
+    m_excl = jnp.concatenate(
+        [jnp.full((c1, 1), -jnp.inf), m_incl[:, :-1]], axis=-1)
+    rec_excl = jnp.concatenate([idx[:, :1], rec_incl[:, :-1]], axis=-1)
+    rec_last = rec_incl[:, -1]
     upd_now = ok_m & (sp_full > m_excl)
     fire = ((~upd_now) & (idx > rec_excl + cfg.peak_guard)
             & (m_excl > -jnp.inf))
