@@ -135,10 +135,11 @@ def test_packed_decoder_roundtrip(coding):
     frames, wave = _sparse_capture(cfg, 3, silence=6_000, seed=5)
     n = len(wave)
     b = _bucket(n)
-    padded = np.zeros(b, np.float32)
+    padded = np.zeros(b + 1, np.float32)
     padded[:n] = wave
+    padded[b] = n                     # length rides in the buffer (r5)
     fn = _packed_decoder(cfg, 32, interpret=True)
-    arr = np.asarray(fn(jnp.asarray(padded), jnp.int32(n), jnp.int32(2)))
+    arr = np.asarray(fn(padded, jnp.int32(2)))
     ok, got = _parse_packed(arr)
     assert ok
     ref = decode_capture_fast(cfg, jnp.asarray(padded), 2,

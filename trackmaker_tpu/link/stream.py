@@ -52,7 +52,15 @@ def _packed_decoder(cfg: PhyConfig, max_frames: int,
     from trackmaker_tpu.phy.pallas_decode import decode_capture_spec
 
     @jax.jit
-    def f(x, vlen, local_addr):
+    def f(xn, local_addr):
+        # One input array: samples in [:b], true length in slot [b] (f32
+        # is integer-exact far beyond any bucket size).  Shipping length
+        # inside the sample buffer and pre-staging local_addr on device
+        # cuts the per-segment tunnel op count from 5 (asarray, two
+        # int32 device_puts, dispatch, readback) to 3 — at a degraded
+        # 28 ms RTT each serialized op costs a full round trip, and the
+        # r5 driver run measured p50 145.5 ms ~= 5 x 28 ms.
+        x, vlen = xn[:-1], xn[-1].astype(jnp.int32)
         res, ok = decode_capture_spec(cfg, x[None], local_addr,
                                       max_frames=max_frames,
                                       valid_len=vlen[None],
@@ -98,6 +106,7 @@ class StreamingDecodePipeline:
         self.hang = cfg.preamble_len + cfg.inter_frame_gap_samples + 256
         self.halo = cfg.preamble_len + cfg.sync_margin + 8
         self._buf = np.zeros(0, np.float32)
+        self._addr_dev = None           # device-resident local_addr
         self._use_native = use_native
         self.segments_decoded = 0
         self.samples_shipped = 0
@@ -161,8 +170,9 @@ class StreamingDecodePipeline:
     def _decode_segment(self, seg: np.ndarray) -> list[Frame]:
         n = len(seg)
         b = _bucket(n)
-        padded = np.zeros(b, np.float32)
+        padded = np.zeros(b + 1, np.float32)
         padded[:n] = seg
+        padded[b] = n                   # true length rides in the buffer
         # Spec decoder + one-readback packed result on TPU (see
         # _packed_decoder); decode_capture_fast everywhere else and on
         # the rare spec-path overflow — decisions equal decode_capture
@@ -174,13 +184,14 @@ class StreamingDecodePipeline:
         self.samples_shipped += b
         from trackmaker_tpu.phy.decoder import _spec_supported
         if _spec_supported(self.cfg):
+            if self._addr_dev is None:
+                self._addr_dev = jnp.int32(self.local_addr)
             fn = _packed_decoder(self.cfg, self.max_frames)
-            arr = np.asarray(fn(jnp.asarray(padded), jnp.int32(n),
-                                jnp.int32(self.local_addr)))
+            arr = np.asarray(fn(padded, self._addr_dev))
             ok, frames = _parse_packed(arr)
             if ok:
                 return frames
-        res = decode_capture_fast(self.cfg, jnp.asarray(padded),
+        res = decode_capture_fast(self.cfg, jnp.asarray(padded[:b]),
                                   self.local_addr,
                                   max_frames=self.max_frames,
                                   valid_len=n)
