@@ -117,8 +117,13 @@ def _measure(fn, x, iters, repeats=3):
             # (unlike a carry-fed perturbation) so the chip can overlap
             # them just like pipelined dispatches would
             r = fn(x + i.astype(jnp.float32) * 1e-30)
-            leaf = jax.tree_util.tree_leaves(r)[0]
-            return c + jnp.sum(leaf.astype(jnp.float32)), None
+            # sum EVERY leaf: summing just one lets XLA dead-code-
+            # eliminate siblings of the result tree (it silently
+            # dropped a whole kernel from a prof row once — CLAUDE.md)
+            acc = c
+            for leaf in jax.tree_util.tree_leaves(r):
+                acc = acc + jnp.sum(leaf.astype(jnp.float32))
+            return acc, None
         out, _ = jax.lax.scan(
             body, jnp.float32(0.0), jnp.arange(iters, dtype=jnp.int32))
         return out
