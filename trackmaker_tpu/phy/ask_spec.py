@@ -173,6 +173,7 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
     c1 = cand_full.shape[0]
     upd_tables = ask.upd_block_tables(upd_ok)
     win = chain_window + _R
+    assert win % _R == 0, "chain_window must be a multiple of 512"
     rows_n = win // _R
 
     # rx_pad is only returned for the (env-gated) per-slot demod path
@@ -368,7 +369,10 @@ def demodulate_spec(
     rx: jax.Array,                 # f32[B, T]
     max_frames: int = 128,
     n_cand: int = 96,
-    chain_window: int = 1024,
+    chain_window: int = 512,     # must be a multiple of _R; 512 stays
+    #                              conformant with decisions equal to
+    #                              1024 on every probed track (r5), and
+    #                              the chain arrays are phase_b's bulk
     interpret: bool = False,
 ):
     """Batched speculative ASK demod.  Returns ``(AskDecoded[B, K],

@@ -70,23 +70,25 @@ ATTEMPT_PIPE = max(2, int(_os.environ.get("TM_ATTEMPT_PIPE", "4")))
 # start in its epilogue, so the attempt kernels skip their per-candidate
 # refine (3 matmul issues + argmax chain — and their floor is op-issue
 # cost).  Module-level so tests can flip it (bool); env values "1"/"0"
-# force it, default "auto" picks per capture length: the legacy
-# (unfolded) stash is integer-exact below 2^24 samples and measured
+# force it.  Default legacy (in-attempt refine) everywhere: it measured
 # ~18% faster on the flagship shape (r5 on-chip A/B: 3.62 vs 4.40 ms),
-# while long flat captures (blocked 600 s, positions up to 2^25) NEED
-# the fold's position-delta stash.
+# and since the attempt kernels stash the refine DELTA (not the
+# absolute position) through their f32 lane, legacy is integer-exact at
+# ANY capture length — the old 2^24 limit that used to force fold on
+# flat 600 s captures is gone (r5).
 SYNC_FOLD = _os.environ.get("TM_SYNC_FOLD", "auto")
 
 
 def _resolve_fold(t: int) -> bool:
     """Fold decision for a capture/flat length of `t` samples (trace
     time, static).  Honors bools poked by tests (`pd.SYNC_FOLD = True`)
-    and forced env values; "auto" folds only where legacy is inexact."""
+    and forced env values; "auto" = legacy at every length (the delta
+    stash is exact everywhere, and legacy wins the on-chip A/B)."""
     sf = SYNC_FOLD
     if isinstance(sf, bool):
         return sf
     if sf == "auto":
-        return t >= (1 << 24)
+        return False
     return sf == "1"
 
 from trackmaker_tpu.core import bitops
@@ -322,14 +324,18 @@ def _attempt_kernel(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
         byte_blk = jnp.dot(bits, w_ref[:, :],
                            preferred_element_type=jnp.float32)  # (34, 128)
         if not fold_sync:
-            # lanes 0..7 hold the row's 8 bytes; stash fs at [33, 8]
-            # (exact in f32 for any T < 2^24; row 33 covers bytes
-            # 264.. > 263).  Fold mode skips the stash: the epilogue
+            # lanes 0..7 hold the row's 8 bytes; stash the refine DELTA
+            # fs - i_c at [33, 8] (row 33 covers bytes 264.. > 263).
+            # The delta is in [48, 103] — trivially f32-exact at ANY
+            # capture length, which is what lets the legacy kernels
+            # decode flat 600 s captures (2^25 positions) that the old
+            # absolute-fs stash rounded (r5; the epilogue adds cand
+            # back in i32).  Fold mode skips the stash: the epilogue
             # reads the i32 fs_cand directly.
             row_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 0)
             lane_id = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 128), 1)
             byte_blk = jnp.where((row_id == BROWS - 1) & (lane_id == 8),
-                                 fs.astype(jnp.float32), byte_blk)
+                                 (fs - i_c).astype(jnp.float32), byte_blk)
         # 4-D out block: indexing the candidate on a leading (untiled)
         # dim keeps every store a full aligned (BROWS, 128) tile — the
         # old flat (n_cand*BROWS, 128) layout stored at dynamic sublane
@@ -581,11 +587,12 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
             [nib, ok, (zc > 0).astype(jnp.float32),
              jnp.zeros((BROWS4 - 3 * LROWS, 128), jnp.float32)], axis=0)
         if not fold_sync:
-            # fold mode skips the fs stash (see _attempt_kernel)
+            # delta stash, exact at any capture length (see
+            # _attempt_kernel); fold mode skips it
             r24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 0)
             l24 = jax.lax.broadcasted_iota(jnp.int32, (BROWS4, 128), 1)
             blk24 = jnp.where((r24 == 3 * LROWS) & (l24 == 0),
-                              fs.astype(jnp.float32), blk24)
+                              (fs - i_c).astype(jnp.float32), blk24)
         # leading-dim candidate index: full aligned tile store (see
         # _attempt_kernel's bytes_ref note)
         out_ref[0, c] = blk24
@@ -594,174 +601,9 @@ def _attempt_kernel_4b5b(cand_ref, fs_ref, vlen_ref, nval_ref, x384_ref,
     jax.lax.fori_loop(0, nv, body_fn, 0)
 
 
-# ---------------------------------------------------------------------------
-# Candidate-parallel attempt phase (XLA — candidates are the batch axis)
-# ---------------------------------------------------------------------------
-
-# Round-4 floor characterization (docs/BENCHMARKS.md): the sequential
-# attempt kernels pay 0.80 us/candidate of op-issue cost, half pure
-# sequencer time, with the MXU idle — unrolling and dtype moves change
-# nothing because the bound is per-candidate op COUNT.  The fix is to
-# make candidates the PARALLEL axis: every per-candidate decision is a
-# dense stencil value of the capture sampled at a per-candidate offset,
-# so the whole attempt phase collapses to
-#   1. ONE dense depth-k stencil pass over the capture
-#      (Manchester: S[t] = sum_j v6[j] x[t+j], bit = S[fs + 6k] <= 0,
-#       decoder.rs:242-331 / line_coding.rs:93-123;
-#       4B5B: L[t] = x[t]+x[t+1]+x[t+2], levels at fs + 3k,
-#       line_coding.rs:243-293),
-#   2. phase-decimation into 128-lane rows (stride-6/-3 access becomes
-#      contiguous per phase),
-#   3. per-candidate aligned WHOLE-ROW gathers (~free on this chip; see
-#      core/realign.py) + an exact in-register lane realign
-#      (_realign128: pure selects, no value arithmetic),
-#   4. shared batched pack/transition/symbol math over (B*C, ...).
-# No per-candidate DMA, no fori_loop, no sequencer bottleneck.  Fold
-# mode only (fs arrives refined from the xcorr kernel); the Pallas
-# kernels above remain for the TM_SYNC_FOLD=0 legacy path.
-ATTEMPT_PAR = _os.environ.get("TM_ATTEMPT_PAR", "0") == "1"
-
 # Walk-scan unroll factor (see _spec_walk_query): 8 was the r4 sweep
 # winner; >= steps means a fully unrolled, while-loop-free chase.
 WALK_UNROLL = max(1, int(_os.environ.get("TM_WALK_UNROLL", "8")))
-
-
-def _realign128(flat: jax.Array, ql: jax.Array, out_len: int) -> jax.Array:
-    """``out[n, k] = flat[n, k + ql[n]]`` exactly, for ql in [0, 128).
-
-    Pure selects of statically shifted views — no arithmetic touches
-    the values, so the pick is f32-bit-exact.  The lane part v = ql % 8
-    is an 8-way select and the row part a = ql // 8 a 16-way select of
-    8-lane-stepped static slices (cf. core.realign.shift_realign, whose
-    one-hot row matmul would materialize a (N, out/8, L/8) selector —
-    too large at attempt-phase shapes).  Needs flat width >= out_len
-    + 128."""
-    n, l = flat.shape
-    assert out_len % 8 == 0 and l >= out_len + 128
-    v = jnp.mod(ql, 8)
-    a = jnp.floor_divide(ql, 8)
-    accv = flat
-    for i in range(1, 8):
-        sh = jnp.concatenate(
-            [flat[:, i:], jnp.zeros((n, i), flat.dtype)], axis=-1)
-        accv = jnp.where((v == i)[:, None], sh, accv)
-    res = accv[:, 0:out_len]
-    for i in range(1, 16):
-        res = jnp.where((a == i)[:, None],
-                        accv[:, 8 * i:8 * i + out_len], res)
-    return res
-
-
-def _stencil_rows(x: jax.Array, coeffs: tuple, decim: int,
-                  extra_rows: int) -> jax.Array:
-    """Dense stencil S[t] = sum_j coeffs[j] * x[..., t+j] (coeffs are
-    +-1), phase-decimated into 128-lane rows:
-    ``rows[..., p*rp + r, l] = S[decim*(128*r + l) + p]`` with
-    rp = ceil((T//decim + 1)/128) + extra_rows — the tail rows are
-    exact zeros (zero-padded x), matching the Pallas kernels' padded
-    x384 slabs, so frames clipped by the capture end decode
-    identically."""
-    t = x.shape[-1]
-    lead = x.shape[:-1]
-    rp = -(-(t // decim + 1) // 128) + extra_rows
-    tpad = decim * 128 * rp
-    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, tpad + len(coeffs) - t)])
-    s = xp[..., 0:tpad]
-    for j, cj in enumerate(coeffs[1:], start=1):
-        term = xp[..., j:tpad + j]
-        s = s + term if cj > 0 else s - term
-    s = s.reshape(*lead, rp * 128, decim)
-    s = jnp.swapaxes(s, -2, -1)
-    return s.reshape(*lead, decim * rp, 128)
-
-
-def _par_gather(rows: jax.Array, fs: jax.Array, decim: int,
-                nrow: int) -> tuple[jax.Array, jax.Array]:
-    """Per-candidate slab from the phase-decimated stencil rows:
-    (flat slab (B*C, nrow*128), lane offset ql (B*C,)) such that
-    ``flat[n, k + ql[n]] = S[fs + decim*k]``.  rows is (rp*decim, 128)
-    shared (flat-blocked mode) or (B, rp*decim, 128) per capture;
-    whole-row gathers only (row indices clipped, so _BIGI fill slots
-    read in-bounds garbage — their fields are masked by the walk
-    exactly like the Pallas kernels' uninitialized output slots)."""
-    b, c = fs.shape
-    shared = rows.ndim == 2
-    rp = rows.shape[-2] // decim
-    q = fs // decim
-    p = fs - decim * q
-    qrow = q // 128
-    ql = q - 128 * qrow
-    idx = (p * rp + jnp.clip(qrow, 0, rp - nrow))[..., None] \
-        + jnp.arange(nrow, dtype=jnp.int32)            # (B, C, nrow)
-    if shared:
-        slab = jnp.take(rows, idx, axis=0, mode="clip")
-    else:
-        slab = jax.vmap(
-            lambda r, i: jnp.take(r, i, axis=0, mode="clip"))(rows, idx)
-    return slab.reshape(b * c, nrow * 128), ql.reshape(b * c)
-
-
-def _par_attempt_manchester(x: jax.Array, fs: jax.Array) -> jax.Array:
-    """Candidate-parallel Manchester body decode: frame bytes i32
-    (B, C, BROWS*8) — bit k of a frame is sign(first-half sum -
-    second-half sum) of the 6 samples at fs + 6k
-    (line_coding.rs:93-123), i.e. a thresholded stencil value."""
-    nrow = 18                       # ceil((2176 + 127)/128) rows + spill
-    nbits = BROWS * 8 * 8           # 2176 bits = 272 bytes >= 263
-    rows = _stencil_rows(x, (1, 1, 1, -1, -1, -1), 6, nrow + 2)
-    flat, ql = _par_gather(rows, fs, 6, nrow)
-    s_al = _realign128(flat, ql, nbits)
-    b, c = fs.shape
-    bits = (s_al <= 0.0).astype(jnp.float32).reshape(b, c, BROWS * 8, 8)
-    w8 = jnp.asarray([128., 64., 32., 16., 8., 4., 2., 1.], jnp.float32)
-    byts = jnp.einsum("bcjk,k->bcj", bits, w8,
-                      precision=jax.lax.Precision.HIGHEST)
-    return byts.astype(jnp.int32)
-
-
-def _sym_inverse_i32(sym: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """5-bit symbol -> (valid, nibble) via mask-shifts on five 32-bit
-    constants (table-free 4B5B inverse; same construction as the Pallas
-    kernel's sym_inverse, i32 end-to-end)."""
-    okm = 0
-    nibm = [0, 0, 0, 0]
-    for nv_, code in enumerate(line_coding.FOURB_FIVEB_ENCODE):
-        okm |= 1 << int(code)
-        for bbit in range(4):
-            if (nv_ >> bbit) & 1:
-                nibm[bbit] |= 1 << int(code)
-    ok = (jnp.int32(okm) >> sym) & 1
-    nib = ((jnp.int32(nibm[0]) >> sym) & 1) \
-        + (((jnp.int32(nibm[1]) >> sym) & 1) << 1) \
-        + (((jnp.int32(nibm[2]) >> sym) & 1) << 2) \
-        + (((jnp.int32(nibm[3]) >> sym) & 1) << 3)
-    return ok > 0, nib
-
-
-def _par_attempt_4b5b(x: jax.Array, fs: jax.Array):
-    """Candidate-parallel 4B5B+NRZI decode: (nib i32, sym_ok bool,
-    zflag bool), each (B, C, 640) — level j of a frame is the depth-3
-    stencil at fs + 3j; NRZI transitions use the optimistic
-    prev-level rule with the fresh-state +1 boundary
-    (line_coding.rs:225-293, see the Pallas kernel's notes)."""
-    esyms = 640                     # >= 526 symbols of the largest frame
-    klv = esyms * 5                 # 3200 levels
-    nrow = (klv + 127) // 128 + 1   # 26
-    rows = _stencil_rows(x, (1, 1, 1), 3, nrow + 2)
-    flat, ql = _par_gather(rows, fs, 3, nrow)
-    lv = _realign128(flat, ql, klv)
-    n = lv.shape[0]
-    prev = jnp.concatenate(
-        [jnp.ones((n, 1), jnp.float32), lv[:, :klv - 1]], axis=-1)
-    b, c = fs.shape
-    tr = (prev * lv < 0.0).astype(jnp.float32).reshape(b, c, esyms, 5)
-    nz = (jnp.abs(lv) <= 4e-6).reshape(b, c, esyms, 5)
-    w5 = jnp.asarray([16., 8., 4., 2., 1.], jnp.float32)
-    sym = jnp.einsum("bcjk,k->bcj", tr, w5,
-                     precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    zflag = jnp.any(nz, axis=-1)
-    sym_ok, nib = _sym_inverse_i32(sym)
-    return nib, sym_ok, zflag
 
 
 def _walk_kernel(fields_ref, scal_ref, out_ref, *, n_cand: int,
@@ -1170,17 +1012,8 @@ def _spec_phase_a(
     else:
         xc_blk = 8192
     fold = _resolve_fold(t)
-    if not fold and t >= (1 << 24):
-        # legacy (TM_SYNC_FOLD=0) attempt kernels stash the refined
-        # frame start through an f32 byte-grid lane.  f32 is
-        # integer-exact up to 2^24 INCLUSIVE, so t == 2^24 would still
-        # round-trip; the >= bound deliberately keeps one step of
-        # safety margin at the boundary (positions, not lengths, are
-        # what get stashed — rejecting the exact-boundary capture
-        # costs nothing real)
-        raise ValueError(
-            f"TM_SYNC_FOLD=0 cannot decode captures of {t} >= 2^24 "
-            "samples: the legacy f32 fs stash rounds global positions")
+    # (no length guard: the legacy kernels stash the refine DELTA, which
+    # is f32-exact at any capture length — r5)
     fs_cand = None
     if fold:
         # refine-fold path: hits + refined frame starts in one kernel
@@ -1231,30 +1064,23 @@ def _spec_phase_a(
     if fs_cand is None:
         fs_cand = jnp.zeros_like(cand)
 
-    par = ATTEMPT_PAR and fold
-    if not par:
-        # row-shaped view for the kernel's slab DMAs; padded so any
-        # clipped candidate's slab stays in bounds
-        nr = NR if manchester else NR4
-        r384 = -(-(t + 48) // DROW) + nr + 10
-        if flat_blocks is None:
-            x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - t))).reshape(
-                b, r384, DROW)
-        else:
-            x384 = jnp.pad(x, (0, r384 * DROW - t)).reshape(1, r384, DROW)
+    # row-shaped view for the kernel's slab DMAs; padded so any
+    # clipped candidate's slab stays in bounds.  (A candidate-parallel
+    # XLA attempt layout — dense stencil + decimation + per-candidate
+    # row-gather/realign — was built and A/B'd on chip in r5: it LOSES
+    # 2.2x to these sequential kernels at the flagship's ~65
+    # candidates/capture; deleted, see docs/BENCHMARKS.md and git
+    # fd30b41/d23ce64.)
+    nr = NR if manchester else NR4
+    r384 = -(-(t + 48) // DROW) + nr + 10
+    if flat_blocks is None:
+        x384 = jnp.pad(x, ((0, 0), (0, r384 * DROW - t))).reshape(
+            b, r384, DROW)
+    else:
+        x384 = jnp.pad(x, (0, r384 * DROW - t)).reshape(1, r384, DROW)
 
     n_total = PHY_HEADER_BYTES + cfg.max_frame_bytes     # 263
-    if manchester and par:
-        byts_i = _par_attempt_manchester(x, fs_cand)
-        fs = fs_cand
-        dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
-        total_bits = (PHY_HEADER_BYTES + dlen) * 8
-        total_samples = total_bits * 6
-        n_valid_bits = total_bits          # Manchester never truncates
-        line_fail = jnp.zeros_like(dlen, bool)
-        hdr_valid = jnp.ones_like(dlen, bool)
-        nonconf = jnp.zeros_like(dlen, bool)
-    elif manchester:
+    if manchester:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(b,),
@@ -1290,10 +1116,12 @@ def _spec_phase_a(
         grid8 = bytes_cm                      # (b, n_cand, BROWS, 128)
         byts_i = grid8[..., :8].reshape(
             b, n_cand, BROWS * 8).astype(jnp.int32)
-        # fold mode: fs stays i32 end-to-end (the f32 stash rounds
-        # above 2^24 — flat 600 s captures reach 2^25)
+        # legacy: the kernel stashes the refine DELTA (f32-exact at any
+        # length); rebase on the candidate position in i32 (the same
+        # min(pos, t) the kernel's base_of used)
         fs = fs_cand if fold \
-            else grid8[:, :, BROWS - 1, 8].astype(jnp.int32)
+            else (jnp.minimum(cand, t)
+                  + grid8[:, :, BROWS - 1, 8].astype(jnp.int32))
         dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
         total_bits = (PHY_HEADER_BYTES + dlen) * 8
         total_samples = total_bits * 6
@@ -1301,29 +1129,6 @@ def _spec_phase_a(
         line_fail = jnp.zeros_like(dlen, bool)
         hdr_valid = jnp.ones_like(dlen, bool)
         nonconf = jnp.zeros_like(dlen, bool)
-    elif par:
-        esyms = 640
-        nib, sym_ok, zflag = _par_attempt_4b5b(x, fs_cand)
-        fs = fs_cand
-
-        # valid-prefix rule (line_coding.rs:277-289): everything from
-        # the first invalid symbol on is zero-filled
-        pok = jnp.cumprod(sym_ok.astype(jnp.int32), axis=-1)
-        nib_m = nib * pok
-        byts_i = (nib_m[..., 0::2] * 16 + nib_m[..., 1::2])[..., :n_total]
-        dlen = byts_i[..., 0] * 256 + byts_i[..., 1]
-        total_bits = (PHY_HEADER_BYTES + dlen) * 8
-        total_samples = (total_bits // 4) * 15
-        in_sym = (jnp.arange(esyms) < (total_bits // 4)[..., None])
-        n_valid_bits = 4 * jnp.sum(pok * in_sym, axis=-1)
-        line_fail = n_valid_bits < total_bits
-        # >= 49 decoded header bits <=> first 13 nibbles valid
-        hdr_valid = jnp.sum(pok[..., :13], axis=-1) == 13
-        # conformance: a near-zero level average means the exact
-        # decoder's skip-carry could produce different bits/validity
-        hdr_zero = jnp.any(zflag[..., :14], axis=-1)
-        body_zero = jnp.any(zflag & in_sym, axis=-1)
-        nonconf = hdr_zero | body_zero
     else:
         mab_np = _level_mats_cat()
         w5z5_np = _sym_mats_256()
@@ -1371,8 +1176,10 @@ def _spec_phase_a(
             b, n_cand, esyms) > 0
         zflag = g[:, :, 2 * LROWS:2 * LROWS + erows, :].reshape(
             b, n_cand, esyms) > 0
+        # legacy: delta stash rebased in i32 (see the Manchester branch)
         fs = fs_cand if fold \
-            else g[:, :, 3 * LROWS, 0].astype(jnp.int32)
+            else (jnp.minimum(cand, t)
+                  + g[:, :, 3 * LROWS, 0].astype(jnp.int32))
 
         # valid-prefix rule (line_coding.rs:277-289): everything from
         # the first invalid symbol on is zero-filled
