@@ -42,7 +42,8 @@ print(f"backend={jax.default_backend()} t={t} batch={BATCH} iters={ITERS}",
 
 def fn(xi):
     return ask_spec.demodulate_spec(cfg, xi, max_frames=MAXF, n_cand=96,
-                                    chain_window=1024, interpret=INTERPRET)
+                                    chain_window=int(os.environ.get("TM_ASK_CW", "512")),
+                                    interpret=INTERPRET)
 
 
 def gate():

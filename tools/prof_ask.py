@@ -52,7 +52,7 @@ def timeit_fused(name, fn, x, iters=ITERS, repeats=3):
 
 from trackmaker_tpu.phy.pallas_decode import _extract_candidates
 
-N_CAND, CHAIN_W, MAXF = 96, 1024, n_frames + 8
+N_CAND, CHAIN_W, MAXF = 96, int(os.environ.get("TM_ASK_CW", "512")), n_frames + 8
 
 
 def stage_dense(x):
