@@ -140,35 +140,39 @@ def _mmse_taps(h: jax.Array, lam: jax.Array) -> jax.Array:
 
 def _apply_fir(rx: jax.Array, g_t: jax.Array) -> jax.Array:
     """eq[n] = sum_lag g_t[lag + L_HALF] * rx[n - K0 - lag] as a blocked
-    banded matmul (traced taps; MXU-friendly; conv-free)."""
+    banded matmul (traced taps; MXU-friendly; conv-free).
+
+    128-wide blocks, four [nblk, 128] @ [128, 128] matmuls on shifted
+    full-width ROW views (r5 rework): eq[128b + c] = sum_d p[d]
+    xs[128b + c + d] with d < 385, and c + d < 512 spans exactly rows
+    b..b+3, so B_s[u, c] = p[128s + u - c] (masked to the band).  At
+    BLK=512 the dense band carried 57% structural zeros (2.3x FLOP
+    waste) and the second operand was a lane-sliced copy; here every
+    view is a whole-row slice (free) and utilization is 385/512 = 75%.
+    f32 accumulation order differs from the old two-matmul split — eq
+    is not bit-pinned across formulations; both spec and exact decoders
+    consume the same eq buffer, so decisions stay internally
+    consistent (as before)."""
     t = rx.shape[-1]
-    l_gt = 2 * L_HALF + 1
-    nblk = -(-t // BLK)
+    l_gt = 2 * L_HALF + 1                    # 385
+    bw = 128
+    nblk = -(-t // bw)
+    nrows = nblk + 4
     pad_l = L_HALF + K0
-    pad_r = (nblk + 1) * BLK - t - pad_l + l_gt
     xs = jnp.concatenate([jnp.zeros(pad_l, jnp.float32), rx,
-                          jnp.zeros(pad_r, jnp.float32)])
-    rows = xs[: (nblk + 1) * BLK].reshape(nblk + 1, BLK)
-    # band B[j, c] = p[j - c], p = g_t reversed (correlation form):
-    # eq[bB + c] = sum_j slab[b, j] B[j, c] with slab b = rows b ++
-    # rows[b+1][:l_gt-1].  Split the contraction at the row boundary —
-    # two matmuls on views of the SAME rows array — instead of
-    # materializing the (nblk, BLK + l_gt - 1) slab concat (1.75x HBM
-    # write+read amplification of the whole capture, r5 fusion).  The
-    # split keeps f32 accumulation within each j monotone ascending, so
-    # eq is bit-identical iff XLA's two-matmul sum matches the single
-    # 896-wide matmul's accumulation tree — NOT guaranteed; both spec
-    # and exact decoders consume the same eq buffer, so decisions stay
-    # internally consistent either way.
+                          jnp.zeros(nrows * bw - t - pad_l, jnp.float32)])
+    rows = xs.reshape(nrows, bw)
     p = g_t[::-1]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (BLK + l_gt - 1, BLK), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (BLK + l_gt - 1, BLK), 1)
-    d = jj - cc
-    band = jnp.where((d >= 0) & (d < l_gt),
-                     p[jnp.clip(d, 0, l_gt - 1)], 0.0)
-    eq = (rows[:-1] @ band[:BLK]
-          + rows[1:, : l_gt - 1] @ band[BLK:]).reshape(-1)
-    return eq[:t]
+    uu = jax.lax.broadcasted_iota(jnp.int32, (bw, bw), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (bw, bw), 1)
+    eq = None
+    for s in range(4):
+        d = s * bw + uu - cc
+        band_s = jnp.where((d >= 0) & (d < l_gt),
+                           p[jnp.clip(d, 0, l_gt - 1)], 0.0)
+        term = rows[s: s + nblk] @ band_s
+        eq = term if eq is None else eq + term
+    return eq.reshape(-1)[:t]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_anchors"))
