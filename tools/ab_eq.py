@@ -132,10 +132,45 @@ def main():
                            -jnp.inf, rm)
         return jnp.stack(outs)
 
+    def anchor_dec(row):
+        # stride-2 anchor search (TM_EQ_ANCHOR_DEC candidate, r5)
+        rowmax, rowpos = sync_mod.auto_xcorr_row_stats(row[::2],
+                                                       pre[::2])
+        rowpos = rowpos * 2
+        rm = rowmax
+        outs = []
+        for _ in range(4):
+            j = jnp.argmax(rm)
+            outs.append(rowpos[j])
+            rm = jnp.where(jnp.abs(rowpos - rowpos[j]) < l_pre,
+                           -jnp.inf, rm)
+        return jnp.stack(outs)
+
     timed("anchor legacy (dense+peel)",
           inloop(lambda xx: jax.vmap(anchor_legacy)(xx)), x)
     timed("anchor rowstats (fused)",
           inloop(lambda xx: jax.vmap(anchor_rowstats)(xx)), x)
+    timed("anchor rowstats stride-2",
+          inloop(lambda xx: jax.vmap(anchor_dec)(xx)), x)
+    # decimated-anchor equalized decode gate: anchors within 2 samples
+    # + the K0 margin mean the trained taps still equalize; verify all
+    # frames decode before the flag can default on
+    os.environ["TM_EQ_ANCHOR_DEC"] = "1"   # read at trace time — keep
+    #                                        set through the timed row
+    #                                        (inloop retraces under its
+    #                                        own jit)
+    eqd = jax.jit(jax.vmap(
+        lambda r: eqz.equalize_capture.__wrapped__(cfg, r)[0]))
+    resd = eqd(x)
+    decd, okd = jax.tree_util.tree_map(
+        np.asarray, pd.decode_capture_spec(cfg, resd, 2, max_frames=MAXF,
+                                           n_cand=128,
+                                           interpret=INTERPRET))
+    nd = (decd.valid.sum(axis=1) == N_FRAMES).sum()
+    print(f"  stride-2 anchor gate: ok={okd.all()} full-decode "
+          f"{nd}/{BATCH}", flush=True)
+    timed("equalize_capture (stride-2 anchors)", inloop(eqd), x)
+    os.environ["TM_EQ_ANCHOR_DEC"] = "0"
 
     # --- fine split with FIXED anchors/taps (host boundary) so each
     # stage times alone: where do the non-anchor ~2 ms go? -----------
