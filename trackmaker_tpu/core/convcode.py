@@ -242,7 +242,7 @@ def _viterbi_jit(received: jax.Array, n_bits: int,
         return s, jnp.stack(bits[::-1])   # ascending time within block
 
     _, blk_bits = jax.lax.scan(back, state, choices,
-                               reverse=True, unroll=max(1, 8 // k))
+                               reverse=True, unroll=min(q, u))
     bits = blk_bits.reshape(q * k)
     if bits_tail:
         bits = jnp.concatenate([bits, jnp.stack(bits_tail)])
