@@ -185,8 +185,19 @@ class _CodedPhyBase:
         tail = (self.preamble_len + hdr_wire + pay_wire
                 + 16 * cfg.samples_per_level + 64)
 
-        def decode_block(soft, inv, n_coded, n_bits):
-            deint = soft[..., jnp.asarray(inv)]
+        # static-permutation deinterleave as a one-hot matmul: the
+        # last-axis gather `soft[..., inv]` runs at TPU-gather speed
+        # (~2-21 ns/element — CLAUDE.md) even with constant indices;
+        # P[i, j] = 1 iff j == inv[i] has exactly one 1.0 per output,
+        # so the HIGHEST-precision matmul is an exact f32 pick
+        pm_h = np.zeros((kept_h, kept_h), np.float32)
+        pm_h[np.arange(kept_h), inv_h] = 1.0
+        pm_p = np.zeros((kept_p, kept_p), np.float32)
+        pm_p[np.arange(kept_p), inv_p] = 1.0
+
+        def decode_block(soft, pm, n_coded, n_bits):
+            deint = jnp.einsum("...j,ij->...i", soft, jnp.asarray(pm),
+                               precision=jax.lax.Precision.HIGHEST)
             if self.rate34:
                 deint = depuncture_34(deint, n_coded)
             return viterbi_decode(deint, n_bits, soft=True)
@@ -203,10 +214,10 @@ class _CodedPhyBase:
 
             def frame(b):
                 sh = self._soft_kept_traced(pad, kept_h, b)
-                hdr = decode_block(sh[:kept_h], inv_h,
+                hdr = decode_block(sh[:kept_h], pm_h,
                                    self.HDR_CODED, self.HDR_BITS)
                 sp = self._soft_kept_traced(pad, kept_p, b + hdr_wire)
-                pay = decode_block(sp[:kept_p], inv_p,
+                pay = decode_block(sp[:kept_p], pm_p,
                                    pay_coded, n_pay_bits)
                 return jnp.concatenate([hdr, pay])
 

@@ -788,6 +788,17 @@ class OfdmAdaptiveStreamPhy:
         n_pay_bits = 8 * payload_len
         inv_h = np.argsort(self._perm(self.HDR_CODED))
         inv_p = np.argsort(self._perm(pay_coded))
+        # static-permutation deinterleave as a one-hot matmul (exact
+        # f32 pick at HIGHEST; the last-axis gather ran at TPU-gather
+        # speed even with constant indices — see phy/coded.py)
+        pm_h = np.zeros((self.HDR_CODED, self.HDR_CODED), np.float32)
+        pm_h[np.arange(self.HDR_CODED), inv_h] = 1.0
+        pm_p = np.zeros((pay_coded, pay_coded), np.float32)
+        pm_p[np.arange(pay_coded), inv_p] = 1.0
+
+        def deint(s, pm):
+            return jnp.einsum("...j,ij->...i", s, jnp.asarray(pm),
+                              precision=jax.lax.Precision.HIGHEST)
 
         def one(rx):
             starts = find_preambles(cfg, rx, n_frames)
@@ -795,11 +806,11 @@ class OfdmAdaptiveStreamPhy:
                 cfg, rx, total_coded,
                 jnp.maximum(starts, 0))             # (F, total_coded)
             hdr = jax.vmap(lambda s: viterbi_decode(
-                s[jnp.asarray(inv_h)], self.HDR_BITS, soft=True))(
-                    soft[:, :self.HDR_CODED])
+                s, self.HDR_BITS, soft=True))(
+                    deint(soft[:, :self.HDR_CODED], pm_h))
             pay = jax.vmap(lambda s: viterbi_decode(
-                s[jnp.asarray(inv_p)], n_pay_bits, soft=True))(
-                    soft[:, self.HDR_CODED:total_coded])
+                s, n_pay_bits, soft=True))(
+                    deint(soft[:, self.HDR_CODED:total_coded], pm_p))
             return starts, jnp.concatenate([hdr, pay], axis=-1)
 
         return jax.jit(jax.vmap(one))
