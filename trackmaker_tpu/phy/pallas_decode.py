@@ -842,6 +842,40 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
         rows[..., rpb + 1:2 * rpb + 1], jnp.float32)
     counts = rows[..., rpb]
     fvals = rows[..., 2 * rpb + 1:3 * rpb + 1] if with_fs else None
+
+    # stage 0 (r5): per-ROW rank compaction of the rpb=8 kernel lanes
+    # to s0=4 slots before anything reshapes into groups.  Every
+    # downstream one-hot shrinks by rpb/s0 = 2x — stage 1's oh1 was
+    # ~115 MB of materialized f32 on the blocked 600 s shape (the
+    # einsum traffic IS the compaction cost; tools/prof_blocked.py) —
+    # while >4 extracted hits inside one 128-lag span (2.7 ms of
+    # audio; legitimate frames are >= ~855 samples apart) joins the
+    # conservative overflow conditions: flagged captures re-decode
+    # exactly, like every other cap here.
+    s0 = min(4, rpb)
+    if s0 < rpb:
+        vg0 = starts < _BIGI
+        rank0 = jnp.cumsum(vg0.astype(jnp.int32), axis=-1) - 1
+        oh0 = (vg0[..., None]
+               & (rank0[..., None] == jnp.arange(s0, dtype=jnp.int32))
+               ).astype(jnp.float32)
+        row_n = jnp.sum(vg0.astype(jnp.int32), axis=-1)
+        starts = _pick_i32(starts, vg0, oh0)
+        starts = jnp.where(jnp.arange(s0) < row_n[..., None],
+                           starts, _BIGI)
+        cvals = jnp.einsum("...i,...ic->...c",
+                           jnp.where(vg0, cvals, 0.0), oh0,
+                           precision=jax.lax.Precision.HIGHEST)
+        if with_fs:
+            fvals = jnp.einsum("...i,...ic->...c",
+                               jnp.where(vg0, fvals.astype(jnp.float32),
+                                         0.0), oh0,
+                               precision=jax.lax.Precision.HIGHEST)
+        over0 = jnp.any(row_n > s0, axis=-1)
+    else:
+        over0 = jnp.zeros(lead, bool)
+    rpb_c = s0
+
     ng = -(-r // group)
     pad_r = ng * group - r
     if pad_r:
@@ -854,8 +888,8 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
             fvals = jnp.pad(fvals, pc + [(0, pad_r), (0, 0)])
 
     # stage 1: per-group rank compaction to s1 slots
-    sg = starts.reshape(*lead, ng, group * rpb)
-    cg = cvals.reshape(*lead, ng, group * rpb)
+    sg = starts.reshape(*lead, ng, group * rpb_c)
+    cg = cvals.reshape(*lead, ng, group * rpb_c)
     vg = sg < _BIGI
     rank1 = jnp.cumsum(vg.astype(jnp.int32), axis=-1) - 1
     oh1 = (vg[..., None]
@@ -866,7 +900,7 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
     c_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, cg, 0.0), oh1,
                      precision=jax.lax.Precision.HIGHEST)
     if with_fs:
-        fg = fvals.reshape(*lead, ng, group * rpb).astype(jnp.float32)
+        fg = fvals.reshape(*lead, ng, group * rpb_c).astype(jnp.float32)
         f_c = jnp.einsum("...i,...ic->...c", jnp.where(vg, fg, 0.0),
                          oh1, precision=jax.lax.Precision.HIGHEST)
     s_c = jnp.where(jnp.arange(s1) < grp_n[..., None], s_c, _BIGI)
@@ -885,6 +919,7 @@ def _compact_hit_rows(rows: jax.Array, n_cand: int, rpb: int = RPB,
                         precision=jax.lax.Precision.HIGHEST)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
     overflow = (jnp.any(counts > rpb, axis=-1)
+                | over0
                 | jnp.any(grp_n > s1, axis=-1)
                 | (jnp.sum(counts, axis=-1) > n_cand))
     cand = jnp.where(jnp.arange(n_cand) < n_valid[..., None],
