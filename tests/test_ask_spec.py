@@ -201,18 +201,24 @@ def test_dense_fire_sliding_max_vs_naive():
     deviation is an indexing bug), across boundary-straddling offsets."""
     w = CFG.peak_guard + 1
     rng = np.random.default_rng(17)
-    for t in (w + 1, 511, 512, 513, 1000, 4096 + 200):
+    for t in (w + 1, 511, 512, 513, 1000, 4096 + 200, 40_000):
         sync = rng.normal(0, 1, t).astype(np.float32)
         upd = rng.random(t) < 0.3
-        got = np.asarray(ask_spec.dense_fire_candidates(
-            CFG, jnp.asarray(sync), jnp.asarray(upd)))
         masked = np.where(upd, sync, -np.inf)
         padded = np.concatenate([masked, np.full(w + 1, -np.inf)])
         want = np.array([
             upd[r] and masked[r] >= padded[r + 1: r + w + 1].max()
             for r in range(t)
         ])
-        assert np.array_equal(got, want), t
+        # XLA 2-D form and the fused Pallas fire kernel (r5) must both
+        # match the naive oracle bit-for-bit
+        got_xla = np.asarray(ask_spec.dense_fire_candidates(
+            CFG, jnp.asarray(sync), jnp.asarray(upd), use_kernel=False))
+        assert np.array_equal(got_xla, want), ("xla", t)
+        got_k = np.asarray(ask_spec.dense_fire_candidates(
+            CFG, jnp.asarray(sync), jnp.asarray(upd), interpret=True,
+            use_kernel=True))
+        assert np.array_equal(got_k, want), ("kernel", t)
 
 
 def test_demod_slots_dense_matches_slot():
