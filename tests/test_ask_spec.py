@@ -221,6 +221,51 @@ def test_dense_fire_sliding_max_vs_naive():
         assert np.array_equal(got_k, want), ("kernel", t)
 
 
+def test_chain_kernel_vs_scan():
+    """The fused chain kernel (r5) must resolve fired/peak identically
+    to the associative pair scan on random chain windows, including
+    all-masked rows, single-update rows, tie values, and fires at the
+    guard boundary."""
+    rng = np.random.default_rng(31)
+    guard = CFG.peak_guard
+    for win in (512, 1024):
+        for trial in range(4):
+            c1 = 13
+            vals = np.full((c1, win), -np.inf, np.float32)
+            mask = rng.random((c1, win)) < 0.05
+            vals[mask] = rng.normal(1, 0.5, mask.sum()).astype(np.float32)
+            # inject exact ties inside some rows
+            vals[3, 40] = vals[3, 60] = np.float32(2.5)
+            vals[4, :] = -np.inf                      # all-masked row
+            vals[5, :] = -np.inf
+            vals[5, 7] = 1.0                          # single update
+            base = rng.integers(0, 1 << 20, c1).astype(np.int32)
+            vj = jnp.asarray(vals)
+            bj = jnp.asarray(base)
+            fired_k, peak_k = ask_spec._chain_kernel_call(
+                vj, bj, win, guard, interpret=True)
+            # reference: the pair scan form
+            idx = base[:, None] + np.arange(win, dtype=np.int32)
+            m_excl = np.full_like(vals, -np.inf)
+            m_excl[:, 1:] = np.maximum.accumulate(vals, axis=1)[:, :-1]
+            upd = vals > m_excl
+            rec = np.where(upd, idx, np.int64(-2**40))
+            rec_incl = np.maximum.accumulate(rec, axis=1)
+            rec_excl = np.concatenate(
+                [np.full((c1, 1), -2**40), rec_incl[:, :-1]], axis=1)
+            fire = (~upd) & (idx > rec_excl + guard) & (m_excl > -np.inf)
+            for r in range(c1):
+                f = np.nonzero(fire[r])[0]
+                want_fired = len(f) > 0
+                assert bool(np.asarray(fired_k)[r]) == want_fired, r
+                if want_fired:
+                    assert int(np.asarray(peak_k)[r]) == \
+                        int(rec_excl[r, f[0]]), r
+                elif upd[r].any():
+                    assert int(np.asarray(peak_k)[r]) == \
+                        int(rec_incl[r, -1]), r
+
+
 def test_demod_slots_dense_matches_slot():
     """The row-gather batched demod must pick bit-identical values to
     the per-slot strided form (one-hot dot at HIGHEST precision is an

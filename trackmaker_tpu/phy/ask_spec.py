@@ -215,8 +215,70 @@ _R = 512  # fetch-row width for aligned window gathers
 from trackmaker_tpu.core.realign import shift_realign as _shift_realign  # noqa: E402
 
 
+_NEGB = np.int32(-(2 ** 30))
+
+
+def _chain_kernel(vals_ref, base_ref, out_ref, *, guard: int,
+                  win: int):
+    """Record-chain fire resolution for one capture's candidate rows:
+    exclusive running max (doubling roll/max stages), update mask,
+    last-update-index cummax, fire rule, first-fire reduction, and the
+    peak pick — all on VMEM registers; one (RP, WIN) read and one
+    (RP, 128) write.  See _phase_b for the semantics derivation."""
+    ninf = jnp.float32(-jnp.inf)
+    vals = vals_ref[...]                            # (RP, WIN)
+    rp = vals.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rp, win), 1)
+    idx = base_ref[...][:, 0:1] + lane
+    # exclusive running max of vals
+    m = jnp.where(lane == 0, ninf, pltpu.roll(vals, 1, 1))
+    sh = 1
+    while sh < win:
+        m = jnp.maximum(m, jnp.where(lane < sh, ninf,
+                                     pltpu.roll(m, sh, 1)))
+        sh *= 2
+    upd = vals > m                 # strict improvement == chain update
+    ridx = jnp.where(upd, idx, _NEGB)
+    rec = ridx
+    sh = 1
+    while sh < win:
+        rec = jnp.maximum(rec, jnp.where(lane < sh, _NEGB,
+                                         pltpu.roll(rec, sh, 1)))
+        sh *= 2
+    rec_excl = jnp.where(lane == 0, _NEGB, pltpu.roll(rec, 1, 1))
+    fire = (~upd) & (idx > rec_excl + guard) & (m > ninf)
+    j1 = jnp.min(jnp.where(fire, lane, win), axis=1, keepdims=True)
+    fired = j1 < win                                # (RP, 1)
+    peak_f = jnp.sum(jnp.where(lane == j1, rec_excl, 0), axis=1,
+                     keepdims=True)
+    rec_last = jnp.max(ridx, axis=1, keepdims=True)
+    peak = jnp.where(fired, peak_f, rec_last)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (rp, 128), 1)
+    out_ref[...] = jnp.where(l128 == 0, fired.astype(jnp.int32),
+                             jnp.where(l128 == 1, peak, 0))
+
+
+def _chain_kernel_call(vals: jax.Array, base_w: jax.Array, win: int,
+                       guard: int, interpret: bool):
+    """(fired[C], peak[C]) via :func:`_chain_kernel` (rows padded to a
+    sublane multiple; pad rows are all -inf -> fired False, unused)."""
+    c1 = vals.shape[0]
+    rp = -(-c1 // 8) * 8
+    vp = jnp.pad(vals, ((0, rp - c1), (0, 0)),
+                 constant_values=-jnp.inf)
+    bp = jnp.pad(base_w, (0, rp - c1))
+    bcol = jnp.broadcast_to(bp[:, None], (rp, 128))
+    out = pl.pallas_call(
+        functools.partial(_chain_kernel, guard=guard, win=win),
+        out_shape=jax.ShapeDtypeStruct((rp, 128), jnp.int32),
+        interpret=interpret,
+    )(vp, bcol)
+    return out[:c1, 0] > 0, out[:c1, 1]
+
+
 def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
-             chain_window: int):
+             chain_window: int, interpret: bool = False,
+             use_kernel: bool | None = None):
     """Per-candidate successor fields for one capture.
 
     cand_full: i32[C+1], ascending; slot 0 is the virtual stream-start
@@ -334,37 +396,44 @@ def _phase_b(cfg: AskConfig, rx, power, sync, upd_ok, cand_full,
     ok_m = ok_full & (idx >= i0[:, None])
     vals = jnp.where(ok_m, sp_full, -jnp.inf)
 
-    # running-(max, record) chain state: the associative pair scan won
-    # the r5 on-chip A/B 2.1x against a blocked per-128-lane cummax +
-    # cross-block carry formulation (17.9k vs 8.5k x realtime -- the
-    # static carry loop's ~12 per-block select/where stages cost more
-    # than the scan's ~11 full-width combine sweeps; deleted, see git
-    # d0a2814 / tools/ab_ask.py)
-    def combine(a, b):
-        av, ai = a
-        bv, bi = b
-        take_b = bv > av        # strict: earlier index wins ties
-        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+    if use_kernel if use_kernel is not None else True:
+        # fused chain kernel (r5): the pair scan's running (max,
+        # record) decomposes into an exclusive value-cummax + a
+        # last-update-index cummax — the running argmax with
+        # earliest-tie rule IS the last strict improvement, so both
+        # are plain cummaxes that run as in-VMEM doubling stages
+        # (~21 roll/max sweeps on registers) instead of ~40 HBM-wide
+        # associative_scan passes.  Decision equality pinned by
+        # tests/test_ask_spec.py::test_chain_kernel_vs_scan.
+        fired, peak = _chain_kernel_call(vals, base_w, win,
+                                         cfg.peak_guard, interpret)
+    else:
+        def combine(a, b):
+            av, ai = a
+            bv, bi = b
+            take_b = bv > av    # strict: earlier index wins ties
+            return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
 
-    m_incl, rec_incl = jax.lax.associative_scan(
-        combine, (vals, idx), axis=-1)
-    m_excl = jnp.concatenate(
-        [jnp.full((c1, 1), -jnp.inf), m_incl[:, :-1]], axis=-1)
-    rec_excl = jnp.concatenate([idx[:, :1], rec_incl[:, :-1]], axis=-1)
-    rec_last = rec_incl[:, -1]
-    upd_now = ok_m & (sp_full > m_excl)
-    fire = ((~upd_now) & (idx > rec_excl + cfg.peak_guard)
-            & (m_excl > -jnp.inf))
-    # first-fire pick without per-row element gathers: one-hot on the
-    # first True of `fire` (all-False rows -> zero one-hot -> fired
-    # False, peak falls back to the final record)
-    wrng = jnp.arange(win, dtype=jnp.int32)[None, :]
-    j1 = jnp.min(jnp.where(fire, wrng, win), axis=-1, keepdims=True)
-    oh = (wrng == j1)
-    fired = jnp.any(fire, axis=-1)
-    peak = jnp.where(fired,
-                     jnp.sum(jnp.where(oh, rec_excl, 0), axis=-1),
-                     rec_last)
+        m_incl, rec_incl = jax.lax.associative_scan(
+            combine, (vals, idx), axis=-1)
+        m_excl = jnp.concatenate(
+            [jnp.full((c1, 1), -jnp.inf), m_incl[:, :-1]], axis=-1)
+        rec_excl = jnp.concatenate([idx[:, :1], rec_incl[:, :-1]],
+                                   axis=-1)
+        rec_last = rec_incl[:, -1]
+        upd_now = ok_m & (sp_full > m_excl)
+        fire = ((~upd_now) & (idx > rec_excl + cfg.peak_guard)
+                & (m_excl > -jnp.inf))
+        # first-fire pick without per-row element gathers: one-hot on
+        # the first True of `fire` (all-False rows -> zero one-hot ->
+        # fired False, peak falls back to the final record)
+        wrng = jnp.arange(win, dtype=jnp.int32)[None, :]
+        j1 = jnp.min(jnp.where(fire, wrng, win), axis=-1, keepdims=True)
+        oh = (wrng == j1)
+        fired = jnp.any(fire, axis=-1)
+        peak = jnp.where(fired,
+                         jnp.sum(jnp.where(oh, rec_excl, 0), axis=-1),
+                         rec_last)
     complete = (peak + cfg.frame_samples) < t
 
     # next_peak -> candidate index (the successor); -1 when the fired
@@ -474,7 +543,8 @@ def demodulate_spec(
         virt = jnp.full((1,), -(cfg.frame_samples + 1), jnp.int32)
         cand_full = jnp.concatenate([virt, cand])
         fields, rx_pad = _phase_b(cfg, row, power, sync, upd_ok,
-                                  cand_full, chain_window)
+                                  cand_full, chain_window,
+                                  interpret=interpret)
         return fields, rx_pad, overflow
 
     fields, rx_pads, overflow = jax.vmap(analyze)(rx)
